@@ -1,0 +1,120 @@
+"""Linear static analysis driver.
+
+The TPU equivalent of the kstSTATIC path: assemble -> apply BC -> Krylov
+solve -> stress recovery (fstr_static_analysis,
+fistr1/src/main/fistr_main.f90:288 with a single linear step).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frontistr_tpu.assembly.model import StructModel
+from frontistr_tpu.assembly import operators as ops
+from frontistr_tpu.elements.tables import get_table
+from frontistr_tpu.fem import solid
+from frontistr_tpu.post import nodal as postnodal
+from frontistr_tpu.solver import cg as krylov
+
+
+@dataclasses.dataclass
+class StaticResult:
+    u: np.ndarray                      # (n_node, ndof)
+    nodal_strain: np.ndarray
+    nodal_stress: np.ndarray
+    nodal_mises: np.ndarray
+    elem_strain: np.ndarray            # concatenated over blocks
+    elem_stress: np.ndarray
+    elem_mises: np.ndarray
+    elem_ids: np.ndarray
+    iters: int
+    relres: float
+    solve_time: float = 0.0
+    assemble_time: float = 0.0
+    node_count: np.ndarray = None      # elements touching each node
+
+
+def compute_element_stiffness(model: StructModel):
+    """Batched element stiffness per block (linear elastic)."""
+    kes = []
+    for b in model.blocks:
+        table = get_table(b.etype)
+        coords_e = jnp.asarray(model.coords[b.conn])
+        if b.etype == 361 and b.formulation == "IC":
+            ke = solid.stiffness_hex8ic(table, coords_e, jnp.asarray(b.D))
+        else:
+            ke = solid.stiffness_linear(table, coords_e, jnp.asarray(b.D),
+                                        thick=b.thick)
+        kes.append(ke)
+    return kes
+
+
+def solve_linear(model: StructModel, kes=None,
+                 f_ext: Optional[np.ndarray] = None):
+    """Assemble + constrained Krylov solve; returns (u flat, iters, relres)."""
+    t0 = time.perf_counter()
+    if kes is None:
+        kes = compute_element_stiffness(model)
+    blocks = [ops.BlockOp(jnp.asarray(b.dofs), ke)
+              for b, ke in zip(model.blocks, kes)]
+    n = model.n_dof_total
+    free_mask = jnp.asarray(ops.make_free_mask(n, model.fixed_dofs))
+    u_fix = jnp.asarray(ops.full_fixed_vector(n, model.fixed_dofs,
+                                              model.fixed_vals))
+    f = jnp.asarray(model.f_ext if f_ext is None else f_ext)
+
+    A = ops.constrained_operator(blocks, free_mask)
+    b_c = ops.constrained_rhs(blocks, f, free_mask, u_fix)
+    Dblk = ops.block_diagonal(blocks, model.n_node, model.ndof)
+    M = ops.block_jacobi_precond(
+        Dblk, free_mask.reshape(model.n_node, model.ndof))
+
+    sv = model.cfg.solver
+    t1 = time.perf_counter()
+    res = krylov.solve(sv.method, A, b_c, M=M, tol=sv.resid,
+                       maxiter=sv.nier)
+    x = np.asarray(jax.block_until_ready(res.x))
+    t2 = time.perf_counter()
+    return x, int(res.iters), float(res.relres), t1 - t0, t2 - t1
+
+
+def recover_stress(model: StructModel, u_flat: np.ndarray):
+    """Gauss strain/stress + nodal smoothing + element means."""
+    u = u_flat.reshape(model.n_node, model.ndof)
+    block_data = []
+    for b in model.blocks:
+        table = get_table(b.etype)
+        coords_e = jnp.asarray(model.coords[b.conn])
+        u_e = jnp.asarray(u[b.conn])
+        if b.etype == 361 and b.formulation == "IC":
+            eps = solid.strains_at_gauss_hex8ic(table, coords_e, u_e,
+                                                jnp.asarray(b.D))
+        else:
+            eps = solid.strains_at_gauss(table, coords_e, u_e)  # (E,nq,ns)
+        sig = jnp.einsum("ekl,eql->eqk", jnp.asarray(b.D), eps)
+        block_data.append(dict(etype=b.etype, conn=b.conn,
+                               gauss_strain=np.asarray(eps),
+                               gauss_stress=np.asarray(sig)))
+    sm = postnodal.smooth(model.n_node, block_data, model.dim)
+    return u, sm, block_data
+
+
+def run_linear_static(model: StructModel) -> StaticResult:
+    u_flat, iters, relres, t_asm, t_slv = solve_linear(model)
+    u, sm, _ = recover_stress(model, u_flat)
+    elem_ids = np.concatenate([b.elem_ids for b in model.blocks])
+    return StaticResult(
+        u=u,
+        nodal_strain=sm["strain"], nodal_stress=sm["stress"],
+        nodal_mises=sm["mises"], node_count=sm["count"],
+        elem_strain=np.concatenate(sm["estrain"]),
+        elem_stress=np.concatenate(sm["estress"]),
+        elem_mises=np.concatenate(sm["emises"]),
+        elem_ids=elem_ids, iters=iters, relres=relres,
+        assemble_time=t_asm, solve_time=t_slv)

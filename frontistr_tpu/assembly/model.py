@@ -1,0 +1,227 @@
+"""Host-side model builder: mesh + control deck -> typed device arrays.
+
+This is the TPU replacement for the reference's fstr_solid/fstr_param setup
+(fistr1/src/common/fstr_setup.f90) + symbolic CSR assembly
+(hecmw1/src/solver/matrix/hecmw_mat_con.f90): instead of a CSR graph we keep
+per-element-type dense blocks plus gather/scatter dof maps; the global
+operator is matrix-free (gather -> k_e @ u_e -> segment scatter-add) or an
+assembled block-ELL (assembly/bell.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from frontistr_tpu.elements.tables import ETYPE_INFO, get_table
+from frontistr_tpu.fem import material as mat
+from frontistr_tpu.io.ctrlio import AnalysisConfig, Card, CntMaterial
+from frontistr_tpu.io.meshio import Mesh
+
+
+@dataclasses.dataclass
+class KBlock:
+    """One element-type block ready for batched kernels."""
+    etype: int
+    elem_ids: np.ndarray        # (E,)
+    conn: np.ndarray            # (E, nn) node idx (FSTR ordering)
+    dofs: np.ndarray            # (E, nn*ndof) global dof idx
+    D: np.ndarray               # (E, ns, ns) elastic matrices
+    thick: float
+    iset: int                   # sect type for 2D (PLANE_STRESS/...)
+    density: np.ndarray         # (E,)
+    material: mat.Material      # block-uniform material record
+    sect_id: int = 0
+    # 361 formulation (fstr_setup.f90:365-379 defaults): FI / BBAR / IC / FBAR
+    formulation: str = "FI"
+
+
+def _resolve_material(mesh: Mesh, cnt_mats: Dict[str, CntMaterial],
+                      name: str) -> mat.Material:
+    """Merge mesh !MATERIAL items with .cnt !MATERIAL subcards.
+
+    The .cnt definition wins when both exist (fstr_setup.f90 pass 2 overwrites
+    mesh-derived values)."""
+    m = mat.Material(name)
+    md = mesh.materials.get(name)
+    if md is not None:
+        it1 = md.items.get(1)
+        if it1:
+            row = it1[0]
+            m.youngs = row[0]
+            if len(row) > 1:
+                m.poisson = row[1]
+        it2 = md.items.get(2)
+        if it2:
+            m.density = it2[0][0]
+        it3 = md.items.get(3)
+        if it3:
+            m.expansion = it3[0][0]
+    cm = cnt_mats.get(name)
+    if cm is not None:
+        if cm.elastic is not None:
+            rows = cm.elastic.rows_f()
+            m.elastic_table = np.asarray(rows)
+            m.youngs, m.poisson = rows[0][0], rows[0][1]
+        if cm.density is not None:
+            m.density = cm.density.rows_f()[0][0]
+        if cm.expansion is not None:
+            m.expansion = cm.expansion.rows_f()[0][0]
+        if cm.hyperelastic is not None:
+            m.mtype = (cm.hyperelastic.param("TYPE") or "MOONEY-RIVLIN").upper()
+            m.hyper_consts = np.asarray(cm.hyperelastic.rows_f()[0])
+        if cm.plastic is not None:
+            m.mtype = mat.EPLASTIC
+            m.yield_func = (cm.plastic.param("YIELD") or "MISES").upper()
+            m.hardening = (cm.plastic.param("HARDEN") or "LINEAR").upper()
+            m.plastic_consts = np.asarray(
+                [v for row in cm.plastic.rows_f() for v in row]).reshape(
+                    len(cm.plastic.data), -1) if cm.plastic.data else None
+        if cm.viscoelastic is not None:
+            m.mtype = mat.VISCOELASTIC
+            m.visco_consts = np.asarray(cm.viscoelastic.rows_f())
+        if cm.trs is not None:
+            m.trs_consts = np.asarray(cm.trs.rows_f())
+        if cm.creep is not None:
+            m.mtype = mat.CREEP
+            m.creep_consts = np.asarray(cm.creep.rows_f()[0])
+    return m
+
+
+@dataclasses.dataclass
+class StructModel:
+    mesh: Mesh
+    cfg: AnalysisConfig
+    ndof: int
+    dim: int
+    n_node: int
+    coords: np.ndarray          # (n_node, dim)
+    blocks: List[KBlock]
+    fixed_dofs: np.ndarray      # (nfix,) int
+    fixed_vals: np.ndarray      # (nfix,)
+    f_ext: np.ndarray           # (n_node*ndof,)
+    nlgeom: bool = False
+
+    @property
+    def n_dof_total(self) -> int:
+        return self.n_node * self.ndof
+
+
+def _resolve_node_group(mesh: Mesh, token: str) -> np.ndarray:
+    """BC target: node group name or a literal node id
+    (fstr_setup_util node_grp resolution semantics)."""
+    if token in mesh.node_groups:
+        return mesh.node_groups[token]
+    try:
+        nid = int(token)
+    except ValueError:
+        return np.zeros(0, np.int64)
+    if nid in mesh.id2idx:
+        return np.asarray([mesh.id2idx[nid]], dtype=np.int64)
+    return np.zeros(0, np.int64)
+
+
+def collect_boundary(mesh: Mesh, cards: List[Card], ndof: int,
+                     grpid_filter=None):
+    """!BOUNDARY rows: (group, dof_start, dof_end, value)."""
+    fixed: Dict[int, float] = {}
+    for c in cards:
+        gid = c.iparam("GRPID", 1)
+        if grpid_filter is not None and gid not in grpid_filter:
+            continue
+        for row in c.data:
+            grp = row[0]
+            ds = int(float(row[1])) if len(row) > 1 else 1
+            de = int(float(row[2])) if len(row) > 2 else ds
+            val = float(row[3]) if len(row) > 3 else 0.0
+            nodes = _resolve_node_group(mesh, grp)
+            for d in range(ds, de + 1):
+                if d > ndof:
+                    continue
+                for n in nodes:
+                    fixed[int(n) * ndof + (d - 1)] = val
+    if not fixed:
+        return np.zeros(0, np.int64), np.zeros(0)
+    keys = np.asarray(sorted(fixed), dtype=np.int64)
+    vals = np.asarray([fixed[int(k)] for k in keys])
+    return keys, vals
+
+
+def collect_cload(mesh: Mesh, cards: List[Card], ndof: int, n_node: int,
+                  grpid_filter=None) -> np.ndarray:
+    f = np.zeros(n_node * ndof)
+    for c in cards:
+        gid = c.iparam("GRPID", 1)
+        if grpid_filter is not None and gid not in grpid_filter:
+            continue
+        for row in c.data:
+            grp = row[0]
+            d = int(float(row[1]))
+            val = float(row[2])
+            nodes = _resolve_node_group(mesh, grp)
+            if d <= ndof:
+                f[nodes * ndof + (d - 1)] += val
+    return f
+
+
+def _iset_from_section(sec) -> int:
+    # fstr_setup.f90:1012-1021: sect_opt 0 -> PlaneStress(1),
+    # 1 -> Planestrain(0), 2 -> AxisSymetric(2)
+    return {0: mat.PLANE_STRESS, 1: mat.PLANE_STRAIN,
+            2: mat.AXISYMMETRIC}.get(sec.opt, mat.PLANE_STRESS)
+
+
+def build_struct_model(mesh: Mesh, cfg: AnalysisConfig) -> StructModel:
+    solid_types = [b for b in mesh.blocks
+                   if b.etype in ETYPE_INFO and
+                   ETYPE_INFO[b.etype][0] >= 2]
+    if not solid_types:
+        raise ValueError("no supported solid elements in mesh")
+    dim = max(ETYPE_INFO[b.etype][0] for b in solid_types)
+    ndof = dim
+    n_node = mesh.n_node
+    coords = mesh.coords[:, :dim].copy()
+
+    blocks: List[KBlock] = []
+    for b in solid_types:
+        table = get_table(b.etype)
+        sec = mesh.sections[b.section_id] if mesh.sections else None
+        mname = sec.material if sec else next(iter(mesh.materials), "")
+        m = _resolve_material(mesh, cfg.materials, mname)
+        if cfg.nlgeom:
+            m.nlgeom = mat.TOTALLAG if m.nlgeom == mat.INFINITESIMAL else m.nlgeom
+        E = len(b.elem_ids)
+        thick = 1.0
+        iset = mat.D3
+        if dim == 2:
+            iset = _iset_from_section(sec) if sec else mat.PLANE_STRESS
+            thick = sec.values[0] if sec and sec.values else 1.0
+        D1 = mat.elastic_D(m.youngs, m.poisson, iset)
+        D = np.broadcast_to(D1, (E,) + D1.shape).copy()
+        nn = table.nn
+        dofs = (b.conn[:, :, None] * ndof +
+                np.arange(ndof)[None, None, :]).reshape(E, nn * ndof)
+        form = "FI"
+        if b.etype == 361:
+            # default 361 formulation for STATIC/DYNAMIC/EIGEN
+            # (fstr_setup.f90:365-379); overridable via !ELEMOPT
+            form = "BBAR" if cfg.nlgeom else "IC"
+            if cfg.elemopt361:
+                form = {1: "FI", 2: "BBAR", 3: "IC", 4: "FBAR"}.get(
+                    cfg.elemopt361, form)
+        blocks.append(KBlock(b.etype, b.elem_ids, b.conn,
+                             dofs.astype(np.int32), D, thick, iset,
+                             np.full(E, m.density), m, b.section_id,
+                             formulation=form))
+
+    step = cfg.steps[0]
+    grpid = set(step.boundary_groups) if step.boundary_groups else None
+    fixed_dofs, fixed_vals = collect_boundary(mesh, cfg.boundaries, ndof,
+                                              grpid)
+    lgrp = set(step.load_groups) if step.load_groups else None
+    f_ext = collect_cload(mesh, cfg.cloads, ndof, n_node, lgrp)
+
+    return StructModel(mesh, cfg, ndof, dim, n_node, coords, blocks,
+                       fixed_dofs, fixed_vals, f_ext, nlgeom=cfg.nlgeom)

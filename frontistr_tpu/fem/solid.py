@@ -1,0 +1,246 @@
+"""Batched solid element kernels (the TPU equivalent of STF_C3 / UPDATE_C3 /
+STF_C2 / UPDATE_C2, fistr1/src/lib/static_LIB_3d.f90:47-205 and
+static_LIB_2d.f90).
+
+Instead of the reference's per-element OpenMP loop, every element type block
+is processed as one batched einsum chain over the whole block; quadrature is
+a short static unroll (nq <= 27) that XLA fuses.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from frontistr_tpu.elements.tables import ElementTable
+from frontistr_tpu.fem.isoparam import (
+    b_matrix,
+    jacobians,
+    strain_selector_2d,
+    strain_selector_3d,
+)
+
+
+def _selector(dim: int):
+    return strain_selector_3d() if dim == 3 else strain_selector_2d()
+
+
+def stiffness_linear(table: ElementTable, coords_e: jnp.ndarray,
+                     D_e: jnp.ndarray, thick: float = 1.0) -> jnp.ndarray:
+    """Small-strain elastic stiffness for a block of elements.
+
+    Args:
+      table: static element tables.
+      coords_e: (E, nn, dim).
+      D_e: (E, ns, ns) elastic matrices (per element, supports varying
+        materials in a block).
+      thick: section thickness (2D only; STF_C2 PARAM1).
+
+    Returns: (E, nn*dim, nn*dim) element stiffness.
+    """
+    dN = jnp.asarray(table.dN)
+    det, gderiv = jacobians(dN, coords_e)
+    S = jnp.asarray(_selector(table.dim))
+    w = jnp.asarray(table.weights)
+    scale = thick if table.dim == 2 else 1.0
+    E, nn, _ = coords_e.shape
+    ndof = table.dim
+    k = jnp.zeros((E, nn * ndof, nn * ndof), coords_e.dtype)
+    for q in range(table.nq):
+        B = b_matrix(S, gderiv[:, q])                    # (E, ns, nn*ndof)
+        DB = jnp.einsum("ekl,elj->ekj", D_e, B)
+        wg = (w[q] * scale) * det[:, q]
+        k = k + jnp.einsum("eki,ekj,e->eij", B, DB, wg)
+    return k
+
+
+def stiffness_nlgeom(table: ElementTable, coords_e, u_e, D_e, stress_e,
+                     flag: int, thick: float = 1.0):
+    """Tangent stiffness with geometric terms (STF_C3 TOTALLAG/UPDATELAG arms,
+    static_LIB_3d.f90:137-204).
+
+    Args:
+      u_e: (E, nn, dim) total displacement at element nodes.
+      stress_e: (E, nq, ns) 2nd PK (TL) / Cauchy (UL) stress at gauss points.
+      flag: 1 TOTALLAG, 2 UPDATELAG.
+    """
+    from frontistr_tpu.fem.material import TOTALLAG, UPDATELAG
+    dN = jnp.asarray(table.dN)
+    elem = coords_e + u_e if flag == UPDATELAG else coords_e
+    det, gderiv = jacobians(dN, elem)
+    S = jnp.asarray(_selector(table.dim))
+    w = jnp.asarray(table.weights)
+    scale = thick if table.dim == 2 else 1.0
+    E, nn, dim = coords_e.shape
+    ndof = dim
+    k = jnp.zeros((E, nn * ndof, nn * ndof), coords_e.dtype)
+    for q in range(table.nq):
+        g = gderiv[:, q]                                  # (E, nn, dim)
+        wg = (w[q] * scale) * det[:, q]
+        B = b_matrix(S, g)
+        if flag == TOTALLAG:
+            # BL1 (static_LIB_3d.f90:137-167):
+            # B1[k, (n,d)] = sum_{ij} S[k,i,j] * dudx[d,i] * g[n,j]
+            dudx = jnp.einsum("end,enj->edj", u_e, g)     # du_d/dx_j
+            B1 = jnp.einsum("kij,edi,enj->eknd", S, dudx, g)
+            B = B + B1.reshape(E, B.shape[1], nn * ndof)
+        Dq = D_e if D_e.ndim == 3 else D_e[:, q]
+        DB = jnp.einsum("ekl,elj->ekj", Dq, B)
+        k = k + jnp.einsum("eki,ekj,e->eij", B, DB, wg)
+        # geometric (initial stress) stiffness: kg[(a,i),(b,j)] =
+        #   delta_ij * g[a,:]^T sigma g[b,:]  (BN^T Smat BN form,
+        #   static_LIB_3d.f90:176-203)
+        sig = stress_e[:, q]
+        Sm = _stress_tensor(sig, dim)
+        gsg = jnp.einsum("eak,ekl,ebl,e->eab", g, Sm, g, wg)
+        kg = jnp.einsum("eab,ij->eaibj", gsg, jnp.eye(dim, dtype=k.dtype))
+        k = k + kg.reshape(E, nn * ndof, nn * ndof)
+    return k
+
+
+def _stress_tensor(sig, dim):
+    """Voigt stress -> full tensor. 3D order (11,22,33,12,23,13)."""
+    if dim == 3:
+        s11, s22, s33, s12, s23, s13 = (sig[..., i] for i in range(6))
+        row0 = jnp.stack([s11, s12, s13], -1)
+        row1 = jnp.stack([s12, s22, s23], -1)
+        row2 = jnp.stack([s13, s23, s33], -1)
+        return jnp.stack([row0, row1, row2], -2)
+    s11, s22, s12 = sig[..., 0], sig[..., 1], sig[..., 2]
+    row0 = jnp.stack([s11, s12], -1)
+    row1 = jnp.stack([s12, s22], -1)
+    return jnp.stack([row0, row1], -2)
+
+
+def _hex8ic_gderivs(table: ElementTable, coords_e):
+    """Global derivs for the hex8 incompatible-mode (Wilson) element:
+    8 real nodes + 3 enhanced bending modes (STF_C3D8IC,
+    static_LIB_3dIC.f90:100-103: gderiv(nn+k,:) = -2*xi_k * J0^{-1}(k,:) *
+    det0 / det_q with J0 the center Jacobian).
+
+    Returns det (E, nq) and g_full (E, nq, 11, 3).
+    """
+    from frontistr_tpu.elements.tables import shape_deriv
+    import numpy as np
+    with jax.ensure_compile_time_eval():
+        dN0 = np.asarray(shape_deriv(361, np.zeros(3)))       # (8,3)
+    # XJ0(i,j) = sum_n x_i dN0(n,j)  (reference getJacobian orientation)
+    XJ0 = jnp.einsum("eni,nj->eij", coords_e, jnp.asarray(dN0))
+    det0 = jnp.linalg.det(XJ0)
+    XJ0inv = jnp.linalg.inv(XJ0)
+    dN = jnp.asarray(table.dN)
+    det, gderiv = jacobians(dN, coords_e)                     # (E,nq,8,3)
+    pts = jnp.asarray(table.points)                           # (nq,3)
+    # g_enh[e,q,k,j] = -2*pts[q,k] * XJ0inv[e,k,j] * det0[e] / det[e,q]
+    g_enh = (-2.0 * pts[None, :, :, None] * XJ0inv[:, None, :, :]
+             * (det0[:, None] / det)[..., None, None])
+    g_full = jnp.concatenate([gderiv, g_enh], axis=2)         # (E,nq,11,3)
+    return det, g_full
+
+
+def _hex8ic_k_full(table: ElementTable, coords_e, D_e):
+    det, g_full = _hex8ic_gderivs(table, coords_e)
+    S = jnp.asarray(strain_selector_3d())
+    w = jnp.asarray(table.weights)
+    E = coords_e.shape[0]
+    m = 11 * 3
+    k = jnp.zeros((E, m, m), coords_e.dtype)
+    for q in range(table.nq):
+        B = b_matrix(S, g_full[:, q])
+        DB = jnp.einsum("ekl,elj->ekj", D_e, B)
+        k = k + jnp.einsum("eki,ekj,e->eij", B, DB, w[q] * det[:, q])
+    return k, g_full
+
+
+def stiffness_hex8ic(table: ElementTable, coords_e, D_e):
+    """Statically-condensed incompatible-mode hex8 stiffness
+    (STF_C3D8IC, static_LIB_3dIC.f90): K = Kdd - Kda Kaa^{-1} Kad."""
+    k, _ = _hex8ic_k_full(table, coords_e, D_e)
+    nd = 24
+    Kdd = k[:, :nd, :nd]
+    Kda = k[:, :nd, nd:]
+    Kaa = k[:, nd:, nd:]
+    Kaa_inv = jnp.linalg.inv(Kaa)
+    return Kdd - jnp.einsum("eij,ejk,ekl->eil", Kda, Kaa_inv,
+                            jnp.swapaxes(Kda, 1, 2))
+
+
+def strains_at_gauss_hex8ic(table: ElementTable, coords_e, u_e, D_e):
+    """Strain recovery for the IC element (UpdateST_C3D8IC): recover the
+    enhanced dofs a = -Kaa^{-1} Kad u, then eps = B_full [u; a]."""
+    k, g_full = _hex8ic_k_full(table, coords_e, D_e)
+    E, nn, dim = coords_e.shape
+    nd = nn * dim
+    u_flat = u_e.reshape(E, nd)
+    Kad = k[:, nd:, :nd]
+    Kaa_inv = jnp.linalg.inv(k[:, nd:, nd:])
+    a = -jnp.einsum("eij,ejk,ek->ei", Kaa_inv, Kad, u_flat)
+    ua = jnp.concatenate([u_flat, a], axis=1)
+    S = jnp.asarray(strain_selector_3d())
+    eps = []
+    for q in range(table.nq):
+        B = b_matrix(S, g_full[:, q])
+        eps.append(jnp.einsum("ekj,ej->ek", B, ua))
+    return jnp.stack(eps, axis=1)
+
+
+def strains_at_gauss(table: ElementTable, coords_e, u_e):
+    """Small strain at every gauss point: eps = B u (UPDATE_C3 linear arm).
+
+    Returns (E, nq, ns).
+    """
+    dN = jnp.asarray(table.dN)
+    det, gderiv = jacobians(dN, coords_e)
+    S = jnp.asarray(_selector(table.dim))
+    E, nn, dim = coords_e.shape
+    u_flat = u_e.reshape(E, nn * dim)
+    eps = []
+    for q in range(table.nq):
+        B = b_matrix(S, gderiv[:, q])
+        eps.append(jnp.einsum("ekj,ej->ek", B, u_flat))
+    return jnp.stack(eps, axis=1)
+
+
+def internal_force(table: ElementTable, coords_e, stress_e, thick: float = 1.0):
+    """Equivalent nodal force qf = sum_q wg * B^T sigma (UPDATE_C3 tail).
+
+    stress_e: (E, nq, ns). Returns (E, nn*dim).
+    """
+    dN = jnp.asarray(table.dN)
+    det, gderiv = jacobians(dN, coords_e)
+    S = jnp.asarray(_selector(table.dim))
+    w = jnp.asarray(table.weights)
+    scale = thick if table.dim == 2 else 1.0
+    E, nn, dim = coords_e.shape
+    qf = jnp.zeros((E, nn * dim), coords_e.dtype)
+    for q in range(table.nq):
+        B = b_matrix(S, gderiv[:, q])
+        wg = (w[q] * scale) * det[:, q]
+        qf = qf + jnp.einsum("ekj,ek,e->ej", B, stress_e[:, q], wg)
+    return qf
+
+
+def lumped_mass(table: ElementTable, coords_e, rho_e, thick: float = 1.0):
+    """Row-sum lumped mass per node dof (fstr_EIG_setMASS semantics).
+
+    Returns (E, nn) nodal mass (same for each dof of the node).
+    """
+    dN = jnp.asarray(table.dN)
+    N = jnp.asarray(table.N)
+    det, _ = jacobians(dN, coords_e)
+    w = jnp.asarray(table.weights)
+    scale = thick if table.dim == 2 else 1.0
+    # consistent mass row sums: m_a = sum_q wg rho N_a(q) * sum_b N_b(q)
+    # with partition of unity sum_b N_b = 1 -> m_a = sum_q wg rho N_a
+    m = jnp.einsum("qn,eq,q->en", N, det, w) * (rho_e[:, None] * scale)
+    return m
+
+
+def volumes(table: ElementTable, coords_e, thick: float = 1.0):
+    dN = jnp.asarray(table.dN)
+    det, _ = jacobians(dN, coords_e)
+    w = jnp.asarray(table.weights)
+    scale = thick if table.dim == 2 else 1.0
+    return jnp.einsum("eq,q->e", det, w) * scale

@@ -1,0 +1,86 @@
+"""Top-level analysis runner — the equivalent of fstr_main
+(fistr1/src/main/fistr_main.f90:38-114): read control files, dispatch on
+solution type, write logs/results.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from frontistr_tpu.io.hecmw_ctrl import read_hecmw_ctrl
+from frontistr_tpu.io.meshio import read_mesh
+from frontistr_tpu.io.ctrlio import read_cnt
+from frontistr_tpu.io import logio
+
+
+def run_directory(workdir: str, log_name: str = "0.log") -> dict:
+    """Run the analysis configured by ``workdir/hecmw_ctrl.dat``.
+
+    Returns a dict of result objects keyed by analysis type.
+    """
+    t_start = time.time()
+    ctrl = read_hecmw_ctrl(os.path.join(workdir, "hecmw_ctrl.dat"))
+    mesh = read_mesh(ctrl.path(ctrl.mesh()))
+    cfg = read_cnt(ctrl.path(ctrl.control()))
+    out = {"mesh": mesh, "cfg": cfg, "ctrl": ctrl}
+
+    sol = cfg.solution_type.upper()
+    log_path = os.path.join(workdir, log_name)
+
+    if sol in ("STATIC", "NLSTATIC"):
+        from frontistr_tpu.assembly.model import build_struct_model
+        model = build_struct_model(mesh, cfg)
+        if sol == "NLSTATIC" or cfg.nlgeom or _needs_newton(model):
+            from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
+            res = run_nonlinear_static(model, log_path=log_path)
+        else:
+            from frontistr_tpu.analysis.static import run_linear_static
+            res = run_linear_static(model)
+            _write_static_log(log_path, model, res, step=1)
+        out["static"] = res
+        out["model"] = model
+    elif sol == "HEAT":
+        from frontistr_tpu.analysis.heat import run_heat
+        out["heat"] = run_heat(mesh, cfg, workdir, log_path=log_path)
+    elif sol == "EIGEN":
+        from frontistr_tpu.assembly.model import build_struct_model
+        from frontistr_tpu.analysis.eigen import run_eigen
+        model = build_struct_model(mesh, cfg)
+        out["eigen"] = run_eigen(model, log_path=log_path)
+        out["model"] = model
+    elif sol == "DYNAMIC":
+        from frontistr_tpu.assembly.model import build_struct_model
+        from frontistr_tpu.analysis.dynamic import run_dynamic
+        model = build_struct_model(mesh, cfg)
+        out["dynamic"] = run_dynamic(model, log_path=log_path)
+        out["model"] = model
+    else:
+        raise NotImplementedError(f"solution type {sol}")
+
+    # result file output (!WRITE,RESULT)
+    if cfg.write_result and "static" in out:
+        rb = ctrl.result()
+        if rb is not None:
+            from frontistr_tpu.io.resfile import write_static_result
+            write_static_result(ctrl.path(rb) + ".0.1", mesh, out["model"],
+                                out["static"], step=1)
+    out["total_time"] = time.time() - t_start
+    return out
+
+
+def _needs_newton(model) -> bool:
+    from frontistr_tpu.fem import material as mat
+    return any(b.material.mtype != mat.ELASTIC or b.material.nlgeom !=
+               mat.INFINITESIMAL for b in model.blocks)
+
+
+def _write_static_log(log_path, model, res, step=1):
+    logio.write_static_log(
+        log_path, step, model.dim, np.asarray(res.u),
+        res.nodal_strain, res.nodal_stress, res.nodal_mises,
+        res.elem_strain, res.elem_stress, res.elem_mises,
+        model.mesh.node_ids, res.elem_ids)

@@ -1,0 +1,70 @@
+"""End-to-end golden regression vs FrontISTR's in-tree fixtures.
+
+Mirrors examples/test_FrontISTR.rb: run the analysis, form Global Summary /
+@Element max-min tables, compare against <model>_correct.log with the
+reference's absolute threshold 1e-4 (test_FrontISTR.rb:10,225-236).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_reference, REFERENCE
+
+EXA = os.path.join(REFERENCE, "examples", "static", "exA")
+
+MODELS_3D = ["A341", "A342", "A351", "A352", "A361", "A362"]
+MODELS_2D = ["A231", "A232", "A241", "A242"]
+
+
+def _run_model(mesh_path, cnt_path):
+    from frontistr_tpu.io.meshio import read_mesh
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.static import run_linear_static
+    mesh = read_mesh(mesh_path)
+    cfg = read_cnt(cnt_path)
+    model = build_struct_model(mesh, cfg)
+    res = run_linear_static(model)
+    return mesh, model, res
+
+
+def _summaries(model, res):
+    from frontistr_tpu.io import logio
+    return logio.static_summaries(
+        model.dim, res.u, res.nodal_strain, res.nodal_stress,
+        res.nodal_mises, res.elem_strain, res.elem_stress, res.elem_mises,
+        node_count=res.node_count)
+
+
+def _compare(actual, correct, threshold=1.0e-4):
+    errs = []
+    for k, (cmax, cmin) in correct.items():
+        if k not in actual:
+            errs.append(f"missing {k}")
+            continue
+        amax, amin = actual[k]
+        if abs(cmax - amax) > threshold:
+            errs.append(f"{k} max: actual {amax:.6e} correct {cmax:.6e}")
+        if abs(cmin - amin) > threshold:
+            errs.append(f"{k} min: actual {amin:.6e} correct {cmin:.6e}")
+    return errs
+
+
+@requires_reference
+@pytest.mark.parametrize("model_name", MODELS_3D + MODELS_2D)
+def test_exa_golden(model_name):
+    from frontistr_tpu.io.logio import parse_log_summaries
+    cnt = "A300.cnt" if model_name in MODELS_3D else "A200.cnt"
+    if model_name == "A361":
+        cnt = "A361.cnt"
+    mesh, model, res = _run_model(os.path.join(EXA, model_name + ".msh"),
+                                  os.path.join(EXA, cnt))
+    assert res.relres < 1e-7, f"CG did not converge: {res.relres}"
+    golden = parse_log_summaries(os.path.join(EXA, model_name +
+                                              "_correct.log"))
+    node, elem = _summaries(model, res)
+    errs = _compare(node, golden["Node"])
+    errs += [f"@Element {e}" for e in _compare(elem, golden["Element"])]
+    assert not errs, f"{model_name}: " + "; ".join(errs)
