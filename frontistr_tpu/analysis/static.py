@@ -55,30 +55,42 @@ def compute_element_stiffness(model: StructModel):
     return kes
 
 
+def _solve_policy() -> str:
+    """'f64' (CPU: native f64 Krylov) or 'mixed' (TPU: f32 CG + f64
+    refinement).  Override with FRONTISTR_TPU_PRECISION=f64|mixed."""
+    import os
+    pol = os.environ.get("FRONTISTR_TPU_PRECISION", "auto")
+    if pol in ("f64", "mixed"):
+        return pol
+    return "mixed" if jax.default_backend() not in ("cpu",) else "f64"
+
+
 def solve_linear(model: StructModel, kes=None,
                  f_ext: Optional[np.ndarray] = None):
     """Assemble + constrained Krylov solve; returns (u flat, iters, relres)."""
+    from frontistr_tpu.assembly import femop
+    from frontistr_tpu.solver.mixed import refined_cg
     t0 = time.perf_counter()
     if kes is None:
         kes = compute_element_stiffness(model)
-    blocks = [ops.BlockOp(jnp.asarray(b.dofs), ke)
-              for b, ke in zip(model.blocks, kes)]
+    op = femop.from_model(model, kes)
     n = model.n_dof_total
-    free_mask = jnp.asarray(ops.make_free_mask(n, model.fixed_dofs))
     u_fix = jnp.asarray(ops.full_fixed_vector(n, model.fixed_dofs,
                                               model.fixed_vals))
     f = jnp.asarray(model.f_ext if f_ext is None else f_ext)
-
-    A = ops.constrained_operator(blocks, free_mask)
-    b_c = ops.constrained_rhs(blocks, f, free_mask, u_fix)
-    Dblk = ops.block_diagonal(blocks, model.n_node, model.ndof)
-    M = ops.block_jacobi_precond(
-        Dblk, free_mask.reshape(model.n_node, model.ndof))
+    b_c = op.constrained_rhs(f, u_fix)
 
     sv = model.cfg.solver
     t1 = time.perf_counter()
-    res = krylov.solve(sv.method, A, b_c, M=M, tol=sv.resid,
-                       maxiter=sv.nier)
+    if _solve_policy() == "mixed" and sv.method.upper() == "CG":
+        op32 = op.astype(jnp.float32)
+        res = refined_cg(op.apply_constrained, op32.apply_constrained,
+                         op32.block_jacobi(), b_c, tol=sv.resid,
+                         inner_tol=1e-6, maxiter=sv.nier)
+    else:
+        res = krylov.solve(sv.method, op.apply_constrained, b_c,
+                           M=op.block_jacobi(), tol=sv.resid,
+                           maxiter=sv.nier)
     x = np.asarray(jax.block_until_ready(res.x))
     t2 = time.perf_counter()
     return x, int(res.iters), float(res.relres), t1 - t0, t2 - t1

@@ -69,7 +69,14 @@ def block_jacobi_precond(D: jnp.ndarray, free_mask_node: jnp.ndarray):
     dd = Dm[:, jnp.arange(ndof), jnp.arange(ndof)]
     Dm = Dm.at[:, jnp.arange(ndof), jnp.arange(ndof)].add(
         jnp.where(dd == 0.0, 1.0, 0.0))
-    Dinv = jnp.linalg.inv(Dm)
+    from frontistr_tpu.fem.isoparam import det_inv_small
+    if ndof == 1:
+        Dinv = 1.0 / Dm
+    elif ndof in (2, 3):
+        _, Dinv = det_inv_small(Dm)
+    else:
+        from frontistr_tpu.utils.linalg import gauss_jordan_inv
+        Dinv = gauss_jordan_inv(Dm)
 
     def apply(r):
         rn = r.reshape(n_node, ndof)

@@ -14,6 +14,42 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def det_inv_small(J: jnp.ndarray):
+    """Closed-form determinant + inverse for batched 2x2 / 3x3 matrices.
+
+    TPU has no f64 LU decomposition; cofactor expansion is both supported
+    and faster (pure VPU ops, no lane-serial factorization).
+    """
+    d = J.shape[-1]
+    if d == 2:
+        a, b = J[..., 0, 0], J[..., 0, 1]
+        c, e = J[..., 1, 0], J[..., 1, 1]
+        det = a * e - b * c
+        inv_det = 1.0 / det
+        inv = jnp.stack([
+            jnp.stack([e, -b], -1),
+            jnp.stack([-c, a], -1),
+        ], -2) * inv_det[..., None, None]
+        return det, inv
+    if d == 3:
+        a00, a01, a02 = J[..., 0, 0], J[..., 0, 1], J[..., 0, 2]
+        a10, a11, a12 = J[..., 1, 0], J[..., 1, 1], J[..., 1, 2]
+        a20, a21, a22 = J[..., 2, 0], J[..., 2, 1], J[..., 2, 2]
+        c00 = a11 * a22 - a12 * a21
+        c01 = a12 * a20 - a10 * a22
+        c02 = a10 * a21 - a11 * a20
+        det = a00 * c00 + a01 * c01 + a02 * c02
+        inv_det = 1.0 / det
+        inv = jnp.stack([
+            jnp.stack([c00, a02 * a21 - a01 * a22, a01 * a12 - a02 * a11], -1),
+            jnp.stack([c01, a00 * a22 - a02 * a20, a02 * a10 - a00 * a12], -1),
+            jnp.stack([c02, a01 * a20 - a00 * a21, a00 * a11 - a01 * a10], -1),
+        ], -2) * inv_det[..., None, None]
+        return det, inv
+    det = jnp.linalg.det(J)
+    return det, jnp.linalg.inv(J)
+
+
 def jacobians(dN: jnp.ndarray, coords_e: jnp.ndarray):
     """Per-quadrature-point Jacobians for a batch of elements.
 
@@ -27,8 +63,7 @@ def jacobians(dN: jnp.ndarray, coords_e: jnp.ndarray):
     """
     # J: (E, nq, dim, dim);  J[e,q,i,j] = sum_n dN[q,n,i] coords[e,n,j]
     J = jnp.einsum("qni,enj->eqij", dN, coords_e)
-    det = jnp.linalg.det(J)
-    Jinv = jnp.linalg.inv(J)
+    det, Jinv = det_inv_small(J)
     # gderiv[e,q,n,j] = sum_i dN[q,n,i] * Jinv[e,q,j,i]  (= dN @ J^{-T})
     gderiv = jnp.einsum("qni,eqji->eqnj", dN, Jinv)
     return det, gderiv

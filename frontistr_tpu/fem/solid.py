@@ -40,10 +40,11 @@ def stiffness_linear(table: ElementTable, coords_e: jnp.ndarray,
 
     Returns: (E, nn*dim, nn*dim) element stiffness.
     """
-    dN = jnp.asarray(table.dN)
+    dt = coords_e.dtype
+    dN = jnp.asarray(table.dN, dt)
     det, gderiv = jacobians(dN, coords_e)
-    S = jnp.asarray(_selector(table.dim))
-    w = jnp.asarray(table.weights)
+    S = jnp.asarray(_selector(table.dim), dt)
+    w = jnp.asarray(table.weights, dt)
     scale = thick if table.dim == 2 else 1.0
     E, nn, _ = coords_e.shape
     ndof = table.dim
@@ -127,12 +128,13 @@ def _hex8ic_gderivs(table: ElementTable, coords_e):
     with jax.ensure_compile_time_eval():
         dN0 = np.asarray(shape_deriv(361, np.zeros(3)))       # (8,3)
     # XJ0(i,j) = sum_n x_i dN0(n,j)  (reference getJacobian orientation)
-    XJ0 = jnp.einsum("eni,nj->eij", coords_e, jnp.asarray(dN0))
-    det0 = jnp.linalg.det(XJ0)
-    XJ0inv = jnp.linalg.inv(XJ0)
-    dN = jnp.asarray(table.dN)
+    from frontistr_tpu.fem.isoparam import det_inv_small
+    XJ0 = jnp.einsum("eni,nj->eij", coords_e,
+                     jnp.asarray(dN0, coords_e.dtype))
+    det0, XJ0inv = det_inv_small(XJ0)
+    dN = jnp.asarray(table.dN, coords_e.dtype)
     det, gderiv = jacobians(dN, coords_e)                     # (E,nq,8,3)
-    pts = jnp.asarray(table.points)                           # (nq,3)
+    pts = jnp.asarray(table.points, coords_e.dtype)           # (nq,3)
     # g_enh[e,q,k,j] = -2*pts[q,k] * XJ0inv[e,k,j] * det0[e] / det[e,q]
     g_enh = (-2.0 * pts[None, :, :, None] * XJ0inv[:, None, :, :]
              * (det0[:, None] / det)[..., None, None])
@@ -142,8 +144,8 @@ def _hex8ic_gderivs(table: ElementTable, coords_e):
 
 def _hex8ic_k_full(table: ElementTable, coords_e, D_e):
     det, g_full = _hex8ic_gderivs(table, coords_e)
-    S = jnp.asarray(strain_selector_3d())
-    w = jnp.asarray(table.weights)
+    S = jnp.asarray(strain_selector_3d(), coords_e.dtype)
+    w = jnp.asarray(table.weights, coords_e.dtype)
     E = coords_e.shape[0]
     m = 11 * 3
     k = jnp.zeros((E, m, m), coords_e.dtype)
@@ -159,10 +161,11 @@ def stiffness_hex8ic(table: ElementTable, coords_e, D_e):
     (STF_C3D8IC, static_LIB_3dIC.f90): K = Kdd - Kda Kaa^{-1} Kad."""
     k, _ = _hex8ic_k_full(table, coords_e, D_e)
     nd = 24
+    from frontistr_tpu.utils.linalg import gauss_jordan_inv
     Kdd = k[:, :nd, :nd]
     Kda = k[:, :nd, nd:]
     Kaa = k[:, nd:, nd:]
-    Kaa_inv = jnp.linalg.inv(Kaa)
+    Kaa_inv = gauss_jordan_inv(Kaa)
     return Kdd - jnp.einsum("eij,ejk,ekl->eil", Kda, Kaa_inv,
                             jnp.swapaxes(Kda, 1, 2))
 
@@ -173,12 +176,13 @@ def strains_at_gauss_hex8ic(table: ElementTable, coords_e, u_e, D_e):
     k, g_full = _hex8ic_k_full(table, coords_e, D_e)
     E, nn, dim = coords_e.shape
     nd = nn * dim
+    from frontistr_tpu.utils.linalg import gauss_jordan_inv
     u_flat = u_e.reshape(E, nd)
     Kad = k[:, nd:, :nd]
-    Kaa_inv = jnp.linalg.inv(k[:, nd:, nd:])
+    Kaa_inv = gauss_jordan_inv(k[:, nd:, nd:])
     a = -jnp.einsum("eij,ejk,ek->ei", Kaa_inv, Kad, u_flat)
     ua = jnp.concatenate([u_flat, a], axis=1)
-    S = jnp.asarray(strain_selector_3d())
+    S = jnp.asarray(strain_selector_3d(), coords_e.dtype)
     eps = []
     for q in range(table.nq):
         B = b_matrix(S, g_full[:, q])
@@ -208,10 +212,11 @@ def internal_force(table: ElementTable, coords_e, stress_e, thick: float = 1.0):
 
     stress_e: (E, nq, ns). Returns (E, nn*dim).
     """
-    dN = jnp.asarray(table.dN)
+    dt = coords_e.dtype
+    dN = jnp.asarray(table.dN, dt)
     det, gderiv = jacobians(dN, coords_e)
-    S = jnp.asarray(_selector(table.dim))
-    w = jnp.asarray(table.weights)
+    S = jnp.asarray(_selector(table.dim), dt)
+    w = jnp.asarray(table.weights, dt)
     scale = thick if table.dim == 2 else 1.0
     E, nn, dim = coords_e.shape
     qf = jnp.zeros((E, nn * dim), coords_e.dtype)
@@ -227,10 +232,11 @@ def lumped_mass(table: ElementTable, coords_e, rho_e, thick: float = 1.0):
 
     Returns (E, nn) nodal mass (same for each dof of the node).
     """
-    dN = jnp.asarray(table.dN)
-    N = jnp.asarray(table.N)
+    dt = coords_e.dtype
+    dN = jnp.asarray(table.dN, dt)
+    N = jnp.asarray(table.N, dt)
     det, _ = jacobians(dN, coords_e)
-    w = jnp.asarray(table.weights)
+    w = jnp.asarray(table.weights, dt)
     scale = thick if table.dim == 2 else 1.0
     # consistent mass row sums: m_a = sum_q wg rho N_a(q) * sum_b N_b(q)
     # with partition of unity sum_b N_b = 1 -> m_a = sum_q wg rho N_a
@@ -239,8 +245,9 @@ def lumped_mass(table: ElementTable, coords_e, rho_e, thick: float = 1.0):
 
 
 def volumes(table: ElementTable, coords_e, thick: float = 1.0):
-    dN = jnp.asarray(table.dN)
+    dt = coords_e.dtype
+    dN = jnp.asarray(table.dN, dt)
     det, _ = jacobians(dN, coords_e)
-    w = jnp.asarray(table.weights)
+    w = jnp.asarray(table.weights, dt)
     scale = thick if table.dim == 2 else 1.0
     return jnp.einsum("eq,q->e", det, w) * scale

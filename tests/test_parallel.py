@@ -1,0 +1,55 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+
+def test_sharded_step_matches_single_device():
+    import jax
+    import jax.numpy as jnp
+    from frontistr_tpu.meshgen import box_hex8
+    from frontistr_tpu.fem.material import elastic_D, D3
+    from frontistr_tpu.parallel.spmd import device_mesh, \
+        make_sharded_newton_step
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 8, "conftest should provide 8 virtual CPU devices"
+
+    mesh = box_hex8(4, 4, 8)
+    conn = mesh.blocks[0].conn
+    n_node = mesh.n_node
+    D1 = elastic_D(210e3, 0.3, D3)
+    fixed = (mesh.node_groups["X0"][:, None] * 3 +
+             np.arange(3)[None, :]).reshape(-1)
+    f = np.zeros(n_node * 3)
+    f[mesh.node_groups["X1"] * 3 + 2] = -1.0
+
+    def run(ndev):
+        jmesh = device_mesh(ndev)
+        step, info = make_sharded_newton_step(jmesh, 361, conn, n_node, 3,
+                                              D1, fixed, cg_iters=400,
+                                              tol=1e-10)
+        f_pad = np.zeros(info["n_tot"])
+        f_pad[:len(f)] = f
+        f_d = jax.device_put(jnp.asarray(f_pad), info["nd_sharding"])
+        coords_d = jax.device_put(jnp.asarray(mesh.coords),
+                                  info["replicated"])
+        u = np.asarray(step(coords_d, f_d))
+        return u[:n_node * 3]
+
+    u1 = run(1)
+    u8 = run(8)
+    np.testing.assert_allclose(u8, u1, rtol=1e-8, atol=1e-12)
+    assert np.abs(u1).max() > 0
+
+
+def test_graft_entry():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    u = np.asarray(fn(*args))
+    assert np.isfinite(u).all() and np.abs(u).max() > 0
+
+
+def test_graft_dryrun():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
