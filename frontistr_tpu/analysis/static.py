@@ -109,7 +109,12 @@ def recover_stress(model: StructModel, u_flat: np.ndarray):
                                                 jnp.asarray(b.D))
         else:
             eps = solid.strains_at_gauss(table, coords_e, u_e)  # (E,nq,ns)
-        sig = jnp.einsum("ekl,eql->eqk", jnp.asarray(b.D), eps)
+        eps_el = eps
+        if model.temperature is not None:
+            from frontistr_tpu.assembly.loads import thermal_strains
+            eps_el = eps - jnp.asarray(
+                thermal_strains(model, b, model.temperature))
+        sig = jnp.einsum("ekl,eql->eqk", jnp.asarray(b.D), eps_el)
         block_data.append(dict(etype=b.etype, conn=b.conn,
                                gauss_strain=np.asarray(eps),
                                gauss_stress=np.asarray(sig)))

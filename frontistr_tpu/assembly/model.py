@@ -103,6 +103,8 @@ class StructModel:
     fixed_vals: np.ndarray      # (nfix,)
     f_ext: np.ndarray           # (n_node*ndof,)
     nlgeom: bool = False
+    temperature: Optional[np.ndarray] = None   # (n_node,) current temp
+    reftemp: float = 0.0
 
     @property
     def n_dof_total(self) -> int:
@@ -223,5 +225,19 @@ def build_struct_model(mesh: Mesh, cfg: AnalysisConfig) -> StructModel:
     lgrp = set(step.load_groups) if step.load_groups else None
     f_ext = collect_cload(mesh, cfg.cloads, ndof, n_node, lgrp)
 
-    return StructModel(mesh, cfg, ndof, dim, n_node, coords, blocks,
-                       fixed_dofs, fixed_vals, f_ext, nlgeom=cfg.nlgeom)
+    model = StructModel(mesh, cfg, ndof, dim, n_node, coords, blocks,
+                        fixed_dofs, fixed_vals, f_ext, nlgeom=cfg.nlgeom,
+                        reftemp=cfg.reftemp)
+    if cfg.dloads:
+        from frontistr_tpu.assembly.loads import collect_dload
+        model.f_ext = model.f_ext + collect_dload(mesh, model, cfg.dloads,
+                                                  lgrp)
+    if cfg.temperatures:
+        from frontistr_tpu.assembly.loads import (collect_temperature,
+                                                  thermal_load)
+        T = collect_temperature(mesh, cfg.temperatures, n_node, cfg.reftemp,
+                                lgrp)
+        if T is not None:
+            model.temperature = T
+            model.f_ext = model.f_ext + thermal_load(model, T)
+    return model

@@ -48,13 +48,15 @@ def stiffness_linear(table: ElementTable, coords_e: jnp.ndarray,
     scale = thick if table.dim == 2 else 1.0
     E, nn, _ = coords_e.shape
     ndof = table.dim
-    k = jnp.zeros((E, nn * ndof, nn * ndof), coords_e.dtype)
-    for q in range(table.nq):
-        B = b_matrix(S, gderiv[:, q])                    # (E, ns, nn*ndof)
-        DB = jnp.einsum("ekl,elj->ekj", D_e, B)
-        wg = (w[q] * scale) * det[:, q]
-        k = k + jnp.einsum("eki,ekj,e->eij", B, DB, wg)
-    return k
+    ns = S.shape[0]
+    m = nn * ndof
+    # all-quadrature B, then one contraction over (q, ns): a rank nq*ns
+    # batched syrk on the MXU (avoids the q-unrolled accumulate pattern,
+    # which XLA lowers to a full (nq, E, m, m) broadcast -> OOM at 1M dof)
+    B = jnp.einsum("kdj,eqnj->eqknd", S, gderiv).reshape(E, table.nq, ns, m)
+    wdet = (w * scale)[None, :] * det                    # (E, nq)
+    DB = jnp.einsum("ekl,eqlj,eq->eqkj", D_e, B, wdet)
+    return jnp.einsum("eqki,eqkj->eij", B, DB)
 
 
 def stiffness_nlgeom(table: ElementTable, coords_e, u_e, D_e, stress_e,
@@ -148,11 +150,11 @@ def _hex8ic_k_full(table: ElementTable, coords_e, D_e):
     w = jnp.asarray(table.weights, coords_e.dtype)
     E = coords_e.shape[0]
     m = 11 * 3
-    k = jnp.zeros((E, m, m), coords_e.dtype)
-    for q in range(table.nq):
-        B = b_matrix(S, g_full[:, q])
-        DB = jnp.einsum("ekl,elj->ekj", D_e, B)
-        k = k + jnp.einsum("eki,ekj,e->eij", B, DB, w[q] * det[:, q])
+    B = jnp.einsum("kdj,eqnj->eqknd", S, g_full).reshape(
+        E, table.nq, 6, m)
+    wdet = w[None, :] * det
+    DB = jnp.einsum("ekl,eqlj,eq->eqkj", D_e, B, wdet)
+    k = jnp.einsum("eqki,eqkj->eij", B, DB)
     return k, g_full
 
 
@@ -195,16 +197,12 @@ def strains_at_gauss(table: ElementTable, coords_e, u_e):
 
     Returns (E, nq, ns).
     """
-    dN = jnp.asarray(table.dN)
+    dt = coords_e.dtype
+    dN = jnp.asarray(table.dN, dt)
     det, gderiv = jacobians(dN, coords_e)
-    S = jnp.asarray(_selector(table.dim))
-    E, nn, dim = coords_e.shape
-    u_flat = u_e.reshape(E, nn * dim)
-    eps = []
-    for q in range(table.nq):
-        B = b_matrix(S, gderiv[:, q])
-        eps.append(jnp.einsum("ekj,ej->ek", B, u_flat))
-    return jnp.stack(eps, axis=1)
+    S = jnp.asarray(_selector(table.dim), dt)
+    # eps[e,q,k] = S[k,d,j] gderiv[e,q,n,j] u[e,n,d]
+    return jnp.einsum("kdj,eqnj,end->eqk", S, gderiv, u_e)
 
 
 def internal_force(table: ElementTable, coords_e, stress_e, thick: float = 1.0):
@@ -219,12 +217,10 @@ def internal_force(table: ElementTable, coords_e, stress_e, thick: float = 1.0):
     w = jnp.asarray(table.weights, dt)
     scale = thick if table.dim == 2 else 1.0
     E, nn, dim = coords_e.shape
-    qf = jnp.zeros((E, nn * dim), coords_e.dtype)
-    for q in range(table.nq):
-        B = b_matrix(S, gderiv[:, q])
-        wg = (w[q] * scale) * det[:, q]
-        qf = qf + jnp.einsum("ekj,ek,e->ej", B, stress_e[:, q], wg)
-    return qf
+    wdet = (w * scale)[None, :] * det
+    # qf[e,(n,d)] = sum_qk wdet S[k,d,j] g[e,q,n,j] sig[e,q,k]
+    qf = jnp.einsum("kdj,eqnj,eqk,eq->end", S, gderiv, stress_e, wdet)
+    return qf.reshape(E, nn * dim)
 
 
 def lumped_mass(table: ElementTable, coords_e, rho_e, thick: float = 1.0):

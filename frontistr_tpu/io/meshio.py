@@ -406,6 +406,8 @@ def read_mesh(path: str) -> Mesh:
     for g, v in ngrp_raw.items():
         idx = [id2idx[int(n)] for n in v if int(n) in id2idx]
         ngroups[g] = np.unique(np.asarray(idx, dtype=np.int64))
+    # implicit whole-mesh group (fstr_setup_util group resolution)
+    ngroups.setdefault("ALL", np.arange(len(node_ids_a), dtype=np.int64))
 
     sgroups = {g: np.asarray(v, dtype=np.int64).reshape(-1, 2)
                for g, v in sgrp_raw.items()}

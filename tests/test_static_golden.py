@@ -52,19 +52,46 @@ def _compare(actual, correct, threshold=1.0e-4):
     return errs
 
 
-@requires_reference
-@pytest.mark.parametrize("model_name", MODELS_3D + MODELS_2D)
-def test_exa_golden(model_name):
+def _check_golden(workdir, model_name, cnt):
     from frontistr_tpu.io.logio import parse_log_summaries
-    cnt = "A300.cnt" if model_name in MODELS_3D else "A200.cnt"
-    if model_name == "A361":
-        cnt = "A361.cnt"
-    mesh, model, res = _run_model(os.path.join(EXA, model_name + ".msh"),
-                                  os.path.join(EXA, cnt))
+    mesh, model, res = _run_model(os.path.join(workdir, model_name + ".msh"),
+                                  os.path.join(workdir, cnt))
     assert res.relres < 1e-7, f"CG did not converge: {res.relres}"
-    golden = parse_log_summaries(os.path.join(EXA, model_name +
+    golden = parse_log_summaries(os.path.join(workdir, model_name +
                                               "_correct.log"))
     node, elem = _summaries(model, res)
     errs = _compare(node, golden["Node"])
     errs += [f"@Element {e}" for e in _compare(elem, golden["Element"])]
     assert not errs, f"{model_name}: " + "; ".join(errs)
+
+
+@requires_reference
+@pytest.mark.parametrize("model_name", MODELS_3D + MODELS_2D)
+def test_exa_golden(model_name):
+    cnt = "A300.cnt" if model_name in MODELS_3D else "A200.cnt"
+    if model_name == "A361":
+        cnt = "A361.cnt"
+    _check_golden(EXA, model_name, cnt)
+
+
+_ETYPES = ["231", "232", "241", "242", "341", "342", "351", "352",
+           "361", "362"]
+
+
+@requires_reference
+@pytest.mark.parametrize("suite,prefix", [
+    ("exB", "B"),   # face pressure DLOAD (P2/P3)
+    ("exC", "C"),   # body force BY/BZ
+    ("exD", "D"),   # GRAV
+    ("exE", "E"),   # CENT centrifugal
+    ("exF", "F"),   # thermal stress (!TEMPERATURE/!REFTEMP)
+])
+@pytest.mark.parametrize("et", _ETYPES)
+def test_dload_golden(suite, prefix, et):
+    d = os.path.join(REFERENCE, "examples", "static", suite)
+    name = prefix + et
+    if suite == "exB":
+        cnt = name + ".cnt"
+    else:
+        cnt = prefix + ("200.cnt" if int(et) < 300 else "300.cnt")
+    _check_golden(d, name, cnt)
