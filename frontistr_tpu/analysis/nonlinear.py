@@ -1,0 +1,565 @@
+"""Nonlinear static analysis: Newton-Raphson with load substepping.
+
+The TPU rebuild of FSTR_SOLVE_NLGEOM + fstr_Newton
+(fistr1/src/analysis/static/fstr_solve_NLGEOM.f90:28-253,
+fstr_solve_NonLinear.f90:29-167):
+
+- all per-gauss state (strain/stress/plastic) lives in a pytree of batched
+  arrays per element-type block (replacing the reference's
+  elements(:)%gausses(:) object graph, mechgauss.f90:13-31)
+- each Newton iteration runs two jitted programs per block: TANGENT
+  (batched element stiffness) and UPDATE (strain/stress integration +
+  internal force), then a constrained mixed-precision PCG
+- convergence: rres = |B|/|Q| < converg  OR  rxnrm = |du|/|Du| < converg
+  (fstr_solve_NonLinear.f90:110-135)
+- divergence triggers cutback: restore committed state, halve the substep
+  (fstr_solve_NLGEOM.f90:151-195, fstr_Cutback.f90)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frontistr_tpu.assembly import femop
+from frontistr_tpu.assembly.model import StructModel
+from frontistr_tpu.assembly import operators as old_ops
+from frontistr_tpu.elements.tables import get_table
+from frontistr_tpu.fem import material as mat
+from frontistr_tpu.fem import solid
+from frontistr_tpu.fem.isoparam import jacobians, strain_selector_3d, \
+    strain_selector_2d
+from frontistr_tpu.solver import cg as krylov
+from frontistr_tpu.solver.mixed import refined_cg
+from frontistr_tpu.analysis.static import StaticResult, _solve_policy
+from frontistr_tpu.post import nodal as postnodal
+
+
+def _sel(dim):
+    return strain_selector_3d() if dim == 3 else strain_selector_2d()
+
+
+def init_block_state(block, table):
+    E, nq = len(block.elem_ids), table.nq
+    ns = 6 if get_table(block.etype).dim == 3 else 4
+    z = jnp.zeros((E, nq, ns))
+    zs = jnp.zeros((E, nq))
+    return dict(strain=z, stress=z, strain_bak=z, stress_bak=z,
+                pstrain=zs, pstrain_new=zs,
+                yielded=jnp.zeros((E, nq), bool), back=z)
+
+
+def _plastic_params(m: mat.Material):
+    from frontistr_tpu.fem.plastic import PlasticParams
+    consts = m.plastic_consts
+    table = None
+    if m.hardening.upper() == "MULTILINEAR":
+        table = np.asarray(consts).reshape(-1, 2)
+        consts = table
+    return PlasticParams(m.youngs, m.poisson, m.hardening.upper(),
+                         np.asarray(consts).reshape(-1)
+                         if m.hardening.upper() != "MULTILINEAR"
+                         else np.asarray(consts).reshape(-1),
+                         table=table)
+
+
+class BlockPrograms:
+    """Jitted TANGENT / UPDATE programs for one element-type block."""
+
+    def __init__(self, model: StructModel, block):
+        self.block = block
+        self.table = get_table(block.etype)
+        self.dim = self.table.dim
+        self.ns = 6 if self.dim == 3 else 4
+        m = block.material
+        self.mtype = m.mtype
+        self.flag = m.nlgeom
+        self.coords_e = jnp.asarray(model.coords[block.conn])
+        self.D_e = jnp.asarray(block.D)
+        self.thick = block.thick
+        if self.mtype in (mat.HYPERELASTIC_NEOHOOKE,
+                          mat.HYPERELASTIC_MOONEYRIVLIN,
+                          mat.HYPERELASTIC_ARRUDABOYCE):
+            from frontistr_tpu.fem.hyper import make_hyper_fns
+            self.pk2, self.hyper_tangent = make_hyper_fns(
+                self.mtype, m.hyper_consts)
+        if self.mtype == mat.EPLASTIC:
+            self.pl = _plastic_params(m)
+
+        self._tangent = jax.jit(self._tangent_fn)
+        self._update = jax.jit(self._update_fn)
+
+    @property
+    def bbar(self):
+        return self.block.etype == 361 and self.block.formulation == "BBAR"
+
+    # ---------------- tangent (fstr_StiffMatrix / STF_C3) ----------------
+    def _tangent_fn(self, u_e, ddu_e, state):
+        table, flag = self.table, self.flag
+        total = u_e + ddu_e
+        if flag == mat.INFINITESIMAL:
+            D = self._material_D(state)
+            if self.block.etype == 361 and self.block.formulation == "IC":
+                return solid.stiffness_hex8ic(table, self.coords_e, D)
+            if self.bbar:
+                return solid.stiffness_nlgeom(
+                    table, self.coords_e, total, D, state["stress"],
+                    mat.INFINITESIMAL, thick=self.thick, bbar=True)
+            return solid.stiffness_linear(table, self.coords_e, D,
+                                          thick=self.thick)
+        D = self._material_D(state)
+        if flag == mat.UPDATELAG:
+            # D <- D - geomat(sigma) (STF_C3:117-120)
+            if D.ndim == 3:
+                D = D[:, None] - _geomat(state["stress"], self.ns)
+            else:
+                D = D - _geomat(state["stress"], self.ns)
+            stress = state["stress"]
+            return solid.stiffness_nlgeom(table, self.coords_e, total, D,
+                                          stress, mat.UPDATELAG,
+                                          thick=self.thick, bbar=self.bbar)
+        # TOTALLAG
+        stress = state["stress"]
+        return solid.stiffness_nlgeom(table, self.coords_e, total, D,
+                                      stress, mat.TOTALLAG, thick=self.thick,
+                                      bbar=self.bbar)
+
+    def _material_D(self, state):
+        if self.mtype == mat.ELASTIC:
+            return self.D_e
+        if self.mtype in (mat.HYPERELASTIC_NEOHOOKE,
+                          mat.HYPERELASTIC_MOONEYRIVLIN,
+                          mat.HYPERELASTIC_ARRUDABOYCE):
+            # tangent at current strain, per gauss point: (E, nq, 6, 6)
+            return self.hyper_tangent(state["strain"])
+        if self.mtype == mat.EPLASTIC:
+            from frontistr_tpu.fem.plastic import plastic_tangent
+            De = self.D_e[:, None, :, :] * jnp.ones(
+                (1, self.table.nq, 1, 1))
+            return plastic_tangent(self.pl, De, state["stress"],
+                                   state["pstrain_new"], state["back"],
+                                   state["yielded"])
+        return self.D_e
+
+    # ---------------- update (fstr_UpdateNewton / UPDATE_C3) -------------
+    def _update_fn(self, u_e, ddu_e, state):
+        table, flag = self.table, self.flag
+        dt = self.coords_e.dtype
+        total = u_e + ddu_e
+        if flag == mat.UPDATELAG:
+            elem = self.coords_e + u_e + 0.5 * ddu_e   # midpoint config
+            elem1 = self.coords_e + total
+            disp = ddu_e
+        else:
+            elem = self.coords_e
+            elem1 = None
+            disp = total
+        dN = jnp.asarray(table.dN, dt)
+        det, gderiv = jacobians(dN, elem)
+        S = jnp.asarray(_sel(self.dim), dt)
+        # displacement gradient at qps: (E, nq, dim, dim)
+        dudx = jnp.einsum("end,eqnj->eqdj", disp, gderiv)
+        # small-strain part (UPDATE_C3:131-139)
+        eps = jnp.einsum("kdj,eqdj->eqk", S, dudx)
+        g0 = None
+        if self.bbar:
+            # volumetric centroid correction (Update_C3D8Bbar:70-94,151-156)
+            g0 = solid.centroid_gderiv(table, elem)
+            dudx0 = jnp.einsum("end,enj->edj", disp, g0)
+            vol0 = jnp.trace(dudx0, axis1=-2, axis2=-1) / 3.0
+            dvol = vol0[:, None] - jnp.trace(dudx, axis1=-2,
+                                             axis2=-1) / 3.0
+            eps = eps.at[..., :3].add(dvol[..., None])
+
+        new_state = dict(state)
+        if flag == mat.TOTALLAG:
+            # Green-Lagrange quadratic terms (UPDATE_C3:154-168)
+            quad = jnp.einsum("kij,eqdi,eqdj->eqk", _glq(self.ns, dt),
+                              dudx, dudx)
+            eps = eps + quad
+            new_state["strain"] = eps
+            sig = self._stress_total(eps, state)
+            new_state["stress"] = sig
+        elif flag == mat.INFINITESIMAL:
+            new_state["strain"] = eps
+            sig = self._stress_total(eps, state)
+            new_state["stress"] = sig
+        else:  # UPDATELAG: incremental with Jaumann rotation
+            new_state["strain"] = state["strain_bak"] + eps
+            dsig = jnp.einsum("ekl,eql->eqk", self.D_e, eps)
+            rot = 0.5 * (dudx - jnp.swapaxes(dudx, -1, -2))
+            sig_b = _voigt_to_tensor(state["stress_bak"], self.dim)
+            dum = rot @ sig_b - sig_b @ rot
+            sig = state["stress_bak"] + dsig + _tensor_to_voigt(dum,
+                                                                self.ns)
+            new_state["stress"] = sig
+
+        if self.mtype == mat.EPLASTIC:
+            from frontistr_tpu.fem.plastic import return_mapping_mises
+            sig, p_new, yielded, back = return_mapping_mises(
+                self.pl, new_state["stress"], state["pstrain"],
+                state["back"])
+            new_state["stress"] = sig
+            new_state["pstrain_new"] = p_new
+            new_state["yielded"] = yielded
+            new_state["back"] = back
+
+        # internal force (UPDATE_C3 tail): B evaluated per flag
+        if flag == mat.TOTALLAG:
+            qf = _qf_totallag(table, S, gderiv, det, dudx,
+                              new_state["stress"], self.thick, self.dim)
+            if self.bbar:
+                qf = qf + _qf_bbar_extra(table, gderiv, g0, det,
+                                         new_state["stress"], self.thick)
+        elif flag == mat.UPDATELAG:
+            det1, gderiv1 = jacobians(dN, elem1)
+            qf = solid.internal_force(table, elem1, new_state["stress"],
+                                      thick=self.thick)
+            if self.bbar:
+                g01 = solid.centroid_gderiv(table, elem1)
+                qf = qf + _qf_bbar_extra(table, gderiv1, g01, det1,
+                                         new_state["stress"], self.thick)
+        else:
+            if self.bbar:
+                qf = solid.internal_force(table, self.coords_e,
+                                          new_state["stress"],
+                                          thick=self.thick)
+                qf = qf + _qf_bbar_extra(table, gderiv, g0, det,
+                                         new_state["stress"], self.thick)
+            elif self.block.etype == 361 and self.block.formulation == "IC":
+                # IC element: strains/stress already consistent; qf via
+                # condensed stiffness times displacement
+                ke = solid.stiffness_hex8ic(self.table, self.coords_e,
+                                            self.D_e)
+                E = ke.shape[0]
+                qf = jnp.einsum("eij,ej->ei", ke,
+                                disp.reshape(E, -1))
+            else:
+                qf = solid.internal_force(table, self.coords_e,
+                                          new_state["stress"],
+                                          thick=self.thick)
+        return new_state, qf
+
+    def _stress_total(self, eps, state):
+        """Stress from total strain (INFINITE / TOTALLAG arms)."""
+        if self.mtype in (mat.HYPERELASTIC_NEOHOOKE,
+                          mat.HYPERELASTIC_MOONEYRIVLIN,
+                          mat.HYPERELASTIC_ARRUDABOYCE):
+            return self.pk2(eps)
+        return jnp.einsum("ekl,eql->eqk", self.D_e, eps)
+
+    def tangent(self, u_e, ddu_e, state):
+        return self._tangent(u_e, ddu_e, state)
+
+    def update(self, u_e, ddu_e, state):
+        return self._update(u_e, ddu_e, state)
+
+
+def _glq(ns, dt):
+    """Selector for Green-Lagrange quadratic terms: E_k += 0.5*u_{d,i}u_{d,j}
+    with Voigt pairing identical to the linear selector."""
+    import numpy as np
+    if ns == 6:
+        S = strain_selector_3d()
+    else:
+        S = strain_selector_2d()
+    return jnp.asarray(0.5 * S, dt)
+
+
+def _geomat(stress, ns):
+    """GEOMAT_C3 (static_LIB_3d.f90): the UL material-matrix correction."""
+    s = stress
+    if ns != 6:
+        raise NotImplementedError("UL currently 3D only")
+    E, nq = s.shape[:2]
+    G = jnp.zeros((E, nq, 6, 6), s.dtype)
+    s11, s22, s33 = s[..., 0], s[..., 1], s[..., 2]
+    s12, s23, s31 = s[..., 3], s[..., 4], s[..., 5]
+    G = G.at[..., 0, 0].set(2 * s11)
+    G = G.at[..., 1, 1].set(2 * s22)
+    G = G.at[..., 2, 2].set(2 * s33)
+    G = G.at[..., 0, 3].set(s12); G = G.at[..., 3, 0].set(s12)
+    G = G.at[..., 1, 3].set(s12); G = G.at[..., 3, 1].set(s12)
+    G = G.at[..., 1, 4].set(s23); G = G.at[..., 4, 1].set(s23)
+    G = G.at[..., 2, 4].set(s23); G = G.at[..., 4, 2].set(s23)
+    G = G.at[..., 0, 5].set(s31); G = G.at[..., 5, 0].set(s31)
+    G = G.at[..., 2, 5].set(s31); G = G.at[..., 5, 2].set(s31)
+    G = G.at[..., 3, 3].set(0.5 * (s11 + s22))
+    G = G.at[..., 4, 4].set(0.5 * (s22 + s33))
+    G = G.at[..., 5, 5].set(0.5 * (s11 + s33))
+    G = G.at[..., 3, 4].set(0.5 * s31); G = G.at[..., 4, 3].set(0.5 * s31)
+    G = G.at[..., 4, 5].set(0.5 * s12); G = G.at[..., 5, 4].set(0.5 * s12)
+    G = G.at[..., 3, 5].set(0.5 * s23); G = G.at[..., 5, 3].set(0.5 * s23)
+    return G
+
+
+def _voigt_to_tensor(v, dim):
+    if dim == 3:
+        s11, s22, s33 = v[..., 0], v[..., 1], v[..., 2]
+        s12, s23, s31 = v[..., 3], v[..., 4], v[..., 5]
+        r0 = jnp.stack([s11, s12, s31], -1)
+        r1 = jnp.stack([s12, s22, s23], -1)
+        r2 = jnp.stack([s31, s23, s33], -1)
+        return jnp.stack([r0, r1, r2], -2)
+    s11, s22, s12 = v[..., 0], v[..., 1], v[..., 2]
+    r0 = jnp.stack([s11, s12], -1)
+    r1 = jnp.stack([s12, s22], -1)
+    return jnp.stack([r0, r1], -2)
+
+
+def _tensor_to_voigt(t, ns):
+    if ns == 6:
+        return jnp.stack([t[..., 0, 0], t[..., 1, 1], t[..., 2, 2],
+                          t[..., 0, 1], t[..., 1, 2], t[..., 2, 0]], -1)
+    out = jnp.stack([t[..., 0, 0], t[..., 1, 1], t[..., 0, 1]], -1)
+    pad = jnp.zeros(out.shape[:-1] + (1,), out.dtype)
+    return jnp.concatenate([out, pad], -1)
+
+
+def _qf_bbar_extra(table, gderiv, g0, det, stress, thick):
+    """B-bar internal-force correction: the modified rows add
+    (g0-g)/3 * tr(sigma) per direction column (Update_C3D8Bbar:261-276)."""
+    w = jnp.asarray(table.weights, det.dtype)
+    wdet = w[None, :] * det
+    trs = stress[..., 0] + stress[..., 1] + stress[..., 2]
+    corr = (g0[:, None] - gderiv) / 3.0                  # (E, nq, nn, dim)
+    E, _, nn, dim = corr.shape
+    out = jnp.einsum("eqnd,eq,eq->end", corr, trs, wdet)
+    return out.reshape(E, nn * dim)
+
+
+def _qf_totallag(table, S, gderiv, det, dudx, stress, thick, dim):
+    """qf = (B0+B1)^T S integrated on the reference config
+    (UPDATE_C3:252-297)."""
+    w = jnp.asarray(table.weights, det.dtype)
+    scale = thick if dim == 2 else 1.0
+    wdet = (w * scale)[None, :] * det
+    # B0^T sigma
+    qf0 = jnp.einsum("kdj,eqnj,eqk,eq->end", S, gderiv, stress, wdet)
+    # B1^T sigma: B1[k,(n,d)] = S[k,i,j] dudx[d,i] g[n,j] (sym in i<->j via S)
+    qf1 = jnp.einsum("kij,eqdi,eqnj,eqk,eq->end", S, dudx, gderiv, stress,
+                     wdet)
+    E, nn = gderiv.shape[0], gderiv.shape[2]
+    return (qf0 + qf1).reshape(E, nn * dim)
+
+
+@dataclasses.dataclass
+class NewtonStats:
+    substeps: int = 0
+    total_iters: int = 0
+    max_iters: int = 0
+    cutbacks: int = 0
+
+
+def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
+                         result_writer=None):
+    """Substep / Newton driver. Returns final StaticResult (+ history)."""
+    cfg = model.cfg
+    ndof = model.ndof
+    n = model.n_dof_total
+    u = jnp.zeros(n)
+    programs = [BlockPrograms(model, b) for b in model.blocks]
+    states = [init_block_state(b, p.table)
+              for b, p in zip(model.blocks, programs)]
+    u_fix_total = old_ops.full_fixed_vector(n, model.fixed_dofs,
+                                            model.fixed_vals)
+    inc, total_en = femop.build_incidence([b.conn for b in model.blocks],
+                                          model.n_node)
+    inc_j = jnp.asarray(inc)
+    free = jnp.asarray(old_ops.make_free_mask(n, model.fixed_dofs))
+    dofs_j = [jnp.asarray(b.dofs) for b in model.blocks]
+    nns = [b.conn.shape[1] for b in model.blocks]
+    f_total = jnp.asarray(model.f_ext)
+    stats = NewtonStats()
+    mixed = _solve_policy() == "mixed"
+    step_count = 0
+    result = None
+
+    for cstep, step in enumerate(cfg.steps, start=1):
+        lam_prev = 0.0
+        t_end = step.elapsetime
+        dt = step.initdt
+        t = 0.0
+        sub = 0
+        cb_count = 0
+        while t < t_end - 1e-12:
+            dt = min(dt, t_end - t)
+            lam2 = (t + dt) / t_end
+            lam1 = t / t_end
+            sub += 1
+            converged, du, new_states, iters = _newton_substep(
+                model, programs, states, u, f_total, free, u_fix_total,
+                lam1, lam2, step, inc_j, dofs_j, nns, total_en, mixed)
+            stats.total_iters += iters
+            stats.max_iters = max(stats.max_iters, iters)
+            if not converged:
+                cb_count += 1
+                stats.cutbacks += 1
+                if cb_count > 5 or dt <= step.mindt:
+                    raise RuntimeError(
+                        f"Newton failed to converge at step {cstep} "
+                        f"substep {sub} (dt={dt})")
+                dt = dt * 0.5   # cutback (fstr_solve_NLGEOM.f90:151-195)
+                sub -= 1
+                continue
+            cb_count = 0
+            t += dt
+            u = u + du
+            # commit state (fstr_UpdateState)
+            states = [_commit_state(s) for s in new_states]
+            stats.substeps += 1
+            step_count += 1
+            if log_path is not None:
+                result = _postprocess(model, programs, states, u)
+                _append_log(log_path, model, result, step_count)
+            if step.inc_type == "AUTO":
+                dt = min(dt * 1.5, step.maxdt)
+
+    if result is None:
+        result = _postprocess(model, programs, states, u)
+        if log_path is not None:
+            _append_log(log_path, model, result, max(step_count, 1))
+    result.iters = stats.total_iters
+    return result
+
+
+def _commit_state(s):
+    out = dict(s)
+    out["strain_bak"] = s["strain"]
+    out["stress_bak"] = s["stress"]
+    out["pstrain"] = s["pstrain_new"]
+    return out
+
+
+def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
+                    lam1, lam2, step, inc_j, dofs_j, nns, total_en, mixed):
+    n = model.n_dof_total
+    ndof = model.ndof
+    du = jnp.zeros(n)
+    # prescribed displacement increment for this substep (fstr_AddBC)
+    dufix = jnp.asarray(u_fix_total) * (lam2 - lam1)
+    gl = f_total * lam2
+    states_cur = states
+    conv = False
+    iters = 0
+    Q_cur = _qforce(model, programs, states_cur, u, du, inc_j, dofs_j,
+                    nns, total_en)
+    for it in range(1, step.max_iter + 1):
+        iters = it
+        kes = []
+        for p, s in zip(programs, states_cur):
+            u_e = u.reshape(model.n_node, ndof)[p.block.conn]
+            ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
+            kes.append(p.tangent(u_e, ddu_e, s))
+        op = femop.FEOperator(kes=kes, dofs=dofs_j, nns=nns, inc=inc_j,
+                              total_en=total_en, n_node=model.n_node,
+                              ndof=ndof, free_mask=free)
+        # residual with current state
+        B = gl - Q_cur
+        dirichlet_inc = dufix if it == 1 else jnp.zeros_like(dufix)
+        b_c = (B - op.matvec(dirichlet_inc)) * free + dirichlet_inc * \
+            (1.0 - free)
+        if mixed:
+            op32 = op.astype(jnp.float32)
+            res = refined_cg(op.apply_constrained, op32.apply_constrained,
+                             op32.block_jacobi(), b_c,
+                             tol=model.cfg.solver.resid, inner_tol=1e-6,
+                             maxiter=model.cfg.solver.nier, max_passes=2)
+        else:
+            res = krylov.solve(model.cfg.solver.method,
+                               op.apply_constrained, b_c,
+                               M=op.block_jacobi(),
+                               tol=model.cfg.solver.resid,
+                               maxiter=model.cfg.solver.nier)
+        dx = res.x
+        du = du + dx
+        # stress/state update + internal force (one pass per block)
+        new_states = []
+        flats = []
+        for p, s in zip(programs, states_cur):
+            u_e = u.reshape(model.n_node, ndof)[p.block.conn]
+            ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
+            ns_, qf = p.update(u_e, ddu_e, s)
+            new_states.append(ns_)
+            flats.append(qf.reshape(-1))
+        states_cur = new_states
+        flats.append(jnp.zeros(ndof))
+        flat = jnp.concatenate(flats)
+        idx = inc_j[:, :, None] * ndof + jnp.arange(ndof)[None, None, :]
+        Q = flat[idx].sum(axis=1).reshape(-1)
+        Q_cur = Q
+        Bres = (gl - Q) * free
+        res_n = float(jnp.sqrt(jnp.vdot(Bres, Bres)))
+        qnrm = float(jnp.sqrt(jnp.vdot(Q, Q)))
+        if qnrm < 1e-8:
+            qnrm = 1.0
+        xnrm = float(jnp.sqrt(jnp.vdot(dx, dx)))
+        dunrm = xnrm if it == 1 else float(jnp.sqrt(jnp.vdot(du, du)))
+        rres = res_n / qnrm
+        rxnrm = xnrm / max(dunrm, 1e-300)
+        if not model.nlgeom and _all_linear(programs):
+            conv = True
+            break
+        if rres < step.converg or rxnrm < step.converg:
+            conv = True
+            break
+        if rres > step.maxres:
+            return False, du, states_cur, iters
+    if not conv:
+        return False, du, states_cur, iters
+    return True, du, states_cur, iters
+
+
+def _all_linear(programs):
+    return all(p.flag == mat.INFINITESIMAL and p.mtype == mat.ELASTIC
+               for p in programs)
+
+
+def _qforce(model, programs, states, u, du, inc_j, dofs_j, nns, total_en):
+    """Assemble global internal force QFORCE from per-block updates."""
+    ndof = model.ndof
+    flats = []
+    for p, s in zip(programs, states):
+        u_e = u.reshape(model.n_node, ndof)[p.block.conn]
+        ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
+        _, qf = p.update(u_e, ddu_e, s)
+        flats.append(qf.reshape(-1))
+    flats.append(jnp.zeros(ndof))
+    flat = jnp.concatenate(flats)
+    idx = inc_j[:, :, None] * ndof + jnp.arange(ndof)[None, None, :]
+    return flat[idx].sum(axis=1).reshape(-1)
+
+
+def _postprocess(model, programs, states, u):
+    un = np.asarray(u).reshape(model.n_node, model.ndof)
+    ns_out = 6 if model.dim == 3 else 3
+    block_data = []
+    for p, s in zip(programs, states):
+        block_data.append(dict(etype=p.block.etype, conn=p.block.conn,
+                               gauss_strain=np.asarray(s["strain"]),
+                               gauss_stress=np.asarray(s["stress"])))
+    sm = postnodal.smooth(model.n_node, block_data, model.dim)
+    elem_ids = np.concatenate([b.elem_ids for b in model.blocks])
+    return StaticResult(
+        u=un, nodal_strain=sm["strain"], nodal_stress=sm["stress"],
+        nodal_mises=sm["mises"], node_count=sm["count"],
+        elem_strain=np.concatenate(sm["estrain"]),
+        elem_stress=np.concatenate(sm["estress"]),
+        elem_mises=np.concatenate(sm["emises"]),
+        elem_ids=elem_ids, iters=0, relres=0.0)
+
+
+def _append_log(log_path, model, result, step_no):
+    import os
+    from frontistr_tpu.io import logio
+    logio.write_static_log(
+        log_path, step_no, model.dim, result.u, result.nodal_strain,
+        result.nodal_stress, result.nodal_mises, result.elem_strain,
+        result.elem_stress, result.elem_mises, model.mesh.node_ids,
+        result.elem_ids, append=os.path.exists(log_path) and step_no > 1,
+        node_count=result.node_count)

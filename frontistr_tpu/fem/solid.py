@@ -27,6 +27,29 @@ def _selector(dim: int):
     return strain_selector_3d() if dim == 3 else strain_selector_2d()
 
 
+# Element-batch chunk size: bounds the B/DB temporaries regardless of XLA's
+# fusion choices (v5e HBM is 16GB; 64k hex8 chunks peak at ~300MB f32).
+import os as _os
+CHUNK = int(_os.environ.get("FRONTISTR_TPU_CHUNK", "65536"))
+
+
+def _chunked(fn, *arrays, chunk: int = None):
+    """Apply fn over the element axis in fixed-size chunks via lax.map.
+
+    fn must map (chunk, ...) arrays -> a single (chunk, ...) array.
+    """
+    c = chunk or CHUNK
+    E = arrays[0].shape[0]
+    if E <= c:
+        return fn(*arrays)
+    pad = (-E) % c
+    padded = [jnp.concatenate([a, jnp.broadcast_to(
+        a[:1], (pad,) + a.shape[1:])]) if pad else a for a in arrays]
+    stacked = [a.reshape(-1, c, *a.shape[1:]) for a in padded]
+    out = jax.lax.map(lambda xs: fn(*xs), tuple(stacked))
+    return out.reshape(-1, *out.shape[2:])[:E]
+
+
 def stiffness_linear(table: ElementTable, coords_e: jnp.ndarray,
                      D_e: jnp.ndarray, thick: float = 1.0) -> jnp.ndarray:
     """Small-strain elastic stiffness for a block of elements.
@@ -40,6 +63,9 @@ def stiffness_linear(table: ElementTable, coords_e: jnp.ndarray,
 
     Returns: (E, nn*dim, nn*dim) element stiffness.
     """
+    if coords_e.shape[0] > CHUNK:
+        return _chunked(lambda c, D: stiffness_linear(table, c, D, thick),
+                        coords_e, D_e)
     dt = coords_e.dtype
     dN = jnp.asarray(table.dN, dt)
     det, gderiv = jacobians(dN, coords_e)
@@ -50,19 +76,50 @@ def stiffness_linear(table: ElementTable, coords_e: jnp.ndarray,
     ndof = table.dim
     ns = S.shape[0]
     m = nn * ndof
-    # all-quadrature B, then one contraction over (q, ns): a rank nq*ns
-    # batched syrk on the MXU (avoids the q-unrolled accumulate pattern,
-    # which XLA lowers to a full (nq, E, m, m) broadcast -> OOM at 1M dof)
-    B = jnp.einsum("kdj,eqnj->eqknd", S, gderiv).reshape(E, table.nq, ns, m)
+    nq = table.nq
+    # all-quadrature B, then two batched GEMMs (pure MXU work; avoids both
+    # the q-unrolled accumulation and per-q broadcast of D, each of which
+    # XLA materialized as a multi-GB temp at 1M dof)
+    B = jnp.einsum("kdj,eqnj->eqknd", S, gderiv).reshape(E, nq, ns, m)
+    # DB[e,q,k,j] = D[e,k,l] B[e,q,l,j]  as (E, ns, nq*m) batched matmul
+    B2 = jnp.swapaxes(B, 1, 2).reshape(E, ns, nq * m)
+    DB = jnp.matmul(D_e, B2, preferred_element_type=dt)
+    DB = jnp.swapaxes(DB.reshape(E, ns, nq, m), 1, 2)    # (E, nq, ns, m)
     wdet = (w * scale)[None, :] * det                    # (E, nq)
-    DB = jnp.einsum("ekl,eqlj,eq->eqkj", D_e, B, wdet)
-    return jnp.einsum("eqki,eqkj->eij", B, DB)
+    DB = DB * wdet[:, :, None, None]
+    # k[e,i,j] = sum_{q,k} B[e,q,k,i] DB[e,q,k,j]: (E, m, nq*ns)x(E, nq*ns, m)
+    Bt = B.reshape(E, nq * ns, m)
+    DBt = DB.reshape(E, nq * ns, m)
+    return jnp.matmul(jnp.swapaxes(Bt, 1, 2), DBt,
+                      preferred_element_type=dt)
+
+
+def centroid_gderiv(table: ElementTable, elem):
+    """Global derivs at the element centroid (B-bar dilatation reference,
+    STF_C3D8Bbar, static_LIB_C3D8.f90)."""
+    from frontistr_tpu.elements.tables import shape_deriv
+    import numpy as np
+    with jax.ensure_compile_time_eval():
+        dN0 = np.asarray(shape_deriv(table.etype,
+                                     np.zeros(table.dim)))
+    det0, g0 = jacobians(jnp.asarray(dN0, elem.dtype)[None], elem)
+    return g0[:, 0]                                       # (E, nn, dim)
+
+
+def _bbar_correction(S_like, g, g0):
+    """Row-1..3 B-matrix correction: +(g0 - g)/3 on every direction column
+    (STF_C3D8Bbar B4/B6/B8 terms). Returns (E, 3, nn*dim) to add to B."""
+    E, nn, dim = g.shape
+    corr = (g0 - g) / 3.0                                  # (E, nn, dim)
+    rows = jnp.broadcast_to(corr[:, None, :, :], (E, 3, nn, dim))
+    return rows.reshape(E, 3, nn * dim)
 
 
 def stiffness_nlgeom(table: ElementTable, coords_e, u_e, D_e, stress_e,
-                     flag: int, thick: float = 1.0):
+                     flag: int, thick: float = 1.0, bbar: bool = False):
     """Tangent stiffness with geometric terms (STF_C3 TOTALLAG/UPDATELAG arms,
-    static_LIB_3d.f90:137-204).
+    static_LIB_3d.f90:137-204; bbar=True adds the volumetric centroid
+    correction of STF_C3D8Bbar).
 
     Args:
       u_e: (E, nn, dim) total displacement at element nodes.
@@ -70,11 +127,12 @@ def stiffness_nlgeom(table: ElementTable, coords_e, u_e, D_e, stress_e,
       flag: 1 TOTALLAG, 2 UPDATELAG.
     """
     from frontistr_tpu.fem.material import TOTALLAG, UPDATELAG
-    dN = jnp.asarray(table.dN)
+    dN = jnp.asarray(table.dN, coords_e.dtype)
     elem = coords_e + u_e if flag == UPDATELAG else coords_e
     det, gderiv = jacobians(dN, elem)
-    S = jnp.asarray(_selector(table.dim))
-    w = jnp.asarray(table.weights)
+    g0 = centroid_gderiv(table, elem) if bbar else None
+    S = jnp.asarray(_selector(table.dim), coords_e.dtype)
+    w = jnp.asarray(table.weights, coords_e.dtype)
     scale = thick if table.dim == 2 else 1.0
     E, nn, dim = coords_e.shape
     ndof = dim
@@ -83,6 +141,8 @@ def stiffness_nlgeom(table: ElementTable, coords_e, u_e, D_e, stress_e,
         g = gderiv[:, q]                                  # (E, nn, dim)
         wg = (w[q] * scale) * det[:, q]
         B = b_matrix(S, g)
+        if bbar:
+            B = B.at[:, :3, :].add(_bbar_correction(S, g, g0))
         if flag == TOTALLAG:
             # BL1 (static_LIB_3d.f90:137-167):
             # B1[k, (n,d)] = sum_{ij} S[k,i,j] * dudx[d,i] * g[n,j]
@@ -94,12 +154,14 @@ def stiffness_nlgeom(table: ElementTable, coords_e, u_e, D_e, stress_e,
         k = k + jnp.einsum("eki,ekj,e->eij", B, DB, wg)
         # geometric (initial stress) stiffness: kg[(a,i),(b,j)] =
         #   delta_ij * g[a,:]^T sigma g[b,:]  (BN^T Smat BN form,
-        #   static_LIB_3d.f90:176-203)
-        sig = stress_e[:, q]
-        Sm = _stress_tensor(sig, dim)
-        gsg = jnp.einsum("eak,ekl,ebl,e->eab", g, Sm, g, wg)
-        kg = jnp.einsum("eab,ij->eaibj", gsg, jnp.eye(dim, dtype=k.dtype))
-        k = k + kg.reshape(E, nn * ndof, nn * ndof)
+        #   static_LIB_3d.f90:176-203); TL/UL only
+        if flag in (TOTALLAG, UPDATELAG):
+            sig = stress_e[:, q]
+            Sm = _stress_tensor(sig, dim)
+            gsg = jnp.einsum("eak,ekl,ebl,e->eab", g, Sm, g, wg)
+            kg = jnp.einsum("eab,ij->eaibj", gsg,
+                            jnp.eye(dim, dtype=k.dtype))
+            k = k + kg.reshape(E, nn * ndof, nn * ndof)
     return k
 
 

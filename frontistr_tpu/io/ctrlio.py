@@ -271,6 +271,11 @@ def read_cnt(path: str) -> AnalysisConfig:
                 cfg.solution_type = "NLSTATIC"
         elif n == "NONLINEAR_SOLVER":
             pass
+        elif n == "STATIC":
+            # v1-format "!STATIC, TYPE=NLGEOM" (fstr_ctrl_static.f90)
+            if (c.param("TYPE") or "").upper() == "NLGEOM":
+                cfg.nlgeom = True
+                cfg.solution_type = "NLSTATIC"
         elif n == "SOLVER":
             sv = cfg.solver
             sv.method = (c.param("METHOD") or "CG").upper()
