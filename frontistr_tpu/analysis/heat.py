@@ -1,0 +1,446 @@
+"""Heat conduction analysis (steady + transient).
+
+TPU rebuild of the NDOF=1 heat stack (fistr1/src/analysis/heat/):
+  - temperature-dependent conductivity/capacity via piecewise-linear tables
+    (heat_init.f90:196-231 funcA/funcB construction == jnp.interp with end
+    clamping)
+  - batched conductance matrices  k_e = int kappa(T) grad N . grad N dV
+    (heat_LIB_THERMAL.f90 heat_THERMAL_<etype>)
+  - lumped capacity (heat_LIB_CAPACITY.f90)
+  - boundary conditions: !FIXTEMP (Dirichlet), !CFLUX (point), !DFLUX
+    (S0..S6 face flux / BF body generation, heat_LIB_DFLUX.f90), !FILM
+    (K += int h N N^T, f += int h Tamb N, heat_LIB_FILM.f90), !RADIATE
+    (exact quartic factorization RRR=(T1+T2)(T1^2+T2^2)RR,
+    heat_LIB_RADIATE.f90:95-107)
+  - steady fixed-point loop on ||T_new - T_old||_2 <= eps
+    (heat_solve_SS.f90) and transient backward Euler with fixed/adaptive dt
+    (heat_solve_TRAN.f90)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frontistr_tpu.assembly import femop
+from frontistr_tpu.assembly.loads import FACE_TABLES
+from frontistr_tpu.elements.tables import get_table, ETYPE_INFO
+from frontistr_tpu.fem.isoparam import jacobians
+from frontistr_tpu.io.ctrlio import AnalysisConfig
+from frontistr_tpu.io.meshio import Mesh
+from frontistr_tpu.solver import cg as krylov
+
+
+@dataclasses.dataclass
+class HeatBlock:
+    etype: int
+    elem_ids: np.ndarray
+    conn: np.ndarray
+    thick: float
+    cond_table: np.ndarray      # (n, 2) (value, temp) rows
+    rho_table: np.ndarray
+    cp_table: np.ndarray
+
+
+@dataclasses.dataclass
+class HeatModel:
+    mesh: Mesh
+    cfg: AnalysisConfig
+    n_node: int
+    coords: np.ndarray
+    dim: int
+    blocks: List[HeatBlock]
+    fixtemp_nodes: np.ndarray
+    fixtemp_vals: np.ndarray
+    f_const: np.ndarray                       # CFLUX + DFLUX contributions
+    films: List[tuple]                        # (block_idx, elem_sel, face, h, sink)
+    radiates: List[tuple]                     # (block_idx, elem_sel, face, rr, sink)
+    zero_temp: float = 0.0
+
+
+def _mat_table(md, item, default=0.0):
+    rows = md.items.get(item) if md else None
+    if not rows:
+        return np.asarray([[default, 0.0]])
+    out = []
+    for r in rows:
+        v = r[0]
+        t = r[1] if len(r) > 1 else 0.0
+        out.append([v, t])
+    return np.asarray(out)
+
+
+def _interp(table: np.ndarray, T):
+    """Piecewise linear in temperature, clamped at ends (heat_init funcA/B)."""
+    vals = jnp.asarray(table[:, 0])
+    temps = jnp.asarray(table[:, 1])
+    if table.shape[0] == 1:
+        return jnp.full_like(T, float(table[0, 0]))
+    return jnp.interp(T, temps, vals)
+
+
+def build_heat_model(mesh: Mesh, cfg: AnalysisConfig) -> HeatModel:
+    blocks = []
+    dim = max(ETYPE_INFO[b.etype][0] for b in mesh.blocks
+              if b.etype in ETYPE_INFO)
+    for b in mesh.blocks:
+        if b.etype not in ETYPE_INFO:
+            continue
+        sec = mesh.sections[b.section_id] if mesh.sections else None
+        md = mesh.materials.get(sec.material) if sec else None
+        thick = sec.values[0] if sec and sec.values else 1.0
+        blocks.append(HeatBlock(
+            b.etype, b.elem_ids, b.conn, thick,
+            cond_table=_mat_table(md, 3),
+            rho_table=_mat_table(md, 1),
+            cp_table=_mat_table(md, 2)))
+
+    n_node = mesh.n_node
+    # FIXTEMP
+    fnodes, fvals = [], []
+    for c in cfg.fixtemps:
+        for row in c.data:
+            grp, val = row[0], float(row[1]) if len(row) > 1 else 0.0
+            if grp in mesh.node_groups:
+                idx = mesh.node_groups[grp]
+            else:
+                try:
+                    idx = np.asarray([mesh.id2idx[int(grp)]])
+                except (ValueError, KeyError):
+                    continue
+            fnodes.append(idx)
+            fvals.append(np.full(len(idx), val))
+    fixtemp_nodes = (np.concatenate(fnodes) if fnodes
+                     else np.zeros(0, np.int64))
+    fixtemp_vals = np.concatenate(fvals) if fvals else np.zeros(0)
+
+    # constant flux loads
+    f = np.zeros(n_node)
+    for c in cfg.cfluxes:
+        for row in c.data:
+            grp, val = row[0], float(row[1])
+            if grp in mesh.node_groups:
+                f[mesh.node_groups[grp]] += val
+            else:
+                try:
+                    f[mesh.id2idx[int(grp)]] += val
+                except (ValueError, KeyError):
+                    pass
+
+    eid2loc = {}
+    for bi, b in enumerate(blocks):
+        for k, eid in enumerate(b.elem_ids):
+            eid2loc[int(eid)] = (bi, k)
+
+    def elems_of(grp):
+        eids = mesh.elem_groups.get(grp)
+        if eids is None:
+            try:
+                eids = np.asarray([int(grp)])
+            except ValueError:
+                return {}
+        by_block: Dict[int, List[int]] = {}
+        for eid in eids:
+            loc = eid2loc.get(int(eid))
+            if loc:
+                by_block.setdefault(loc[0], []).append(loc[1])
+        return by_block
+
+    coords = mesh.coords[:, :dim]
+    for c in cfg.dfluxes:
+        for row in c.data:
+            grp, ltype, val = row[0], row[1].upper(), float(row[2])
+            for bi, rows_ in elems_of(grp).items():
+                b = blocks[bi]
+                sel = np.asarray(rows_, np.int64)
+                if ltype == "BF":       # body heat generation
+                    t = get_table(b.etype)
+                    ce = coords[b.conn[sel]]
+                    J = np.einsum("qni,enj->eqij", t.dN, ce)
+                    det = np.abs(np.linalg.det(J))
+                    scale = b.thick if dim == 2 else 1.0
+                    vect = np.einsum("qn,eq,q->en", t.N, det * scale,
+                                     t.weights) * val
+                    np.add.at(f, b.conn[sel].reshape(-1), vect.reshape(-1))
+                elif ltype.startswith("S"):
+                    face = int(ltype[1:])
+                    if face == 0:
+                        continue
+                    vect, lnodes = _surface_integral_N(
+                        b, coords, sel, face, dim)
+                    np.add.at(f, b.conn[sel][:, lnodes].reshape(-1),
+                              (val * vect).reshape(-1))
+
+    films, radiates = [], []
+    for c in cfg.films:
+        for row in c.data:
+            grp, ltype = row[0], row[1].upper()
+            h, sink = float(row[2]), float(row[3]) if len(row) > 3 else 0.0
+            face = int(ltype[1:]) if ltype.startswith("F") else 1
+            for bi, rows_ in elems_of(grp).items():
+                films.append((bi, np.asarray(rows_, np.int64), face, h,
+                              sink))
+    for c in cfg.radiates:
+        for row in c.data:
+            grp, ltype = row[0], row[1].upper()
+            rr, sink = float(row[2]), float(row[3]) if len(row) > 3 else 0.0
+            face = int(ltype[1:]) if ltype.startswith("R") else 1
+            for bi, rows_ in elems_of(grp).items():
+                radiates.append((bi, np.asarray(rows_, np.int64), face, rr,
+                                 sink))
+
+    return HeatModel(mesh, cfg, n_node, coords, dim, blocks, fixtemp_nodes,
+                     fixtemp_vals, f, films, radiates,
+                     zero_temp=mesh.zero_temp)
+
+
+def _surface_integral_N(block, coords, sel, face, dim):
+    """int N dS over a face for selected elements: (Esel, nsur), lnodes."""
+    ftype, lnodes = FACE_TABLES[block.etype][face - 1]
+    ft = get_table(ftype)
+    fc = coords[block.conn[sel]][:, lnodes, :]
+    out = np.zeros((len(sel), len(lnodes)))
+    for q in range(ft.nq):
+        g = np.einsum("end,nf->edf", fc, ft.dN[q])
+        if dim == 3:
+            area = np.linalg.norm(np.cross(g[:, :, 0], g[:, :, 1]), axis=1)
+        else:
+            area = np.linalg.norm(g[:, :, 0], axis=1) * block.thick
+        out += ft.weights[q] * area[:, None] * ft.N[q][None, :]
+    return out, lnodes
+
+
+def conduct_ke(table, coords_e, T_e, cond_table, thick, dim):
+    """Batched conductance matrices with kappa(T) at gauss points."""
+    dt = coords_e.dtype
+    dN = jnp.asarray(table.dN, dt)
+    det, gderiv = jacobians(dN, coords_e)
+    det = jnp.abs(det)
+    N = jnp.asarray(table.N, dt)
+    w = jnp.asarray(table.weights, dt)
+    Tq = jnp.einsum("qn,en->eq", N, T_e)
+    kap = _interp(cond_table, Tq)                        # (E, nq)
+    scale = thick if dim == 2 else 1.0
+    wdet = (w * scale)[None, :] * det * kap
+    return jnp.einsum("eqnj,eqmj,eq->enm", gderiv, gderiv, wdet)
+
+
+def lumped_capacity(table, coords_e, T_e, rho_table, cp_table, thick, dim):
+    """Lumped capacity diag: int rho(T) c(T) N_i dV (heat_LIB_CAPACITY)."""
+    dt = coords_e.dtype
+    dN = jnp.asarray(table.dN, dt)
+    det, _ = jacobians(dN, coords_e)
+    det = jnp.abs(det)
+    N = jnp.asarray(table.N, dt)
+    w = jnp.asarray(table.weights, dt)
+    Tq = jnp.einsum("qn,en->eq", N, T_e)
+    rc = _interp(rho_table, Tq) * _interp(cp_table, Tq)
+    scale = thick if dim == 2 else 1.0
+    wdet = (w * scale)[None, :] * det * rc
+    return jnp.einsum("qn,eq->en", N, wdet)
+
+
+@dataclasses.dataclass
+class HeatResult:
+    T: np.ndarray
+    steps: int
+    iters: int
+    times: List[float]
+
+
+def _solve_heat_system(model, T, dt_inv_C=None, T_prev=None):
+    """One assembled solve K(T) T_new = f (+ transient capacity terms)."""
+    n = model.n_node
+    kes, dofs, nns, conns = [], [], [], []
+    for b in model.blocks:
+        table = get_table(b.etype)
+        coords_e = jnp.asarray(model.coords[b.conn])
+        T_e = T[jnp.asarray(b.conn)]
+        ke = conduct_ke(table, coords_e, T_e, b.cond_table, b.thick,
+                        model.dim)
+        kes.append(ke)
+        dofs.append(jnp.asarray(b.conn.astype(np.int32)))
+        nns.append(b.conn.shape[1])
+        conns.append(b.conn)
+    inc, total_en = femop.build_incidence(conns, n)
+    free = np.ones(n)
+    free[model.fixtemp_nodes] = 0.0
+    f = jnp.asarray(model.f_const)
+
+    # FILM / RADIATE surface terms (linearized at current T)
+    diag_extra = jnp.zeros(n)
+    for kind, entries in (("film", model.films), ("rad", model.radiates)):
+        for (bi, sel, face, coef, sink) in entries:
+            b = model.blocks[bi]
+            ftype, lnodes = FACE_TABLES[b.etype][face - 1]
+            ft = get_table(ftype)
+            fconn = b.conn[sel][:, lnodes]
+            fc = jnp.asarray(model.coords[b.conn[sel]][:, lnodes, :])
+            T_f = T[jnp.asarray(fconn)]
+            kmat, fvec = _surface_film_terms(
+                ft, fc, T_f, coef, sink, kind, model.zero_temp,
+                b.thick, model.dim)
+            # consistent surface matrix folded to rows (add to ke of the
+            # parent block is complex; use full matrix contribution via
+            # extra block)
+            kes.append(kmat)
+            dofs.append(jnp.asarray(fconn.astype(np.int32)))
+            nns.append(fconn.shape[1])
+            conns.append(fconn)
+            f = f.at[jnp.asarray(fconn).reshape(-1)].add(fvec.reshape(-1))
+    if len(conns) > len(model.blocks):
+        inc, total_en = femop.build_incidence(conns, n)
+
+    if dt_inv_C is not None:
+        f = f + dt_inv_C * T_prev
+
+    op = femop.FEOperator(kes=kes, dofs=dofs, nns=nns,
+                          inc=jnp.asarray(inc), total_en=total_en,
+                          n_node=n, ndof=1, free_mask=jnp.asarray(free))
+    u_fix = np.zeros(n)
+    u_fix[model.fixtemp_nodes] = model.fixtemp_vals
+    u_fix = jnp.asarray(u_fix)
+
+    def A(x):
+        y = op.matvec(x * op.free_mask)
+        if dt_inv_C is not None:
+            y = y + dt_inv_C * (x * op.free_mask)
+        return y * op.free_mask + x * (1.0 - op.free_mask)
+
+    y_fix = op.matvec(u_fix)
+    if dt_inv_C is not None:
+        y_fix = y_fix + dt_inv_C * u_fix
+    b_c = (f - y_fix) * op.free_mask + u_fix * (1.0 - op.free_mask)
+    D = op.diag_blocks().reshape(-1)
+    if dt_inv_C is not None:
+        D = D + dt_inv_C
+    D = D * op.free_mask ** 2
+    D = jnp.where(D == 0, 1.0, D)
+
+    def M(r):
+        return r / D
+
+    sv = model.cfg.solver
+    res = krylov.pcg(A, b_c, M=M, tol=sv.resid, maxiter=max(sv.nier, 2000))
+    return res.x
+
+
+def _surface_film_terms(ft, fc, T_f, coef, sink, kind, tzero, thick, dim):
+    """(Esel, nsur, nsur) surface matrix + (Esel, nsur) rhs for FILM/RADIATE."""
+    dt = fc.dtype
+    nsur = fc.shape[1]
+    E = fc.shape[0]
+    kmat = jnp.zeros((E, nsur, nsur), dt)
+    fvec = jnp.zeros((E, nsur), dt)
+    for q in range(ft.nq):
+        N = jnp.asarray(ft.N[q], dt)
+        dNq = jnp.asarray(ft.dN[q], dt)
+        g = jnp.einsum("end,nf->edf", fc, dNq)
+        if dim == 3:
+            area = jnp.linalg.norm(jnp.cross(g[:, :, 0], g[:, :, 1]),
+                                   axis=1)
+        else:
+            area = jnp.linalg.norm(g[:, :, 0], axis=1) * thick
+        if kind == "film":
+            cc = coef * jnp.ones_like(area)
+        else:
+            Tq = jnp.einsum("n,en->e", N, T_f)
+            t1 = Tq - tzero
+            t2 = sink - tzero
+            cc = coef * (t1 + t2) * (t1 * t1 + t2 * t2)
+        wa = ft.weights[q] * area * cc
+        kmat = kmat + wa[:, None, None] * (N[None, :, None] *
+                                           N[None, None, :])
+        fvec = fvec + wa[:, None] * N[None, :] * sink
+    return kmat, fvec
+
+
+def run_heat(mesh: Mesh, cfg: AnalysisConfig, workdir: str,
+             log_path: Optional[str] = None) -> HeatResult:
+    model = build_heat_model(mesh, cfg)
+    h = cfg.heat or __import__(
+        "frontistr_tpu.io.ctrlio", fromlist=["HeatConfig"]).HeatConfig()
+    n = model.n_node
+    T = jnp.zeros(n)
+    # initial condition
+    ic = mesh.initial_conditions.get("TEMPERATURE")
+    if ic is not None:
+        T = T.at[jnp.asarray(ic[:, 0].astype(np.int64))].set(
+            jnp.asarray(ic[:, 1]))
+    itmax = h.itmax if h else 20
+    eps = h.eps if h else 1.0e-6
+    total_iters = 0
+    times = []
+
+    transient = h is not None and h.fixed_dt > 0.0
+    if not transient:
+        # steady: fixed-point on temperature-dependent properties
+        # (heat_solve_SS.f90 loop)
+        for it in range(max(itmax, 1)):
+            T_new = _solve_heat_system(model, T)
+            chg = float(jnp.sqrt(jnp.sum((T_new - T) ** 2)))
+            T = T_new
+            total_iters += 1
+            if chg <= max(eps, 1e-12):
+                break
+        steps = 1
+        times = [0.0]
+        if log_path:
+            _write_heat_log(log_path, model, np.asarray(T), 1, 0.0)
+    else:
+        dt = h.fixed_dt
+        t_total = h.total_time
+        t = 0.0
+        steps = 0
+        first = True
+        while t < t_total - 1e-12:
+            dt_cur = min(dt, t_total - t)
+            # lumped capacity at current T
+            C = jnp.zeros(n)
+            for b in model.blocks:
+                table = get_table(b.etype)
+                coords_e = jnp.asarray(model.coords[b.conn])
+                T_e = T[jnp.asarray(b.conn)]
+                ce = lumped_capacity(table, coords_e, T_e, b.rho_table,
+                                     b.cp_table, b.thick, model.dim)
+                C = C.at[jnp.asarray(b.conn).reshape(-1)].add(
+                    ce.reshape(-1))
+            dt_inv_C = C / dt_cur
+            T_prev = T
+            for it in range(max(itmax, 1)):
+                T_new = _solve_heat_system(model, T, dt_inv_C, T_prev)
+                chg = float(jnp.sqrt(jnp.sum((T_new - T) ** 2)))
+                T = T_new
+                total_iters += 1
+                if chg <= max(eps, 1e-12):
+                    break
+            t += dt_cur
+            steps += 1
+            times.append(t)
+            if log_path:
+                _write_heat_log(log_path, model, np.asarray(T), steps, t,
+                                append=not first)
+                first = False
+
+    Tn = np.asarray(T)
+    return HeatResult(Tn, steps, total_iters, times)
+
+
+def _write_heat_log(path, model, T, istep, time_, append=False):
+    imax = int(np.argmax(T))
+    imin = int(np.argmin(T))
+    ids = model.mesh.node_ids
+    mode = "a" if append else "w"
+    with open(path, mode) as f:
+        if not append:
+            f.write(" fstr_setup: OK\n \n")
+        f.write(f" ISTEP ={istep:6d}\n")
+        f.write(f" Time  ={time_:10.3f}\n")
+        f.write(f" Maximum Temperature :{T[imax]:10.3f}\n")
+        f.write(f" Maximum Node No.    :{int(ids[imax]):10d}\n")
+        f.write(f" Minimum Temperature :{T[imin]:10.3f}\n")
+        f.write(f" Minimum Node No.    :{int(ids[imin]):10d}\n")

@@ -288,7 +288,10 @@ def _qp_line2():
 
 # etype -> (dim, nn, shape fn, quadrature fn)
 ETYPE_INFO = {
-    111: (1, 2, _sf_line2, _qp_line1),   # truss (reference maps 301->111)
+    # line2 uses the 2-point rule: exact for the int N_i N_j edge mass that
+    # FILM/RADIATE build (heat_LIB_FILM.f90 heat_FILM_231 uses 2-pt); all
+    # lower-degree integrals (truss stiffness, edge pressure) are unchanged
+    111: (1, 2, _sf_line2, _qp_line2),   # truss (reference maps 301->111)
     112: (1, 3, _sf_line3, _qp_line2),
     231: (2, 3, _sf_tri3, _qp_tri1),
     232: (2, 6, _sf_tri6, _qp_tri3),

@@ -23,7 +23,20 @@ _num_re = re.compile(r"[,\s]+")
 
 
 def _split(line: str) -> List[str]:
-    return [t for t in _num_re.split(line.strip().strip(",")) if t]
+    """Tokenize a data line.  Comma-separated decks are positional: empty
+    fields ("  ,,,,100") must be preserved (fstr_ctrl_util.c record
+    semantics), so split on commas keeping empties when present."""
+    s = line.strip()
+    if "," in s:
+        return [t.strip() for t in s.rstrip(",").split(",")]
+    return [t for t in s.split() if t]
+
+
+def _f(tok, default: float = 0.0) -> float:
+    try:
+        return float(tok)
+    except (TypeError, ValueError):
+        return default
 
 
 @dataclasses.dataclass
@@ -47,7 +60,7 @@ class Card:
         return key.upper() in self.params
 
     def rows_f(self) -> List[List[float]]:
-        return [[float(v) for v in row] for row in self.data]
+        return [[_f(v) for v in row] for row in self.data]
 
 
 @dataclasses.dataclass
@@ -285,18 +298,18 @@ def read_cnt(path: str) -> AnalysisConfig:
             sv.scaling = (c.param("SCALING", "NO").upper() == "YES")
             if c.data:
                 row = c.data[0]
-                sv.nier = int(float(row[0]))
+                sv.nier = int(_f(row[0], 10000))
                 if len(row) > 1:
-                    sv.iter_premax = int(float(row[1]))
+                    sv.iter_premax = int(_f(row[1], 1))
                 if len(row) > 2:
-                    sv.nrest = int(float(row[2]))
+                    sv.nrest = int(_f(row[2], 10))
             if len(c.data) > 1:
                 row = c.data[1]
-                sv.resid = float(row[0])
+                sv.resid = _f(row[0], 1.0e-8)
                 if len(row) > 1:
-                    sv.sigma_diag = float(row[1])
+                    sv.sigma_diag = _f(row[1], 1.0)
                 if len(row) > 2:
-                    sv.sigma = float(row[2])
+                    sv.sigma = _f(row[2])
         elif n in ("STEP", "ISTEP"):
             st = StepInfo()
             st.solution = (c.param("TYPE") or "STATIC").upper()
@@ -393,23 +406,23 @@ def read_cnt(path: str) -> AnalysisConfig:
         elif n == "RESTART":
             cfg.restart = c
         elif n == "HEAT":
+            # data fields: DT, ETIME, DTMIN, DELTMX, ITMAX, EPS
+            # (fstr_ctrl_get_HEAT 'rrrrir', fstr_ctrl_heat.f90)
             h = HeatConfig()
             if c.data:
-                row = [float(v) for v in c.data[0]]
+                row = c.data[0]
                 if len(row) > 0:
-                    h.fixed_dt = row[0]
+                    h.fixed_dt = _f(row[0])
                 if len(row) > 1:
-                    h.total_time = row[1]
+                    h.total_time = _f(row[1])
                 if len(row) > 2:
-                    h.dt_min = row[2]
+                    h.dt_min = _f(row[2])
                 if len(row) > 3:
-                    h.dt_max = row[3]
+                    h.deltmx = _f(row[3])
                 if len(row) > 4:
-                    h.deltmx = row[4]
+                    h.itmax = int(_f(row[4], 20.0))
                 if len(row) > 5:
-                    h.itmax = int(row[5])
-                if len(row) > 6:
-                    h.eps = row[6]
+                    h.eps = _f(row[5], 1.0e-6)
             h.timepoints = c.param("TIMEPOINTS", "")
             cfg.heat = h
         elif n == "FIXTEMP":
