@@ -73,15 +73,32 @@ def main():
 
     f64v = jnp.asarray(f)
 
+    free64 = jnp.asarray(free)
+    inc_j = jnp.asarray(inc)
+
+    def A64_matfree(x):
+        """f64 constrained operator, assemble-on-the-fly in chunks (no
+        stored f64 matrix: ke64 alone would cost ~6GB padded on TPU)."""
+        xm = x * free64
+
+        def chunk_fe(ce, De, de):
+            ke = solid.stiffness_linear(table, ce, De)
+            return jnp.einsum("eij,ej->ei", ke, xm[de])
+
+        ce_all = coords64[conn_j]
+        fe = solid._chunked(chunk_fe, ce_all, D64, dofs, chunk=32768)
+        flat = jnp.concatenate([fe.reshape(-1), jnp.zeros(3)])
+        idx = inc_j[:, :, None] * 3 + jnp.arange(3)[None, None, :]
+        y = flat[idx].sum(axis=1).reshape(-1)
+        return y * free64 + x * (1.0 - free64)
+
     @jax.jit
     def newton_step(coords32, coords64, fvec):
         ke32 = solid.stiffness_linear(_f32_table(table), coords32[conn_j],
                                       D32)
-        ke64 = solid.stiffness_linear(table, coords64[conn_j], D64)
         op32 = make_op(ke32, jnp.float32)
-        op64 = make_op(ke64, jnp.float64)
-        b = fvec * op64.free_mask
-        res = refined_cg(op64.apply_constrained, op32.apply_constrained,
+        b = fvec * free64
+        res = refined_cg(A64_matfree, op32.apply_constrained,
                          op32.block_jacobi(), b, tol=1e-8, inner_tol=1e-6,
                          maxiter=3000, max_passes=3)
         return res.x, res.iters, res.relres

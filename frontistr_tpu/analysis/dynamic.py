@@ -1,0 +1,376 @@
+"""Implicit (Newmark-beta) and explicit (central difference) dynamics.
+
+TPU rebuild of fistr1/src/analysis/dynamic/transit/:
+  implicit (fstr_dynamic_nlimplicit.f90:98-370):
+    a1=0.5/b-1, a2=1/(b dt), a3=1/(b dt^2), b1=(0.5 g/b-1)dt, b2=g/b-1,
+    b3=g/(b dt), c1=1+ray_k b3, c2=a3+ray_m b3
+    predictors VEC1=a1 ACC+a2 VEL, VEC2=b1 ACC+b2 VEL
+    Newton: B = F(t) - Q + M(VEC1 - a3 du + ray_m X) + ray_k K X,
+            K_eff = c1 K + c2 M;  res = sqrt(|B|^2/|B1|^2) < converg
+    post:   ACC' = -a1 ACC - a2 VEL + a3 du; VEL' = -b1 ACC - b2 VEL + b3 du
+  explicit (fstr_dynamic_nlexplicit.f90:95-296):
+    VEC1 = (1/dt^2 + ray_m/(2dt)) m;  u_{n+1} = B/VEC1 with
+    B = F - Q + 2/dt^2 m u_n + (-1/dt^2 + ray_m/(2dt)) m u_{n-1}
+Loads are scaled by !AMPLITUDE tables at t_curr (table_dyn.f90 semantics,
+clamped linear interpolation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frontistr_tpu.assembly import femop
+from frontistr_tpu.assembly import operators as old_ops
+from frontistr_tpu.assembly.model import StructModel, collect_cload
+from frontistr_tpu.elements.tables import get_table
+from frontistr_tpu.fem import solid
+from frontistr_tpu.analysis.nonlinear import BlockPrograms, init_block_state, \
+    _commit_state
+from frontistr_tpu.analysis.static import StaticResult, _solve_policy
+from frontistr_tpu.solver import cg as krylov
+from frontistr_tpu.solver.mixed import refined_cg
+from frontistr_tpu.post import nodal as postnodal
+
+
+def lumped_mass_vector(model: StructModel) -> np.ndarray:
+    """Global lumped mass per dof: HRZ diagonal scaling
+    m_i = (int rho N_i^2) * M_elem / sum_j (int rho N_j^2)
+    with high-order quadrature (setMASS kernels, eigen_LIB_3d*mass.f90 —
+    the 'ss(num)*(2*totmass-totdiag)/totdiag' scaling)."""
+    from frontistr_tpu.elements.quadhi import mass_tables
+    m = np.zeros(model.n_node)
+    for b in model.blocks:
+        N, dN, w = mass_tables(b.etype)
+        coords_e = model.coords[b.conn]
+        J = np.einsum("qni,enj->eqij", dN, coords_e)
+        det = np.abs(np.linalg.det(J))
+        scale = b.thick if model.dim == 2 else 1.0
+        rho = b.density[:, None]
+        wdet = w[None, :] * det * scale                  # (E, nq)
+        mii = np.einsum("qn,eq->en", N * N, wdet) * rho  # int rho N_i^2
+        total = wdet.sum(axis=1) * b.density             # element mass
+        diag_sum = mii.sum(axis=1)
+        me = mii * (total / np.where(diag_sum == 0, 1.0,
+                                     diag_sum))[:, None]
+        np.add.at(m, b.conn.reshape(-1), me.reshape(-1))
+    return np.repeat(m, model.ndof)
+
+
+def _amp_factory(mesh, cfg):
+    """name -> amp(t) callable (clamped linear interp over !AMPLITUDE)."""
+    def make(name):
+        a = mesh.amplitudes.get(name)
+        if a is None:
+            return lambda t: 1.0
+        tt, vv = np.asarray(a.time), np.asarray(a.value)
+        return lambda t: float(np.interp(t, tt, vv))
+    return make
+
+
+def _load_groups_with_amp(mesh, cfg, ndof, n_node):
+    """[(f_vector, amp_fn)] per CLOAD card group (DLOAD similar)."""
+    make = _amp_factory(mesh, cfg)
+    out = []
+    for c in cfg.cloads:
+        amp = make(c.param("AMP", ""))
+        f = collect_cload(mesh, [c], ndof, n_node)
+        out.append((f, amp))
+    if cfg.dloads:
+        from frontistr_tpu.assembly.loads import collect_dload
+        for c in cfg.dloads:
+            amp = make(c.param("AMP", ""))
+            out.append((None, amp, c))   # resolved later with model
+    return out
+
+
+@dataclasses.dataclass
+class DynamicResult:
+    u: np.ndarray
+    vel: np.ndarray
+    acc: np.ndarray
+    steps: int
+    monitors: Dict[str, np.ndarray]
+    final: Optional[StaticResult] = None
+
+
+def run_dynamic(model: StructModel, log_path: Optional[str] = None):
+    cfg = model.cfg
+    d = cfg.dynamic
+    if d is None:
+        raise ValueError("!DYNAMIC card missing")
+    if d.idx_eqa == 11:
+        return _run_explicit(model, log_path)
+    return _run_implicit(model, log_path)
+
+
+def _external_force(model, t, amp_loads):
+    f = np.zeros(model.n_dof_total)
+    for entry in amp_loads:
+        if entry[0] is not None:
+            f += entry[0] * entry[1](t)
+        else:
+            from frontistr_tpu.assembly.loads import collect_dload
+            _, amp, card = entry
+            f += collect_dload(model.mesh, model, [card]) * amp(t)
+    return f
+
+
+def _postprocess_dyn(model, programs, states, u, vel, acc):
+    from frontistr_tpu.analysis.nonlinear import _postprocess
+    res = _postprocess(model, programs, states, jnp.asarray(u))
+    return res
+
+
+def _run_implicit(model: StructModel, log_path):
+    cfg = model.cfg
+    d = cfg.dynamic
+    step = cfg.steps[0]
+    ndof = model.ndof
+    n = model.n_dof_total
+    dt = d.t_delta
+    beta, gamma = d.beta, d.gamma
+    a1 = 0.5 / beta - 1.0
+    a2 = 1.0 / (beta * dt)
+    a3 = 1.0 / (beta * dt * dt)
+    b1 = (0.5 * gamma / beta - 1.0) * dt
+    b2 = gamma / beta - 1.0
+    b3 = gamma / (beta * dt)
+    c1 = 1.0 + d.ray_k * b3
+    c2 = a3 + d.ray_m * b3
+
+    mass = jnp.asarray(lumped_mass_vector(model))
+    programs = [BlockPrograms(model, b) for b in model.blocks]
+    states = [init_block_state(b, p.table)
+              for b, p in zip(model.blocks, programs)]
+    inc, total_en = femop.build_incidence([b.conn for b in model.blocks],
+                                          model.n_node)
+    inc_j = jnp.asarray(inc)
+    dofs_j = [jnp.asarray(b.dofs) for b in model.blocks]
+    nns = [b.conn.shape[1] for b in model.blocks]
+    free = jnp.asarray(old_ops.make_free_mask(n, model.fixed_dofs))
+    amp_loads = _load_groups_with_amp(model.mesh, cfg, ndof, model.n_node)
+    make_amp = _amp_factory(model.mesh, cfg)
+    bc_amps = [make_amp(c.param("AMP", "")) for c in cfg.boundaries]
+
+    u = jnp.zeros(n)
+    vel = jnp.zeros(n)
+    acc = jnp.zeros(n)
+    mixed = _solve_policy() == "mixed"
+    result = None
+    from frontistr_tpu.fem.isoparam import det_inv_small
+
+    @jax.jit
+    def solve_eff(kes, B, dirichlet_inc):
+        """K_eff = c1 K + c2 M solve, compiled once for the whole run."""
+        op = femop.FEOperator(list(kes), dofs_j, nns, inc_j, total_en,
+                              model.n_node, ndof, free)
+
+        def A_raw(x):
+            return c1 * op.matvec(x) + c2 * mass * x
+
+        def A_eff(x):
+            y = A_raw(x * free)
+            return y * free + x * (1.0 - free)
+
+        b_c = (B - A_raw(dirichlet_inc)) * free + \
+            dirichlet_inc * (1.0 - free)
+        D = op.diag_blocks()
+        Dd = c1 * D + c2 * mass.reshape(model.n_node, ndof)[
+            :, :, None] * jnp.eye(ndof)[None]
+        fm = free.reshape(model.n_node, ndof)
+        Dd = Dd * (fm[:, :, None] * fm[:, None, :])
+        dd = Dd[:, jnp.arange(ndof), jnp.arange(ndof)]
+        Dd = Dd.at[:, jnp.arange(ndof), jnp.arange(ndof)].add(
+            jnp.where(dd == 0.0, jnp.ones_like(dd), jnp.zeros_like(dd)))
+        _, Dinv = det_inv_small(Dd)
+
+        def M(r):
+            return jnp.einsum("nij,nj->ni", Dinv,
+                              r.reshape(model.n_node, ndof)).reshape(-1)
+
+        return krylov.pcg(A_eff, b_c, M=M, tol=cfg.solver.resid,
+                          maxiter=cfg.solver.nier).x
+
+    @jax.jit
+    def matvec_k(kes, x):
+        op = femop.FEOperator(list(kes), dofs_j, nns, inc_j, total_en,
+                              model.n_node, ndof, free)
+        return op.matvec(x)
+
+    for i in range(1, d.n_step + 1):
+        t = dt * i
+        vec1 = a1 * acc + a2 * vel
+        vec2 = b1 * acc + b2 * vel
+        du = jnp.zeros(n)
+        f_ext = jnp.asarray(_external_force(model, t, amp_loads))
+        # prescribed displacement at t (total)
+        u_fix_t = old_ops.full_fixed_vector(
+            n, model.fixed_dofs, model.fixed_vals)
+        u_fix_t = jnp.asarray(u_fix_t)  # amp on BC assumed uniform here
+        resb = None
+        Q = _qforce_dyn(model, programs, states, u, du, inc_j, ndof)
+        for it in range(1, max(step.max_iter, 1) + 1):
+            kes = []
+            for p, s in zip(programs, states):
+                u_e = u.reshape(model.n_node, ndof)[p.block.conn]
+                ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
+                kes.append(p.tangent(u_e, ddu_e, s))
+            X_ray = vec2 - b3 * du
+            B = f_ext - Q + mass * (vec1 - a3 * du + d.ray_m * X_ray)
+            if d.ray_k != 0.0:
+                B = B + d.ray_k * matvec_k(tuple(kes), X_ray)
+
+            dirichlet_inc = (u_fix_t - u) if it == 1 else jnp.zeros(n)
+
+            bnorm = float(jnp.vdot(B * free, B * free))
+            if it == 1:
+                resb = max(bnorm, 1e-300)
+            res_rel = np.sqrt(bnorm / resb)
+            if it > 1 and res_rel < step.converg:
+                break
+
+            du = du + solve_eff(tuple(kes), B, dirichlet_inc)
+            new_states = []
+            flats = []
+            for p, s in zip(programs, states):
+                u_e = u.reshape(model.n_node, ndof)[p.block.conn]
+                ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
+                ns_, qf = p.update(u_e, ddu_e, s)
+                new_states.append(ns_)
+                flats.append(qf.reshape(-1))
+            states = new_states
+            flats.append(jnp.zeros(ndof))
+            flat = jnp.concatenate(flats)
+            idx = inc_j[:, :, None] * ndof + \
+                jnp.arange(ndof)[None, None, :]
+            Q = flat[idx].sum(axis=1).reshape(-1)
+        # Newmark velocity/acceleration update
+        acc_new = -a1 * acc - a2 * vel + a3 * du
+        vel_new = -b1 * acc - b2 * vel + b3 * du
+        acc, vel = acc_new, vel_new
+        u = u + du
+        states = [_commit_state(s) for s in states]
+
+    result = _finalize_dyn(model, programs, states, u, vel, acc, d.n_step,
+                           log_path)
+    return result
+
+
+def _qforce_dyn(model, programs, states, u, du, inc_j, ndof):
+    flats = []
+    for p, s in zip(programs, states):
+        u_e = u.reshape(model.n_node, ndof)[p.block.conn]
+        ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
+        _, qf = p.update(u_e, ddu_e, s)
+        flats.append(qf.reshape(-1))
+    flats.append(jnp.zeros(ndof))
+    flat = jnp.concatenate(flats)
+    idx = inc_j[:, :, None] * ndof + jnp.arange(ndof)[None, None, :]
+    return flat[idx].sum(axis=1).reshape(-1)
+
+
+def _run_explicit(model: StructModel, log_path):
+    cfg = model.cfg
+    d = cfg.dynamic
+    ndof = model.ndof
+    n = model.n_dof_total
+    dt = d.t_delta
+    a1 = 1.0 / (dt * dt)
+    a2 = 1.0 / (2.0 * dt)
+    mass = jnp.asarray(lumped_mass_vector(model))
+    vec1 = (a1 + a2 * d.ray_m) * mass
+    programs = [BlockPrograms(model, b) for b in model.blocks]
+    states = [init_block_state(b, p.table)
+              for b, p in zip(model.blocks, programs)]
+    inc, total_en = femop.build_incidence([b.conn for b in model.blocks],
+                                          model.n_node)
+    inc_j = jnp.asarray(inc)
+    free = jnp.asarray(old_ops.make_free_mask(n, model.fixed_dofs))
+    amp_loads = _load_groups_with_amp(model.mesh, cfg, ndof, model.n_node)
+
+    disp1 = jnp.zeros(n)          # u_n
+    disp3 = jnp.zeros(n)          # u_{n-1}
+    vel = jnp.zeros(n)
+    acc = jnp.zeros(n)
+    u = jnp.zeros(n)
+    vec1 = jnp.where(vec1 * free == 0.0, 1.0, vec1)
+    Q = jnp.zeros(n)
+
+    for i in range(1, d.n_step + 1):
+        t = dt * i
+        f_ext = jnp.asarray(_external_force(model, t, amp_loads))
+        B = f_ext - Q + 2.0 * a1 * mass * disp1 + \
+            (-a1 + a2 * d.ray_m) * mass * disp3
+        X = jnp.where(free > 0, B / vec1, 0.0)
+        acc = a1 * (X - 2.0 * disp1 + disp3)
+        vel = a2 * (X - disp3)
+        # one stress/state update per step (fstr_dynamic_nlexplicit:278-296)
+        u = disp1
+        du = X - disp1
+        new_states, flats = [], []
+        for p, s in zip(programs, states):
+            u_e = u.reshape(model.n_node, ndof)[p.block.conn]
+            ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
+            ns_, qf = p.update(u_e, ddu_e, s)
+            new_states.append(ns_)
+            flats.append(qf.reshape(-1))
+        states = [_commit_state(s) for s in new_states]
+        flats.append(jnp.zeros(ndof))
+        flat = jnp.concatenate(flats)
+        idx = inc_j[:, :, None] * ndof + jnp.arange(ndof)[None, None, :]
+        Q = flat[idx].sum(axis=1).reshape(-1)
+        disp3 = disp1
+        disp1 = X
+        u = X
+
+    return _finalize_dyn(model, programs, states, u, vel, acc, d.n_step,
+                         log_path)
+
+
+def _finalize_dyn(model, programs, states, u, vel, acc, steps, log_path):
+    from frontistr_tpu.analysis.nonlinear import _postprocess
+    res = _postprocess(model, programs, states, jnp.asarray(u))
+    out = DynamicResult(u=np.asarray(u).reshape(model.n_node, model.ndof),
+                        vel=np.asarray(vel).reshape(model.n_node,
+                                                    model.ndof),
+                        acc=np.asarray(acc).reshape(model.n_node,
+                                                    model.ndof),
+                        steps=steps, monitors={}, final=res)
+    if log_path:
+        _write_dyn_log(log_path, model, out, steps)
+    return out
+
+
+def _write_dyn_log(path, model, out, step):
+    """New-format summary incl. velocity/acceleration (dynamic_output.f90)."""
+    import numpy as np
+    from frontistr_tpu.io import logio
+    res = out.final
+    dim = model.dim
+    sel = res.node_count > 0
+    names, arrs = [], []
+    for dname, a in (("U", out.u), ("V", out.vel), ("A", out.acc)):
+        for k in range(dim):
+            names.append(f"{dname}{k+1}")
+            arrs.append(a[sel, k])
+    for k, lab in enumerate(logio.LABELS_E[dim]):
+        names.append(lab)
+        arrs.append(res.nodal_strain[sel, k])
+    for k, lab in enumerate(logio.LABELS_S[dim]):
+        names.append(lab)
+        arrs.append(res.nodal_stress[sel, k])
+    names.append("SMS")
+    arrs.append(res.nodal_mises[sel])
+    ids = model.mesh.node_ids[sel]
+    with open(path, "w") as f:
+        f.write(f"#### Result step={step:6d}\n")
+        f.write(" ##### Global Summary @Node    :Max/IdMax/Min/IdMin####\n")
+        for nm, a in zip(names, arrs):
+            imax, imin = int(np.argmax(a)), int(np.argmin(a))
+            f.write(f" //{nm:<5s}{a[imax]: .4E} {int(ids[imax]):9d} "
+                    f"{a[imin]: .4E} {int(ids[imin]):9d}\n")

@@ -348,6 +348,40 @@ def _qf_totallag(table, S, gderiv, det, dudx, stress, thick, dim):
     return (qf0 + qf1).reshape(E, nn * dim)
 
 
+def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
+                            mixed: bool):
+    """One jitted constrained-solve(kes, b_c) for the whole analysis —
+    building it per Newton iteration would retrace the Krylov while_loop
+    every call."""
+    n_node, ndof = model.n_node, model.ndof
+    sv = model.cfg.solver
+
+    if mixed:
+        @jax.jit
+        def solve(kes, B, dirichlet_inc):
+            op = femop.FEOperator(list(kes), dofs_j, nns, inc_j, total_en,
+                                  n_node, ndof, free)
+            b_c = (B - op.matvec(dirichlet_inc)) * free + \
+                dirichlet_inc * (1.0 - free)
+            op32 = op.astype(jnp.float32)
+            res = refined_cg(op.apply_constrained, op32.apply_constrained,
+                             op32.block_jacobi(), b_c, tol=sv.resid,
+                             inner_tol=1e-6, maxiter=sv.nier, max_passes=2)
+            return res.x
+    else:
+        @jax.jit
+        def solve(kes, B, dirichlet_inc):
+            op = femop.FEOperator(list(kes), dofs_j, nns, inc_j, total_en,
+                                  n_node, ndof, free)
+            b_c = (B - op.matvec(dirichlet_inc)) * free + \
+                dirichlet_inc * (1.0 - free)
+            res = krylov.pcg(op.apply_constrained, b_c,
+                             M=op.block_jacobi(), tol=sv.resid,
+                             maxiter=sv.nier)
+            return res.x
+    return solve
+
+
 @dataclasses.dataclass
 class NewtonStats:
     substeps: int = 0
@@ -377,6 +411,8 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
     f_total = jnp.asarray(model.f_ext)
     stats = NewtonStats()
     mixed = _solve_policy() == "mixed"
+    solver = make_constrained_solver(model, dofs_j, nns, inc_j, total_en,
+                                     free, mixed)
     step_count = 0
     result = None
 
@@ -394,7 +430,8 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
             sub += 1
             converged, du, new_states, iters = _newton_substep(
                 model, programs, states, u, f_total, free, u_fix_total,
-                lam1, lam2, step, inc_j, dofs_j, nns, total_en, mixed)
+                lam1, lam2, step, inc_j, dofs_j, nns, total_en, mixed,
+                solve=solver)
             stats.total_iters += iters
             stats.max_iters = max(stats.max_iters, iters)
             if not converged:
@@ -437,7 +474,8 @@ def _commit_state(s):
 
 
 def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
-                    lam1, lam2, step, inc_j, dofs_j, nns, total_en, mixed):
+                    lam1, lam2, step, inc_j, dofs_j, nns, total_en, mixed,
+                    solve=None):
     n = model.n_dof_total
     ndof = model.ndof
     du = jnp.zeros(n)
@@ -456,27 +494,13 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
             u_e = u.reshape(model.n_node, ndof)[p.block.conn]
             ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
             kes.append(p.tangent(u_e, ddu_e, s))
-        op = femop.FEOperator(kes=kes, dofs=dofs_j, nns=nns, inc=inc_j,
-                              total_en=total_en, n_node=model.n_node,
-                              ndof=ndof, free_mask=free)
         # residual with current state
         B = gl - Q_cur
         dirichlet_inc = dufix if it == 1 else jnp.zeros_like(dufix)
-        b_c = (B - op.matvec(dirichlet_inc)) * free + dirichlet_inc * \
-            (1.0 - free)
-        if mixed:
-            op32 = op.astype(jnp.float32)
-            res = refined_cg(op.apply_constrained, op32.apply_constrained,
-                             op32.block_jacobi(), b_c,
-                             tol=model.cfg.solver.resid, inner_tol=1e-6,
-                             maxiter=model.cfg.solver.nier, max_passes=2)
-        else:
-            res = krylov.solve(model.cfg.solver.method,
-                               op.apply_constrained, b_c,
-                               M=op.block_jacobi(),
-                               tol=model.cfg.solver.resid,
-                               maxiter=model.cfg.solver.nier)
-        dx = res.x
+        if solve is None:
+            solve = make_constrained_solver(model, dofs_j, nns, inc_j,
+                                            total_en, free, mixed)
+        dx = solve(tuple(kes), B, dirichlet_inc)
         du = du + dx
         # stress/state update + internal force (one pass per block)
         new_states = []

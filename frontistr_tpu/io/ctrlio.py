@@ -462,13 +462,17 @@ def read_cnt(path: str) -> AnalysisConfig:
                 if len(r) > 1:
                     d.idx_resp = int(r[1])
             if len(rows) > 1:
-                r = [float(v) for v in rows[1]]
-                d.n_step = int(r[0]) if r else 1
+                # 'rrir': t_start, t_end, n_step, t_delta
+                # (fstr_ctrl_get_DYNAMIC, fstr_ctrl_dynamic.f90:53)
+                r = [_f(v) for v in rows[1]]
+                if len(r) > 0:
+                    d.t_start = r[0]
                 if len(r) > 1:
-                    d.t_start = 0.0
                     d.t_end = r[1]
                 if len(r) > 2:
-                    d.t_delta = r[2]
+                    d.n_step = int(r[2])
+                if len(r) > 3:
+                    d.t_delta = r[3]
             if len(rows) > 2:
                 r = [float(v) for v in rows[2]]
                 if len(r) > 0:

@@ -135,17 +135,26 @@ def parse_log_summaries(path: str) -> Dict[str, Dict[str, Tuple[float, float]]]:
     while i < len(lines):
         line = lines[i]
         key = None
+        four_col = False
         if re.search(r"Global Summary :Max/Min", line):
             key = "Node"
         elif re.search(r"@Element :Max/Min####", line):
             key = "Element"
+        elif re.search(r"Global Summary @Node", line):
+            key, four_col = "Node", True     # new format: Max/Id/Min/Id
+        elif re.search(r"Global Summary @Element", line):
+            key, four_col = "Element", True
         if key:
             sec: Dict[str, Tuple[float, float]] = {}
             i += 1
             while i < len(lines) and "//" in lines[i]:
                 toks = lines[i].split()
-                name = toks[0].replace("//", "").replace("13", "31")
-                sec[name] = (_to_float(toks[1]), _to_float(toks[2]))
+                name = toks[0].replace("//", "")
+                if not four_col:
+                    name = name.replace("13", "31")
+                    sec[name] = (_to_float(toks[1]), _to_float(toks[2]))
+                else:
+                    sec[name] = (_to_float(toks[1]), _to_float(toks[3]))
                 i += 1
             data[key] = sec
             continue
