@@ -1,0 +1,167 @@
+"""Eigenvalue analysis: shift-invert Lanczos for K phi = lambda M phi.
+
+TPU rebuild of fstr_solve_lanczos (fistr1/src/analysis/dynamic/mode/
+fstr_EIG_lanczos.f90): the operator apply is a Krylov solve K^{-1}(M q)
+(jitted once, reused every Lanczos step), M-orthonormal basis with full
+reorthogonalization, small tridiagonal eig on the host (replacing the
+QL_decomposition of fstr_EIG_tridiag.f90:183-302), participation factors /
+effective mass per fstr_EIG_output.f90:44-86.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frontistr_tpu.assembly import femop
+from frontistr_tpu.assembly import operators as old_ops
+from frontistr_tpu.assembly.model import StructModel
+from frontistr_tpu.analysis.static import compute_element_stiffness
+from frontistr_tpu.analysis.dynamic import lumped_mass_vector
+from frontistr_tpu.solver import cg as krylov
+
+
+@dataclasses.dataclass
+class EigenResult:
+    eigenvalues: np.ndarray       # (nget,)
+    ang_freq: np.ndarray
+    freq: np.ndarray
+    eigenvectors: np.ndarray      # (n_dof, nget)
+    partfactor: np.ndarray        # (nget, ndof)
+    effmass: np.ndarray           # (nget, ndof)
+    total_mass: float
+    iters: int
+
+
+def run_eigen(model: StructModel, log_path: Optional[str] = None):
+    cfg = model.cfg
+    ec = cfg.eigen
+    nget = ec.nget if ec else 5
+    tol = ec.tolerance if ec else 1e-8
+    maxiter = ec.maxiter if ec else 60
+
+    n = model.n_dof_total
+    kes = compute_element_stiffness(model)
+    inc, total_en = femop.build_incidence([b.conn for b in model.blocks],
+                                          model.n_node)
+    free = old_ops.make_free_mask(n, model.fixed_dofs)
+    mass = lumped_mass_vector(model)
+    active = (free > 0) & (mass > 0)
+    act = jnp.asarray(active.astype(np.float64))
+    mass_j = jnp.asarray(mass)
+
+    op = femop.FEOperator(
+        kes=[jnp.asarray(k) for k in kes],
+        dofs=[jnp.asarray(b.dofs) for b in model.blocks],
+        nns=[b.conn.shape[1] for b in model.blocks],
+        inc=jnp.asarray(inc), total_en=total_en, n_node=model.n_node,
+        ndof=model.ndof, free_mask=jnp.asarray(active.astype(np.float64)))
+    M_pre = op.block_jacobi()
+
+    @jax.jit
+    def shift_invert(q):
+        """w = K^{-1} (M q) restricted to active dofs."""
+        b = (mass_j * q) * act
+        res = krylov.pcg(op.apply_constrained, b, M=M_pre,
+                         tol=1e-10, maxiter=model.cfg.solver.nier)
+        return res.x * act
+
+    # --- Lanczos with full reorthogonalization (M-inner product) ----------
+    rng = np.random.default_rng(0)
+    q = act * jnp.asarray(rng.standard_normal(n))
+    q = q / jnp.sqrt(jnp.vdot(mass_j * q, q))
+    V = [q]
+    alphas: List[float] = []
+    betas: List[float] = []
+    m_iter = min(maxiter, int(active.sum()))
+    theta_prev = None
+    it_used = m_iter
+    for j in range(m_iter):
+        w = shift_invert(V[j])
+        a = float(jnp.vdot(mass_j * w, V[j]))
+        w = w - a * V[j]
+        if j > 0:
+            w = w - betas[-1] * V[j - 1]
+        # full M-reorthogonalization
+        for v in V:
+            w = w - jnp.vdot(mass_j * w, v) * v
+        b = float(jnp.sqrt(jnp.vdot(mass_j * w, w)))
+        alphas.append(a)
+        betas.append(b)
+        # convergence check on the largest nget Ritz values of T
+        if j + 1 >= nget:
+            T = np.diag(alphas) + np.diag(betas[:-1], 1) + \
+                np.diag(betas[:-1], -1)
+            theta, S = np.linalg.eigh(T)
+            idx = np.argsort(theta)[::-1][:nget]   # largest 1/lambda
+            resid = np.abs(b * S[-1, idx])
+            if np.all(resid < tol * np.maximum(np.abs(theta[idx]), 1e-30)) \
+                    or b < 1e-14:
+                it_used = j + 1
+                break
+        if b < 1e-14:
+            it_used = j + 1
+            break
+        V.append(w / b)
+
+    T = np.diag(alphas) + np.diag(betas[:-1], 1) + np.diag(betas[:-1], -1)
+    theta, S = np.linalg.eigh(T)
+    order = np.argsort(theta)[::-1]
+    theta = theta[order][:nget]
+    S = S[:, order][:, :nget]
+    lam = 1.0 / theta
+    Vm = np.stack([np.asarray(v) for v in V[:len(alphas)]], axis=1)
+    phi = Vm @ S                                     # (n, nget)
+
+    mass_np = np.asarray(mass)
+    ndof = model.ndof
+    pf = np.zeros((nget, 3))
+    em = np.zeros((nget, 3))
+    for i in range(nget):
+        p = phi[:, i].reshape(model.n_node, ndof)
+        mm = mass_np.reshape(model.n_node, ndof)
+        gm = float((mm * p * p).sum())
+        for d in range(ndof):
+            r = float((mm[:, d] * p[:, d]).sum())
+            pf[i, d] = r / gm
+            em[i, d] = r * r / gm
+
+    total_mass = float(mass_np.sum() / ndof)
+    res = EigenResult(
+        eigenvalues=lam, ang_freq=np.sqrt(np.abs(lam)),
+        freq=np.sqrt(np.abs(lam)) / (2 * np.pi), eigenvectors=phi,
+        partfactor=pf, effmass=em, total_mass=total_mass, iters=it_used)
+    if log_path:
+        write_eigen_log(log_path, res, ndof)
+    return res
+
+
+def write_eigen_log(path: str, res: EigenResult, ndof: int):
+    """RESULT OF EIGEN VALUE ANALYSIS block (EGLIST format,
+    fstr_EIG_output.f90)."""
+    with open(path, "w") as f:
+        f.write(" fstr_setup: OK\n \n")
+        f.write("********************************\n")
+        f.write("*RESULT OF EIGEN VALUE ANALYSIS*\n")
+        f.write("********************************\n\n")
+        f.write(f"NUMBER OF ITERATIONS = {res.iters:8d}\n")
+        f.write(f"TOTAL MASS = {res.total_mass:12.4E}\n\n")
+        f.write("                   ANGLE       FREQUENCY   "
+                "PARTICIPATION FACTOR                EFFECTIVE MASS\n")
+        f.write("  NO.  EIGENVALUE  FREQUENCY   (HZ)        "
+                "X           Y           Z           X           Y"
+                "           Z\n")
+        f.write("  ---  ----------  ----------  ----------  ----------  "
+                "----------  ----------  ----------  ----------  "
+                "----------\n")
+        for i in range(len(res.eigenvalues)):
+            p = res.partfactor[i]
+            e = res.effmass[i]
+            f.write(f"{i+1:5d}  {res.eigenvalues[i]:10.4E}  "
+                    f"{res.ang_freq[i]:10.4E}  {res.freq[i]:10.4E}  "
+                    f"{p[0]:10.4E}  {p[1]:10.4E}  {p[2]:10.4E}  "
+                    f"{e[0]:10.4E}  {e[1]:10.4E}  {e[2]:10.4E}\n")
