@@ -219,7 +219,7 @@ def _run_implicit(model: StructModel, log_path):
             for p, s in zip(programs, states):
                 u_e = u.reshape(model.n_node, ndof)[p.block.conn]
                 ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
-                kes.append(p.tangent(u_e, ddu_e, s))
+                kes.append(p.tangent(u_e, ddu_e, s, t, dt))
             X_ray = vec2 - b3 * du
             B = f_ext - Q + mass * (vec1 - a3 * du + d.ray_m * X_ray)
             if d.ray_k != 0.0:
@@ -240,7 +240,7 @@ def _run_implicit(model: StructModel, log_path):
             for p, s in zip(programs, states):
                 u_e = u.reshape(model.n_node, ndof)[p.block.conn]
                 ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
-                ns_, qf = p.update(u_e, ddu_e, s)
+                ns_, qf = p.update(u_e, ddu_e, s, t, dt)
                 new_states.append(ns_)
                 flats.append(qf.reshape(-1))
             states = new_states
@@ -316,7 +316,7 @@ def _run_explicit(model: StructModel, log_path):
         for p, s in zip(programs, states):
             u_e = u.reshape(model.n_node, ndof)[p.block.conn]
             ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
-            ns_, qf = p.update(u_e, ddu_e, s)
+            ns_, qf = p.update(u_e, ddu_e, s, t, dt)
             new_states.append(ns_)
             flats.append(qf.reshape(-1))
         states = [_commit_state(s) for s in new_states]

@@ -49,9 +49,16 @@ def init_block_state(block, table):
     ns = 6 if get_table(block.etype).dim == 3 else 4
     z = jnp.zeros((E, nq, ns))
     zs = jnp.zeros((E, nq))
-    return dict(strain=z, stress=z, strain_bak=z, stress_bak=z,
-                pstrain=zs, pstrain_new=zs,
-                yielded=jnp.zeros((E, nq), bool), back=z)
+    st = dict(strain=z, stress=z, strain_bak=z, stress_bak=z,
+              pstrain=zs, pstrain_new=zs,
+              yielded=jnp.zeros((E, nq), bool), back=z)
+    m = block.material
+    if m.mtype == mat.VISCOELASTIC and m.visco_consts is not None:
+        nterms = len(np.asarray(m.visco_consts).reshape(-1, 2))
+        st["vq"] = jnp.zeros((E, nq, nterms, ns))
+        st["vq_new"] = jnp.zeros((E, nq, nterms, ns))
+        st["ven"] = z
+    return st
 
 
 def _plastic_params(m: mat.Material):
@@ -91,6 +98,18 @@ class BlockPrograms:
         if self.mtype == mat.EPLASTIC:
             self.pl = _plastic_params(m)
 
+        if self.mtype == mat.VISCOELASTIC:
+            vt = np.asarray(m.visco_consts).reshape(-1, 2)
+            self.v_mus = jnp.asarray(vt[:, 0])
+            self.v_taus = jnp.asarray(vt[:, 1])
+            self.v_G = m.youngs / (2.0 * (1.0 + m.poisson))
+            self.v_K = m.youngs / (3.0 * (1.0 - 2.0 * m.poisson))
+        if self.mtype == mat.CREEP:
+            cc = np.asarray(m.creep_consts).reshape(-1)
+            self.c_A, self.c_n = float(cc[0]), float(cc[1])
+            self.c_m = float(cc[2]) if len(cc) > 2 else 0.0
+            self.c_G = m.youngs / (2.0 * (1.0 + m.poisson))
+
         self._tangent = jax.jit(self._tangent_fn)
         self._update = jax.jit(self._update_fn)
 
@@ -99,11 +118,11 @@ class BlockPrograms:
         return self.block.etype == 361 and self.block.formulation == "BBAR"
 
     # ---------------- tangent (fstr_StiffMatrix / STF_C3) ----------------
-    def _tangent_fn(self, u_e, ddu_e, state):
+    def _tangent_fn(self, u_e, ddu_e, state, time, dtime):
         table, flag = self.table, self.flag
         total = u_e + ddu_e
         if flag == mat.INFINITESIMAL:
-            D = self._material_D(state)
+            D = self._material_D(state, time, dtime)
             if self.block.etype == 361 and self.block.formulation == "IC":
                 return solid.stiffness_hex8ic(table, self.coords_e, D)
             if self.bbar:
@@ -112,7 +131,7 @@ class BlockPrograms:
                     mat.INFINITESIMAL, thick=self.thick, bbar=True)
             return solid.stiffness_linear(table, self.coords_e, D,
                                           thick=self.thick)
-        D = self._material_D(state)
+        D = self._material_D(state, time, dtime)
         if flag == mat.UPDATELAG:
             # D <- D - geomat(sigma) (STF_C3:117-120)
             if D.ndim == 3:
@@ -129,7 +148,7 @@ class BlockPrograms:
                                       stress, mat.TOTALLAG, thick=self.thick,
                                       bbar=self.bbar)
 
-    def _material_D(self, state):
+    def _material_D(self, state, time=0.0, dtime=0.0):
         if self.mtype == mat.ELASTIC:
             return self.D_e
         if self.mtype in (mat.HYPERELASTIC_NEOHOOKE,
@@ -144,10 +163,22 @@ class BlockPrograms:
             return plastic_tangent(self.pl, De, state["stress"],
                                    state["pstrain_new"], state["back"],
                                    state["yielded"])
+        if self.mtype == mat.VISCOELASTIC:
+            from frontistr_tpu.fem.visco import visco_D
+            D1 = visco_D(dtime, self.v_G, self.v_K, self.v_mus,
+                         self.v_taus)
+            return jnp.broadcast_to(D1, self.D_e.shape)
+        if self.mtype == mat.CREEP:
+            from frontistr_tpu.fem.visco import creep_tangent
+            De = self.D_e[:, None, :, :] * jnp.ones(
+                (1, self.table.nq, 1, 1))
+            return creep_tangent(De, state["stress"],
+                                 state["pstrain_new"], self.c_G,
+                                 self.c_A, self.c_n, self.c_m, time, dtime)
         return self.D_e
 
     # ---------------- update (fstr_UpdateNewton / UPDATE_C3) -------------
-    def _update_fn(self, u_e, ddu_e, state):
+    def _update_fn(self, u_e, ddu_e, state, time, dtime):
         table, flag = self.table, self.flag
         dt = self.coords_e.dtype
         total = u_e + ddu_e
@@ -183,11 +214,11 @@ class BlockPrograms:
                               dudx, dudx)
             eps = eps + quad
             new_state["strain"] = eps
-            sig = self._stress_total(eps, state)
+            sig = self._stress_total(eps, state, new_state, time, dtime)
             new_state["stress"] = sig
         elif flag == mat.INFINITESIMAL:
             new_state["strain"] = eps
-            sig = self._stress_total(eps, state)
+            sig = self._stress_total(eps, state, new_state, time, dtime)
             new_state["stress"] = sig
         else:  # UPDATELAG: incremental with Jaumann rotation
             new_state["strain"] = state["strain_bak"] + eps
@@ -197,6 +228,17 @@ class BlockPrograms:
             dum = rot @ sig_b - sig_b @ rot
             sig = state["stress_bak"] + dsig + _tensor_to_voigt(dum,
                                                                 self.ns)
+            if self.mtype == mat.CREEP:
+                # Norton return mapping on the rotated trial
+                # (UPDATE_C3 UPDATELAG NORTON arm)
+                from frontistr_tpu.fem.visco import creep_return
+                sig_c, dg, eqvs = creep_return(
+                    sig, self.c_G, self.c_A, self.c_n, self.c_m, time,
+                    dtime)
+                apply_c = dtime > 0.0
+                sig = jnp.where(apply_c, sig_c, sig)
+                new_state["pstrain_new"] = jnp.where(apply_c, dg,
+                                                     0.0 * dg)
             new_state["stress"] = sig
 
         if self.mtype == mat.EPLASTIC:
@@ -245,19 +287,30 @@ class BlockPrograms:
                                           thick=self.thick)
         return new_state, qf
 
-    def _stress_total(self, eps, state):
+    def _stress_total(self, eps, state, new_state, time, dtime):
         """Stress from total strain (INFINITE / TOTALLAG arms)."""
         if self.mtype in (mat.HYPERELASTIC_NEOHOOKE,
                           mat.HYPERELASTIC_MOONEYRIVLIN,
                           mat.HYPERELASTIC_ARRUDABOYCE):
             return self.pk2(eps)
+        if self.mtype == mat.VISCOELASTIC:
+            from frontistr_tpu.fem.visco import visco_update
+            sig_v, vq_new = visco_update(eps, state["vq"], state["ven"],
+                                         dtime, self.v_G, self.v_K,
+                                         self.v_mus, self.v_taus)
+            sig_el = jnp.einsum("ekl,eql->eqk", self.D_e, eps)
+            use_v = dtime != 0.0
+            new_state["vq_new"] = jnp.where(use_v, vq_new, state["vq"])
+            return jnp.where(use_v, sig_v, sig_el)
         return jnp.einsum("ekl,eql->eqk", self.D_e, eps)
 
-    def tangent(self, u_e, ddu_e, state):
-        return self._tangent(u_e, ddu_e, state)
+    def tangent(self, u_e, ddu_e, state, time=0.0, dtime=0.0):
+        return self._tangent(u_e, ddu_e, state, jnp.asarray(time),
+                             jnp.asarray(dtime))
 
-    def update(self, u_e, ddu_e, state):
-        return self._update(u_e, ddu_e, state)
+    def update(self, u_e, ddu_e, state, time=0.0, dtime=0.0):
+        return self._update(u_e, ddu_e, state, jnp.asarray(time),
+                            jnp.asarray(dtime))
 
 
 def _glq(ns, dt):
@@ -428,10 +481,11 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
             lam2 = (t + dt) / t_end
             lam1 = t / t_end
             sub += 1
+            tincr = dt if step.solution == "VISCO" else 0.0
             converged, du, new_states, iters = _newton_substep(
                 model, programs, states, u, f_total, free, u_fix_total,
                 lam1, lam2, step, inc_j, dofs_j, nns, total_en, mixed,
-                solve=solver)
+                solve=solver, ctime=t + dt, tincr=tincr)
             stats.total_iters += iters
             stats.max_iters = max(stats.max_iters, iters)
             if not converged:
@@ -470,12 +524,19 @@ def _commit_state(s):
     out["strain_bak"] = s["strain"]
     out["stress_bak"] = s["stress"]
     out["pstrain"] = s["pstrain_new"]
+    if "vq" in s:
+        # updateViscoElasticState: shift q, store committed dev strain
+        out["vq"] = s["vq_new"]
+        eps = s["strain"]
+        th = (eps[..., 0] + eps[..., 1] + eps[..., 2]) / 3.0
+        out["ven"] = jnp.concatenate(
+            [eps[..., :3] - th[..., None], 0.5 * eps[..., 3:]], -1)
     return out
 
 
 def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
                     lam1, lam2, step, inc_j, dofs_j, nns, total_en, mixed,
-                    solve=None):
+                    solve=None, ctime=0.0, tincr=0.0):
     n = model.n_dof_total
     ndof = model.ndof
     du = jnp.zeros(n)
@@ -486,14 +547,14 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
     conv = False
     iters = 0
     Q_cur = _qforce(model, programs, states_cur, u, du, inc_j, dofs_j,
-                    nns, total_en)
+                    nns, total_en, ctime, tincr)
     for it in range(1, step.max_iter + 1):
         iters = it
         kes = []
         for p, s in zip(programs, states_cur):
             u_e = u.reshape(model.n_node, ndof)[p.block.conn]
             ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
-            kes.append(p.tangent(u_e, ddu_e, s))
+            kes.append(p.tangent(u_e, ddu_e, s, ctime, tincr))
         # residual with current state
         B = gl - Q_cur
         dirichlet_inc = dufix if it == 1 else jnp.zeros_like(dufix)
@@ -508,7 +569,7 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
         for p, s in zip(programs, states_cur):
             u_e = u.reshape(model.n_node, ndof)[p.block.conn]
             ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
-            ns_, qf = p.update(u_e, ddu_e, s)
+            ns_, qf = p.update(u_e, ddu_e, s, ctime, tincr)
             new_states.append(ns_)
             flats.append(qf.reshape(-1))
         states_cur = new_states
@@ -544,14 +605,15 @@ def _all_linear(programs):
                for p in programs)
 
 
-def _qforce(model, programs, states, u, du, inc_j, dofs_j, nns, total_en):
+def _qforce(model, programs, states, u, du, inc_j, dofs_j, nns, total_en,
+            ctime=0.0, tincr=0.0):
     """Assemble global internal force QFORCE from per-block updates."""
     ndof = model.ndof
     flats = []
     for p, s in zip(programs, states):
         u_e = u.reshape(model.n_node, ndof)[p.block.conn]
         ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
-        _, qf = p.update(u_e, ddu_e, s)
+        _, qf = p.update(u_e, ddu_e, s, ctime, tincr)
         flats.append(qf.reshape(-1))
     flats.append(jnp.zeros(ndof))
     flat = jnp.concatenate(flats)

@@ -61,10 +61,20 @@ def _resolve_material(mesh: Mesh, cnt_mats: Dict[str, CntMaterial],
             m.expansion = it3[0][0]
     cm = cnt_mats.get(name)
     if cm is not None:
+        def _flag(card, default):
+            # CAUCHY/KIRCHHOFF/INFINITE params (fstr_ctrl_material.f90)
+            if card.has("INFINITE"):
+                return mat.INFINITESIMAL
+            if card.has("CAUCHY"):
+                return mat.UPDATELAG
+            if card.has("KIRCHHOFF"):
+                return mat.TOTALLAG
+            return default
         if cm.elastic is not None:
             rows = cm.elastic.rows_f()
             m.elastic_table = np.asarray(rows)
             m.youngs, m.poisson = rows[0][0], rows[0][1]
+            m.nlgeom = _flag(cm.elastic, mat.TOTALLAG)
         if cm.density is not None:
             m.density = cm.density.rows_f()[0][0]
         if cm.expansion is not None:
@@ -72,6 +82,7 @@ def _resolve_material(mesh: Mesh, cnt_mats: Dict[str, CntMaterial],
         if cm.hyperelastic is not None:
             m.mtype = (cm.hyperelastic.param("TYPE") or "MOONEY-RIVLIN").upper()
             m.hyper_consts = np.asarray(cm.hyperelastic.rows_f()[0])
+            m.nlgeom = _flag(cm.hyperelastic, mat.TOTALLAG)
         if cm.plastic is not None:
             m.mtype = mat.EPLASTIC
             m.yield_func = (cm.plastic.param("YIELD") or "MISES").upper()
@@ -79,14 +90,17 @@ def _resolve_material(mesh: Mesh, cnt_mats: Dict[str, CntMaterial],
             m.plastic_consts = np.asarray(
                 [v for row in cm.plastic.rows_f() for v in row]).reshape(
                     len(cm.plastic.data), -1) if cm.plastic.data else None
+            m.nlgeom = _flag(cm.plastic, mat.UPDATELAG)
         if cm.viscoelastic is not None:
             m.mtype = mat.VISCOELASTIC
             m.visco_consts = np.asarray(cm.viscoelastic.rows_f())
+            m.nlgeom = _flag(cm.viscoelastic, mat.TOTALLAG)
         if cm.trs is not None:
             m.trs_consts = np.asarray(cm.trs.rows_f())
         if cm.creep is not None:
             m.mtype = mat.CREEP
             m.creep_consts = np.asarray(cm.creep.rows_f()[0])
+            m.nlgeom = _flag(cm.creep, mat.UPDATELAG)
     return m
 
 
@@ -193,7 +207,12 @@ def build_struct_model(mesh: Mesh, cfg: AnalysisConfig) -> StructModel:
         mname = sec.material if sec else next(iter(mesh.materials), "")
         m = _resolve_material(mesh, cfg.materials, mname)
         if cfg.nlgeom:
-            m.nlgeom = mat.TOTALLAG if m.nlgeom == mat.INFINITESIMAL else m.nlgeom
+            m.nlgeom = mat.TOTALLAG if m.nlgeom == mat.INFINITESIMAL \
+                else m.nlgeom
+        else:
+            # linear STATIC: geometric nonlinearity off regardless of the
+            # material cards (fstrPARAM%nlgeom gate)
+            m.nlgeom = mat.INFINITESIMAL
         E = len(b.elem_ids)
         thick = 1.0
         iset = mat.D3
