@@ -1,0 +1,85 @@
+"""Frequency response by modal superposition.
+
+TPU rebuild of fstr_solve_frequency_analysis
+(fistr1/src/analysis/dynamic/freq/fstr_frequency_analysis.f90): harmonic
+response over [f_start, f_end] using mass-normalized modes and Rayleigh
+damping, with the reference's coefficient formulas (calcFreqCoeff:
+b_j = phi_j^T F * conj(w_j^2 - W^2 + i(alpha + beta w_j^2) W) / |.|^2).
+
+The reference reads eigenpairs back from a previous eigen run's log/result
+files; here the Lanczos solve runs in-process (analysis/eigen.py) unless
+precomputed modes are passed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from frontistr_tpu.assembly.model import StructModel, collect_cload
+
+
+@dataclasses.dataclass
+class FreqResult:
+    freqs: np.ndarray            # (nf,)
+    disp_re: np.ndarray          # (nf, n_dof)
+    disp_im: np.ndarray
+    vel_amp_max: np.ndarray      # (nf,)
+    disp_amp_max: np.ndarray
+    acc_amp_max: np.ndarray
+    eigen: object = None
+
+
+def run_frequency(model: StructModel, f_start: float, f_end: float,
+                  n_freq: int = 10, ray_alpha: float = 0.0,
+                  ray_beta: float = 0.0, eigen_result=None,
+                  fload: Optional[np.ndarray] = None) -> FreqResult:
+    if eigen_result is None:
+        from frontistr_tpu.analysis.eigen import run_eigen
+        eigen_result = run_eigen(model)
+    phi = eigen_result.eigenvectors                # (n, nmode) M-normalized
+    w = eigen_result.ang_freq                      # (nmode,)
+
+    if fload is None:
+        # !FLOAD cards: rows (grp, dof, value) like CLOAD
+        fload = collect_cload(model.mesh, model.cfg.floads, model.ndof,
+                              model.n_node)
+        if not np.any(fload):
+            fload = np.asarray(model.f_ext)
+    fre = fload
+    fim = np.zeros_like(fload)
+
+    freqs = np.linspace(f_start, f_end, n_freq)
+    n = model.n_dof_total
+    d_re = np.zeros((n_freq, n))
+    d_im = np.zeros((n_freq, n))
+    vmax = np.zeros(n_freq)
+    dmax = np.zeros(n_freq)
+    amax = np.zeros(n_freq)
+    ujfr = phi.T @ fre
+    ujfi = phi.T @ fim
+    for k, f in enumerate(freqs):
+        W = 2.0 * np.pi * f
+        damp = (ray_alpha + ray_beta * w ** 2) * W
+        den = (w ** 2 - W ** 2) ** 2 + damp ** 2
+        bj_re = (ujfr * (w ** 2 - W ** 2) + ujfi * damp) / den
+        bj_im = (ujfi * (w ** 2 - W ** 2) - ujfr * damp) / den
+        d_re[k] = phi @ bj_re
+        d_im[k] = phi @ bj_im
+        amp = np.sqrt(d_re[k] ** 2 + d_im[k] ** 2)
+        dmax[k] = amp.max()
+        vmax[k] = (W * amp).max()
+        amax[k] = (W * W * amp).max()
+    return FreqResult(freqs, d_re, d_im, vmax, dmax, amax, eigen_result)
+
+
+def run_static_eigen(model: StructModel, log_path=None):
+    """!SOLUTION TYPE=STATICEIGEN: nonlinear static then eigen about the
+    deformed state (fstr_main kstSTATICEIGEN path)."""
+    from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
+    from frontistr_tpu.analysis.eigen import run_eigen
+    static_res = run_nonlinear_static(model, log_path=log_path)
+    eig = run_eigen(model)
+    return static_res, eig

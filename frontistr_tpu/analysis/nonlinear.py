@@ -444,8 +444,16 @@ class NewtonStats:
 
 
 def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
-                         result_writer=None):
-    """Substep / Newton driver. Returns final StaticResult (+ history)."""
+                         result_writer=None,
+                         restart_path: Optional[str] = None,
+                         restart_freq: int = 0):
+    """Substep / Newton driver. Returns final StaticResult (+ history).
+
+    restart_path/restart_freq: write a checkpoint every `restart_freq`
+    substeps (fstr_write_restart cadence, fstr_solve_NLGEOM.f90:204-207);
+    if the file exists at start it is loaded and the run resumes
+    (fstr_read_restart semantics).
+    """
     cfg = model.cfg
     ndof = model.ndof
     n = model.n_dof_total
@@ -463,6 +471,15 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
     nns = [b.conn.shape[1] for b in model.blocks]
     f_total = jnp.asarray(model.f_ext)
     stats = NewtonStats()
+    import os as _os
+    resume = None
+    if restart_path and _os.path.exists(restart_path):
+        from frontistr_tpu.io.restart import load_restart
+        resume = load_restart(restart_path)
+        u = jnp.asarray(resume["u"])
+        states = [
+            {k: (jnp.asarray(v) if v is not None else None)
+             for k, v in s.items()} for s in resume["states"]]
     mixed = _solve_policy() == "mixed"
     solver = make_constrained_solver(model, dofs_j, nns, inc_j, total_en,
                                      free, mixed)
@@ -474,6 +491,9 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
         t_end = step.elapsetime
         dt = step.initdt
         t = 0.0
+        if resume is not None and cstep == 1:
+            t = float(np.asarray(resume.get("t", 0.0)))
+            step_count = int(np.asarray(resume.get("step_count", 0)))
         sub = 0
         cb_count = 0
         while t < t_end - 1e-12:
@@ -505,6 +525,14 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
             states = [_commit_state(s) for s in new_states]
             stats.substeps += 1
             step_count += 1
+            if restart_path and restart_freq > 0 and \
+                    step_count % restart_freq == 0:
+                from frontistr_tpu.io.restart import save_restart
+                save_restart(restart_path, dict(
+                    u=np.asarray(u), t=np.asarray(t),
+                    step_count=np.asarray(step_count),
+                    states=[{k: np.asarray(v) for k, v in s.items()}
+                            for s in states]))
             if log_path is not None:
                 result = _postprocess(model, programs, states, u)
                 _append_log(log_path, model, result, step_count)
