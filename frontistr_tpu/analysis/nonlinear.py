@@ -463,12 +463,16 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
               for b, p in zip(model.blocks, programs)]
     u_fix_total = old_ops.full_fixed_vector(n, model.fixed_dofs,
                                             model.fixed_vals)
-    inc, total_en = femop.build_incidence([b.conn for b in model.blocks],
-                                          model.n_node)
+    ex_conns, ex_dofs, ex_kes, ex_nns = getattr(model, "extras",
+                                                ([], [], [], []))
+    inc, total_en = femop.build_incidence(
+        [b.conn for b in model.blocks] + list(ex_conns), model.n_node)
     inc_j = jnp.asarray(inc)
     free = jnp.asarray(old_ops.make_free_mask(n, model.fixed_dofs))
-    dofs_j = [jnp.asarray(b.dofs) for b in model.blocks]
-    nns = [b.conn.shape[1] for b in model.blocks]
+    dofs_j = [jnp.asarray(b.dofs) for b in model.blocks] + \
+        [jnp.asarray(d) for d in ex_dofs]
+    nns = [b.conn.shape[1] for b in model.blocks] + list(ex_nns)
+    ex_kes_j = [jnp.asarray(k) for k in ex_kes]
     f_total = jnp.asarray(model.f_ext)
     stats = NewtonStats()
     import os as _os
@@ -505,7 +509,9 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
             converged, du, new_states, iters = _newton_substep(
                 model, programs, states, u, f_total, free, u_fix_total,
                 lam1, lam2, step, inc_j, dofs_j, nns, total_en, mixed,
-                solve=solver, ctime=t + dt, tincr=tincr)
+                solve=solver, ctime=t + dt, tincr=tincr,
+                ex_kes=ex_kes_j, ex_dofs=[jnp.asarray(d)
+                                          for d in ex_dofs])
             stats.total_iters += iters
             stats.max_iters = max(stats.max_iters, iters)
             if not converged:
@@ -564,7 +570,8 @@ def _commit_state(s):
 
 def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
                     lam1, lam2, step, inc_j, dofs_j, nns, total_en, mixed,
-                    solve=None, ctime=0.0, tincr=0.0):
+                    solve=None, ctime=0.0, tincr=0.0, ex_kes=(),
+                    ex_dofs=()):
     n = model.n_dof_total
     ndof = model.ndof
     du = jnp.zeros(n)
@@ -575,7 +582,7 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
     conv = False
     iters = 0
     Q_cur = _qforce(model, programs, states_cur, u, du, inc_j, dofs_j,
-                    nns, total_en, ctime, tincr)
+                    nns, total_en, ctime, tincr, ex_kes, ex_dofs)
     for it in range(1, step.max_iter + 1):
         iters = it
         kes = []
@@ -583,6 +590,7 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
             u_e = u.reshape(model.n_node, ndof)[p.block.conn]
             ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
             kes.append(p.tangent(u_e, ddu_e, s, ctime, tincr))
+        kes.extend(ex_kes)
         # residual with current state
         B = gl - Q_cur
         dirichlet_inc = dufix if it == 1 else jnp.zeros_like(dufix)
@@ -601,6 +609,9 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
             new_states.append(ns_)
             flats.append(qf.reshape(-1))
         states_cur = new_states
+        for ke_x, d_x in zip(ex_kes, ex_dofs):
+            tot = (u + du)[d_x]
+            flats.append(jnp.einsum("eij,ej->ei", ke_x, tot).reshape(-1))
         flats.append(jnp.zeros(ndof))
         flat = jnp.concatenate(flats)
         idx = inc_j[:, :, None] * ndof + jnp.arange(ndof)[None, None, :]
@@ -634,7 +645,7 @@ def _all_linear(programs):
 
 
 def _qforce(model, programs, states, u, du, inc_j, dofs_j, nns, total_en,
-            ctime=0.0, tincr=0.0):
+            ctime=0.0, tincr=0.0, ex_kes=(), ex_dofs=()):
     """Assemble global internal force QFORCE from per-block updates."""
     ndof = model.ndof
     flats = []
@@ -643,6 +654,9 @@ def _qforce(model, programs, states, u, du, inc_j, dofs_j, nns, total_en,
         ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
         _, qf = p.update(u_e, ddu_e, s, ctime, tincr)
         flats.append(qf.reshape(-1))
+    for ke_x, d_x in zip(ex_kes, ex_dofs):
+        tot = (u + du)[d_x]
+        flats.append(jnp.einsum("eij,ej->ei", ke_x, tot).reshape(-1))
     flats.append(jnp.zeros(ndof))
     flat = jnp.concatenate(flats)
     idx = inc_j[:, :, None] * ndof + jnp.arange(ndof)[None, None, :]

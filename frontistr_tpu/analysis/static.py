@@ -80,18 +80,28 @@ def solve_linear(model: StructModel, kes=None,
     f = jnp.asarray(model.f_ext if f_ext is None else f_ext)
     b_c = op.constrained_rhs(f, u_fix)
 
+    from frontistr_tpu.assembly.extras import MPCEliminator
+    mpc = MPCEliminator(model.mesh, model.ndof, n)
+    A = mpc.wrap(op.apply_constrained) if mpc.active \
+        else op.apply_constrained
+    if mpc.active:
+        b_c = mpc.reduce_rhs(op.apply_constrained, b_c) + \
+            (1.0 - mpc.dep_mask) * 0.0
+
     sv = model.cfg.solver
     t1 = time.perf_counter()
-    if _solve_policy() == "mixed" and sv.method.upper() == "CG":
+    if _solve_policy() == "mixed" and sv.method.upper() == "CG" \
+            and not mpc.active:
         op32 = op.astype(jnp.float32)
         res = refined_cg(op.apply_constrained, op32.apply_constrained,
                          op32.block_jacobi(), b_c, tol=sv.resid,
                          inner_tol=1e-6, maxiter=sv.nier)
     else:
-        res = krylov.solve(sv.method, op.apply_constrained, b_c,
+        res = krylov.solve(sv.method, A, b_c,
                            M=op.block_jacobi(), tol=sv.resid,
                            maxiter=sv.nier)
-    x = np.asarray(jax.block_until_ready(res.x))
+    x_sol = mpc.recover(res.x) if mpc.active else res.x
+    x = np.asarray(jax.block_until_ready(x_sol))
     t2 = time.perf_counter()
     return x, int(res.iters), float(res.relres), t1 - t0, t2 - t1
 

@@ -145,15 +145,20 @@ class FEOperator:
 
 
 def from_model(model, kes, dtype=None) -> FEOperator:
-    """Build the operator from a StructModel + per-block element matrices."""
-    inc, total_en = build_incidence([b.conn for b in model.blocks],
-                                    model.n_node)
+    """Build the operator from a StructModel + per-block element matrices
+    (plus any spring extra-blocks stored on the model)."""
+    ex_conns, ex_dofs, ex_kes, ex_nns = getattr(model, "extras",
+                                                ([], [], [], []))
+    conns = [b.conn for b in model.blocks] + list(ex_conns)
+    inc, total_en = build_incidence(conns, model.n_node)
     from frontistr_tpu.assembly import operators as old_ops
     free = old_ops.make_free_mask(model.n_dof_total, model.fixed_dofs)
     op = FEOperator(
-        kes=[jnp.asarray(k) for k in kes],
-        dofs=[jnp.asarray(b.dofs) for b in model.blocks],
-        nns=[b.conn.shape[1] for b in model.blocks],
+        kes=[jnp.asarray(k) for k in kes] + [jnp.asarray(k)
+                                             for k in ex_kes],
+        dofs=[jnp.asarray(b.dofs) for b in model.blocks] +
+             [jnp.asarray(d) for d in ex_dofs],
+        nns=[b.conn.shape[1] for b in model.blocks] + list(ex_nns),
         inc=jnp.asarray(inc), total_en=total_en,
         n_node=model.n_node, ndof=model.ndof,
         free_mask=jnp.asarray(free))

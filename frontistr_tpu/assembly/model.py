@@ -119,6 +119,8 @@ class StructModel:
     nlgeom: bool = False
     temperature: Optional[np.ndarray] = None   # (n_node,) current temp
     reftemp: float = 0.0
+    # spring blocks: (conns, dofs, kes, nns) from assembly.extras
+    extras: tuple = ([], [], [], [])
 
     @property
     def n_dof_total(self) -> int:
@@ -247,6 +249,8 @@ def build_struct_model(mesh: Mesh, cfg: AnalysisConfig) -> StructModel:
     model = StructModel(mesh, cfg, ndof, dim, n_node, coords, blocks,
                         fixed_dofs, fixed_vals, f_ext, nlgeom=cfg.nlgeom,
                         reftemp=cfg.reftemp)
+    from frontistr_tpu.assembly.extras import collect_extras
+    model.extras = collect_extras(model, grpid)
     if cfg.dloads:
         from frontistr_tpu.assembly.loads import collect_dload
         model.f_ext = model.f_ext + collect_dload(mesh, model, cfg.dloads,
