@@ -1,0 +1,106 @@
+"""Mesh partitioning: node-based overlapped domains.
+
+The TPU equivalent of hecmw_part1 (hecmw1/tools/partitioner, methods
+RCB/KMETIS/PMETIS, hecmw_part_define.h:27-31): recursive coordinate
+bisection over nodes, then the reference's overlap rule — every element
+touching an owned node joins the domain, every non-owned node of those
+elements becomes a ghost — plus import/export communication tables
+(the analogue of hecmwST_local_mesh's neighbor_pe/import_index/export_index,
+hecmw_util_f.F90:296-312).  These tables drive both the file-based workflow
+(per-rank submesh export) and the in-memory jax.sharding layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List
+
+import numpy as np
+
+
+def rcb_partition(coords: np.ndarray, n_parts: int) -> np.ndarray:
+    """Recursive coordinate bisection: (n_node,) -> part id."""
+    assert n_parts >= 1
+    part = np.zeros(len(coords), dtype=np.int32)
+
+    def split(idx, pids):
+        if len(pids) == 1:
+            part[idx] = pids[0]
+            return
+        c = coords[idx]
+        axis = np.argmax(c.max(axis=0) - c.min(axis=0))
+        order = np.argsort(c[:, axis], kind="stable")
+        half_parts = len(pids) // 2
+        cut = len(idx) * half_parts // len(pids)
+        left = idx[order[:cut]]
+        right = idx[order[cut:]]
+        split(left, pids[:half_parts])
+        split(right, pids[half_parts:])
+
+    split(np.arange(len(coords)), list(range(n_parts)))
+    return part
+
+
+@dataclasses.dataclass
+class Subdomain:
+    rank: int
+    nodes: np.ndarray            # global node indices, internal first
+    nn_internal: int
+    elems: Dict[int, np.ndarray] # etype -> element rows (into block conn)
+    # communication tables (indices into this domain's local node list)
+    import_from: Dict[int, np.ndarray]   # neighbor -> local ghost indices
+    export_to: Dict[int, np.ndarray]     # neighbor -> local internal indices
+
+
+def partition_mesh(mesh, n_parts: int, method: str = "RCB"):
+    """Node-based overlapping decomposition of a Mesh.
+
+    Returns (part (n_node,), [Subdomain]).
+    """
+    part = rcb_partition(mesh.coords, n_parts)
+    subs: List[Subdomain] = []
+    # node -> owner
+    for r in range(n_parts):
+        internal = np.nonzero(part == r)[0]
+        own = np.zeros(mesh.n_node, bool)
+        own[internal] = True
+        elems: Dict[int, np.ndarray] = {}
+        ghost_set = set()
+        for bi, b in enumerate(mesh.blocks):
+            touch = own[b.conn].any(axis=1)
+            rows = np.nonzero(touch)[0]
+            elems[bi] = rows
+            for nidx in np.unique(b.conn[rows]):
+                if not own[nidx]:
+                    ghost_set.add(int(nidx))
+        ghosts = np.asarray(sorted(ghost_set), dtype=np.int64)
+        nodes = np.concatenate([internal, ghosts])
+        loc = {int(g): i for i, g in enumerate(nodes)}
+        import_from: Dict[int, List[int]] = {}
+        for g in ghosts:
+            owner = int(part[g])
+            import_from.setdefault(owner, []).append(loc[int(g)])
+        subs.append(Subdomain(
+            r, nodes, len(internal), elems,
+            {k: np.asarray(v, dtype=np.int64)
+             for k, v in import_from.items()}, {}))
+    # export tables: mirror of imports
+    g2l = [ {int(g): i for i, g in enumerate(s.nodes)} for s in subs ]
+    for s in subs:
+        for nb, ghost_loc in s.import_from.items():
+            glob = s.nodes[ghost_loc]
+            subs[nb].export_to[s.rank] = np.asarray(
+                [g2l[nb][int(g)] for g in glob], dtype=np.int64)
+    return part, subs
+
+
+def halo_exchange_reference(subs, local_vecs):
+    """Host-side halo update (semantics of hecmw_update_m_R): overwrite each
+    domain's ghost entries with the owner's internal values.  Used to verify
+    the sharded compute path and by the file-based tools."""
+    out = [v.copy() for v in local_vecs]
+    for s in subs:
+        for nb, imp_loc in s.import_from.items():
+            exp_loc = subs[nb].export_to[s.rank]
+            out[s.rank][imp_loc] = local_vecs[nb][exp_loc]
+    return out

@@ -1,0 +1,75 @@
+"""Tests for the offline tools: partitioner, rmerge/rconv, VTK, precheck."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_reference, REFERENCE
+
+
+def test_rcb_partition_balance_and_halo():
+    from frontistr_tpu.meshgen import box_hex8
+    from frontistr_tpu.parallel.partition import (partition_mesh,
+                                                  halo_exchange_reference)
+    mesh = box_hex8(8, 8, 8)
+    part, subs = partition_mesh(mesh, 8)
+    sizes = [s.nn_internal for s in subs]
+    assert sum(sizes) == mesh.n_node
+    assert max(sizes) <= 2 * min(sizes)
+    # halo exchange delivers owner values to ghosts
+    vecs = []
+    for s in subs:
+        v = np.full(len(s.nodes), -1.0)
+        v[:s.nn_internal] = s.nodes[:s.nn_internal].astype(float)
+        vecs.append(v)
+    out = halo_exchange_reference(subs, vecs)
+    for s in subs:
+        np.testing.assert_allclose(out[s.rank], s.nodes.astype(float))
+
+
+def test_vtk_and_precheck():
+    from frontistr_tpu.meshgen import box_hex8
+    from frontistr_tpu.io.vtk import write_vtk
+    from frontistr_tpu.precheck import precheck
+    mesh = box_hex8(2, 2, 2)
+    rep = precheck(mesh)
+    np.testing.assert_allclose(rep.total_volume, 1.0, rtol=1e-12)
+    assert rep.n_degenerate == 0
+    assert rep.min_jacobian > 0
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "out.vtk")
+        write_vtk(p, mesh, {"T": np.arange(mesh.n_node, dtype=float)})
+        txt = open(p).read()
+        assert "UNSTRUCTURED_GRID" in txt and "CELL_TYPES" in txt
+        assert txt.count("12\n") >= 8   # hex cells
+
+
+def test_rmerge_roundtrip():
+    from frontistr_tpu.io.resfile import write_result, read_result
+    from frontistr_tpu.tools.rmerge import merge_results, convert_result
+    with tempfile.TemporaryDirectory() as d:
+        # two "ranks" covering nodes 1-4 / 3-6 with one shared pair
+        p1, p2 = os.path.join(d, "r0"), os.path.join(d, "r1")
+        write_result(p1, "*fstrresult", np.asarray([1, 2, 3, 4]),
+                     np.asarray([1, 2]),
+                     [("VAL", np.arange(8.0).reshape(4, 2))],
+                     [("E", np.asarray([[1.0], [2.0]]))])
+        write_result(p2, "*fstrresult", np.asarray([3, 4, 5, 6]),
+                     np.asarray([3]),
+                     [("VAL", np.arange(4, 12, dtype=float).reshape(4, 2))],
+                     [("E", np.asarray([[3.0]]))])
+        out = os.path.join(d, "merged")
+        merge_results([p1, p2], out)
+        m = read_result(out)
+        assert list(m["node_ids"]) == [1, 2, 3, 4, 5, 6]
+        assert list(m["elem_ids"]) == [1, 2, 3]
+        # binary round trip
+        bz = os.path.join(d, "res.npz")
+        convert_result(out, bz, to="binary")
+        back = os.path.join(d, "back")
+        convert_result(bz, back, to="text")
+        b = read_result(back)
+        np.testing.assert_allclose(b["node_comps"][0][1],
+                                   m["node_comps"][0][1])
