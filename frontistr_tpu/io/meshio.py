@@ -143,9 +143,30 @@ def _parse_header_line(line: str):
     return card, params
 
 
-def read_mesh(path: str) -> Mesh:
+def read_mesh(path: str, native: bool = None) -> Mesh:
+    """Parse a .msh deck.  With native=True (or FRONTISTR_TPU_NATIVE_IO=1)
+    the data-heavy !NODE/!ELEMENT cards are scanned by the C++ tokenizer
+    (native/meshscan.cpp) and the Python pass only handles the card tail;
+    requires the deck's node groups to not be defined via multiple
+    NGRP-tagged !NODE cards (falls back otherwise)."""
+    import os as _os
+    if native is None:
+        native = _os.environ.get("FRONTISTR_TPU_NATIVE_IO", "0") == "1"
+    fast = None
+    if native:
+        from frontistr_tpu.io import fastmesh
+        fast = fastmesh.scan(path)
     with open(path, errors="replace") as f:
         lines = f.readlines()
+    if fast is not None:
+        n_ngrp_node_cards = sum(
+            1 for ln in lines
+            if ln.lstrip().upper().startswith("!NODE") and "NGRP" in
+            ln.upper())
+        elem_egrp = any(ln.lstrip().upper().startswith("!ELEMENT") and
+                        "EGRP" in ln.upper() for ln in lines)
+        if n_ngrp_node_cards > 1 or elem_egrp:
+            fast = None
 
     header_txt = ""
     node_ids: List[int] = []
@@ -204,6 +225,11 @@ def read_mesh(path: str) -> Mesh:
 
         if card == "NODE":
             data, i = data_lines_until_next_card(i + 1)
+            if fast is not None:
+                if "NGRP" in params:
+                    ngrp_raw.setdefault(params["NGRP"], []).extend(
+                        fast["node_ids"].tolist())
+                continue
             ids = []
             for ln in data:
                 t = _split_data(ln)
@@ -221,6 +247,8 @@ def read_mesh(path: str) -> Mesh:
             etype = int(params["TYPE"])
             egrp = params.get("EGRP")
             data, i = data_lines_until_next_card(i + 1)
+            if fast is not None:
+                continue
             ids, conns = raw_elems.setdefault(etype, ([], [], egrp))[:2]
             pend: List[int] = []
             for ln in data:
@@ -371,8 +399,20 @@ def read_mesh(path: str) -> Mesh:
         _, i = data_lines_until_next_card(i + 1)
 
     # ---- finalize ---------------------------------------------------------
-    node_ids_a = np.asarray(node_ids, dtype=np.int64)
-    coords = np.asarray(node_xyz, dtype=np.float64)
+    if fast is not None:
+        node_ids_a = fast["node_ids"]
+        coords = fast["coords"]
+        for et, ids, cn in fast["blocks"]:
+            lst = raw_elems.setdefault(et, ([], [], None))
+            lst[0].extend(ids.tolist())
+            lst[1].extend(cn.tolist())
+        node_ids = node_ids_a.tolist()
+        node_xyz = coords
+    else:
+        node_ids_a = np.asarray(node_ids, dtype=np.int64)
+        coords = np.asarray(node_xyz, dtype=np.float64)
+    node_ids_a = np.asarray(node_ids_a, dtype=np.int64)
+    coords = np.asarray(coords, dtype=np.float64)
     order = np.argsort(node_ids_a, kind="stable")
     node_ids_a = node_ids_a[order]
     coords = coords[order]
