@@ -401,6 +401,34 @@ def _qf_totallag(table, S, gderiv, det, dudx, stress, thick, dim):
     return (qf0 + qf1).reshape(E, nn * dim)
 
 
+def make_contact_solver(model, dofs_j, nns, inc_j, total_en, free):
+    """Jitted solve with a varying contact block applied outside the static
+    incidence (scatter-add; contact conn changes face targets per search)."""
+    n_node, ndof = model.n_node, model.ndof
+    sv = model.cfg.solver
+
+    @jax.jit
+    def solve(kes, B, dirichlet_inc, cdofs, cke):
+        op = femop.FEOperator(list(kes), dofs_j, nns, inc_j, total_en,
+                              n_node, ndof, free)
+
+        def A_raw(x):
+            y = op.matvec(x)
+            fe = jnp.einsum("eij,ej->ei", cke, x[cdofs])
+            return y.at[cdofs.reshape(-1)].add(fe.reshape(-1))
+
+        def A(x):
+            y = A_raw(x * free)
+            return y * free + x * (1.0 - free)
+
+        b_c = (B - A_raw(dirichlet_inc)) * free + \
+            dirichlet_inc * (1.0 - free)
+        res = krylov.pcg(A, b_c, M=op.block_jacobi(), tol=sv.resid,
+                         maxiter=sv.nier)
+        return res.x
+    return solve
+
+
 def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                             mixed: bool):
     """One jitted constrained-solve(kes, b_c) for the whole analysis —
@@ -487,6 +515,16 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
     mixed = _solve_policy() == "mixed"
     solver = make_constrained_solver(model, dofs_j, nns, inc_j, total_en,
                                      free, mixed)
+    cm = None
+    if model.mesh.contact_pairs and cfg.contacts:
+        from frontistr_tpu.contact.ntos import ContactManager
+        cm = ContactManager(model.mesh, model, cfg)
+        if not cm.active:
+            cm = None
+    contact_solver = None
+    if cm is not None:
+        contact_solver = make_contact_solver(model, dofs_j, nns, inc_j,
+                                             total_en, free)
     step_count = 0
     result = None
 
@@ -506,12 +544,27 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
             lam1 = t / t_end
             sub += 1
             tincr = dt if step.solution == "VISCO" else 0.0
-            converged, du, new_states, iters = _newton_substep(
-                model, programs, states, u, f_total, free, u_fix_total,
-                lam1, lam2, step, inc_j, dofs_j, nns, total_en, mixed,
-                solve=solver, ctime=t + dt, tincr=tincr,
-                ex_kes=ex_kes_j, ex_dofs=[jnp.asarray(d)
-                                          for d in ex_dofs])
+            max_cont = step.max_contiter if cm is not None else 1
+            for cont_it in range(max_cont):
+                converged, du, new_states, iters = _newton_substep(
+                    model, programs, states, u, f_total, free, u_fix_total,
+                    lam1, lam2, step, inc_j, dofs_j, nns, total_en, mixed,
+                    solve=solver, ctime=t + dt, tincr=tincr,
+                    ex_kes=ex_kes_j,
+                    ex_dofs=[jnp.asarray(d) for d in ex_dofs],
+                    cm=cm, contact_solve=contact_solver)
+                if cm is None or not converged:
+                    break
+                coords_def = model.coords + np.asarray(
+                    u + du).reshape(model.n_node, model.ndof)
+                proj = cm.search(coords_def)
+                pen = float(np.maximum(-proj["gap"],
+                                       0.0)[proj["touching"]].max()) \
+                    if proj["touching"].any() else 0.0
+                cm.augment(proj)
+                char = float(np.abs(model.coords).max()) or 1.0
+                if pen < 1e-5 * char:
+                    break
             stats.total_iters += iters
             stats.max_iters = max(stats.max_iters, iters)
             if not converged:
@@ -571,7 +624,7 @@ def _commit_state(s):
 def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
                     lam1, lam2, step, inc_j, dofs_j, nns, total_en, mixed,
                     solve=None, ctime=0.0, tincr=0.0, ex_kes=(),
-                    ex_dofs=()):
+                    ex_dofs=(), cm=None, contact_solve=None):
     n = model.n_dof_total
     ndof = model.ndof
     du = jnp.zeros(n)
@@ -594,10 +647,23 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
         # residual with current state
         B = gl - Q_cur
         dirichlet_inc = dufix if it == 1 else jnp.zeros_like(dufix)
-        if solve is None:
-            solve = make_constrained_solver(model, dofs_j, nns, inc_j,
-                                            total_en, free, mixed)
-        dx = solve(tuple(kes), B, dirichlet_inc)
+        if cm is not None:
+            coords_def = model.coords + np.asarray(
+                u + du).reshape(model.n_node, model.ndof)
+            proj = cm.search(coords_def)
+            cdofs, cke, cqf, _, _ = cm.device_blocks(proj)
+            cdofs_j = jnp.asarray(cdofs)
+            # contact internal force (Q_cur excludes it): B = gl - Q - Qc
+            Bc = jnp.zeros_like(B).at[cdofs_j.reshape(-1)].add(
+                jnp.asarray(cqf).reshape(-1))
+            B = B - Bc
+            dx = contact_solve(tuple(kes), B, dirichlet_inc, cdofs_j,
+                               jnp.asarray(cke))
+        else:
+            if solve is None:
+                solve = make_constrained_solver(model, dofs_j, nns, inc_j,
+                                                total_en, free, mixed)
+            dx = solve(tuple(kes), B, dirichlet_inc)
         du = du + dx
         # stress/state update + internal force (one pass per block)
         new_states = []
@@ -618,6 +684,15 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
         Q = flat[idx].sum(axis=1).reshape(-1)
         Q_cur = Q
         Bres = (gl - Q) * free
+        if cm is not None:
+            coords_def = model.coords + np.asarray(
+                u + du).reshape(model.n_node, model.ndof)
+            proj_n = cm.search(coords_def)
+            cdofs_n, _, cqf_n, _, _ = cm.device_blocks(proj_n)
+            Qc = jnp.zeros_like(Bres).at[
+                jnp.asarray(cdofs_n).reshape(-1)].add(
+                jnp.asarray(cqf_n).reshape(-1))
+            Bres = (gl - Q - Qc) * free
         res_n = float(jnp.sqrt(jnp.vdot(Bres, Bres)))
         qnrm = float(jnp.sqrt(jnp.vdot(Q, Q)))
         if qnrm < 1e-8:
