@@ -90,6 +90,14 @@ def solve_linear(model: StructModel, kes=None,
 
     sv = model.cfg.solver
     t1 = time.perf_counter()
+    if sv.method.upper() in ("DIRECT", "DIRECTMKL", "MUMPS", "MKL",
+                             "DIRECTLAG"):
+        from frontistr_tpu.solver.direct import solve_direct
+        x = solve_direct(op, np.asarray(f), np.asarray(u_fix))
+        if mpc.active:
+            x = np.asarray(mpc.recover(jnp.asarray(x)))
+        t2 = time.perf_counter()
+        return x, 1, 0.0, t1 - t0, t2 - t1
     if _solve_policy() == "mixed" and sv.method.upper() == "CG" \
             and not mpc.active:
         op32 = op.astype(jnp.float32)
