@@ -24,6 +24,14 @@ import numpy as np
 
 def main():
     import jax
+    # persistent compile cache: the remote TPU compiles for the 1M-dof
+    # programs take minutes; cache them across runs
+    cache = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from frontistr_tpu.meshgen import box_hex8
     from frontistr_tpu.elements.tables import get_table

@@ -252,81 +252,97 @@ class HeatResult:
     times: List[float]
 
 
-def _solve_heat_system(model, T, dt_inv_C=None, T_prev=None):
-    """One assembled solve K(T) T_new = f (+ transient capacity terms)."""
-    n = model.n_node
-    kes, dofs, nns, conns = [], [], [], []
-    for b in model.blocks:
-        table = get_table(b.etype)
-        coords_e = jnp.asarray(model.coords[b.conn])
-        T_e = T[jnp.asarray(b.conn)]
-        ke = conduct_ke(table, coords_e, T_e, b.cond_table, b.thick,
-                        model.dim)
-        kes.append(ke)
-        dofs.append(jnp.asarray(b.conn.astype(np.int32)))
-        nns.append(b.conn.shape[1])
-        conns.append(b.conn)
-    inc, total_en = femop.build_incidence(conns, n)
-    free = np.ones(n)
-    free[model.fixtemp_nodes] = 0.0
-    f = jnp.asarray(model.f_const)
+class _HeatSolver:
+    """Once-jitted heat solve (assembly shapes are fixed; conductivity and
+    film/radiate matrices stream in as traced arguments)."""
 
-    # FILM / RADIATE surface terms (linearized at current T)
-    diag_extra = jnp.zeros(n)
-    for kind, entries in (("film", model.films), ("rad", model.radiates)):
-        for (bi, sel, face, coef, sink) in entries:
+    def __init__(self, model):
+        self.model = model
+        n = model.n_node
+        dofs, nns, conns = [], [], []
+        for b in model.blocks:
+            dofs.append(jnp.asarray(b.conn.astype(np.int32)))
+            nns.append(b.conn.shape[1])
+            conns.append(b.conn)
+        self.surf = []
+        for kind, entries in (("film", model.films),
+                              ("rad", model.radiates)):
+            for (bi, sel, face, coef, sink) in entries:
+                b = model.blocks[bi]
+                ftype, lnodes = FACE_TABLES[b.etype][face - 1]
+                fconn = b.conn[sel][:, lnodes]
+                self.surf.append((kind, bi, sel, face, coef, sink,
+                                  fconn))
+                dofs.append(jnp.asarray(fconn.astype(np.int32)))
+                nns.append(fconn.shape[1])
+                conns.append(fconn)
+        inc, total_en = femop.build_incidence(conns, n)
+        self.inc = jnp.asarray(inc)
+        self.total_en = total_en
+        self.dofs, self.nns = dofs, nns
+        free = np.ones(n)
+        free[model.fixtemp_nodes] = 0.0
+        self.free = jnp.asarray(free)
+        u_fix = np.zeros(n)
+        u_fix[model.fixtemp_nodes] = model.fixtemp_vals
+        self.u_fix = jnp.asarray(u_fix)
+        sv = model.cfg.solver
+        free_j, u_fix_j = self.free, self.u_fix
+
+        @jax.jit
+        def solve(kes, f, dt_inv_C):
+            op = femop.FEOperator(
+                kes=list(kes), dofs=dofs, nns=nns, inc=self.inc,
+                total_en=total_en, n_node=n, ndof=1, free_mask=free_j)
+
+            def A(x):
+                y = op.matvec(x * free_j) + dt_inv_C * (x * free_j)
+                return y * free_j + x * (1.0 - free_j)
+
+            y_fix = op.matvec(u_fix_j) + dt_inv_C * u_fix_j
+            b_c = (f - y_fix) * free_j + u_fix_j * (1.0 - free_j)
+            D = op.diag_blocks().reshape(-1) + dt_inv_C
+            D = D * free_j ** 2
+            D = jnp.where(D == 0, 1.0, D)
+            res = krylov.pcg(A, b_c, M=lambda r: r / D, tol=sv.resid,
+                             maxiter=max(sv.nier, 2000))
+            return res.x
+        self._solve = solve
+
+    def step(self, T, dt_inv_C=None, T_prev=None):
+        model = self.model
+        n = model.n_node
+        kes = []
+        for b in model.blocks:
+            table = get_table(b.etype)
+            coords_e = jnp.asarray(model.coords[b.conn])
+            T_e = T[jnp.asarray(b.conn)]
+            kes.append(conduct_ke(table, coords_e, T_e, b.cond_table,
+                                  b.thick, model.dim))
+        f = jnp.asarray(model.f_const)
+        for (kind, bi, sel, face, coef, sink, fconn) in self.surf:
             b = model.blocks[bi]
             ftype, lnodes = FACE_TABLES[b.etype][face - 1]
             ft = get_table(ftype)
-            fconn = b.conn[sel][:, lnodes]
             fc = jnp.asarray(model.coords[b.conn[sel]][:, lnodes, :])
             T_f = T[jnp.asarray(fconn)]
             kmat, fvec = _surface_film_terms(
                 ft, fc, T_f, coef, sink, kind, model.zero_temp,
                 b.thick, model.dim)
-            # consistent surface matrix folded to rows (add to ke of the
-            # parent block is complex; use full matrix contribution via
-            # extra block)
             kes.append(kmat)
-            dofs.append(jnp.asarray(fconn.astype(np.int32)))
-            nns.append(fconn.shape[1])
-            conns.append(fconn)
-            f = f.at[jnp.asarray(fconn).reshape(-1)].add(fvec.reshape(-1))
-    if len(conns) > len(model.blocks):
-        inc, total_en = femop.build_incidence(conns, n)
-
-    if dt_inv_C is not None:
-        f = f + dt_inv_C * T_prev
-
-    op = femop.FEOperator(kes=kes, dofs=dofs, nns=nns,
-                          inc=jnp.asarray(inc), total_en=total_en,
-                          n_node=n, ndof=1, free_mask=jnp.asarray(free))
-    u_fix = np.zeros(n)
-    u_fix[model.fixtemp_nodes] = model.fixtemp_vals
-    u_fix = jnp.asarray(u_fix)
-
-    def A(x):
-        y = op.matvec(x * op.free_mask)
+            f = f.at[jnp.asarray(fconn).reshape(-1)].add(
+                fvec.reshape(-1))
         if dt_inv_C is not None:
-            y = y + dt_inv_C * (x * op.free_mask)
-        return y * op.free_mask + x * (1.0 - op.free_mask)
+            f = f + dt_inv_C * T_prev
+        else:
+            dt_inv_C = jnp.zeros(n)
+        return self._solve(tuple(kes), f, dt_inv_C)
 
-    y_fix = op.matvec(u_fix)
-    if dt_inv_C is not None:
-        y_fix = y_fix + dt_inv_C * u_fix
-    b_c = (f - y_fix) * op.free_mask + u_fix * (1.0 - op.free_mask)
-    D = op.diag_blocks().reshape(-1)
-    if dt_inv_C is not None:
-        D = D + dt_inv_C
-    D = D * op.free_mask ** 2
-    D = jnp.where(D == 0, 1.0, D)
 
-    def M(r):
-        return r / D
-
-    sv = model.cfg.solver
-    res = krylov.pcg(A, b_c, M=M, tol=sv.resid, maxiter=max(sv.nier, 2000))
-    return res.x
+def _solve_heat_system(model, T, dt_inv_C=None, T_prev=None, solver=None):
+    if solver is None:
+        solver = _HeatSolver(model)
+    return solver.step(T, dt_inv_C, T_prev)
 
 
 def _surface_film_terms(ft, fc, T_f, coef, sink, kind, tzero, thick, dim):
@@ -376,12 +392,13 @@ def run_heat(mesh: Mesh, cfg: AnalysisConfig, workdir: str,
     total_iters = 0
     times = []
 
+    solver = _HeatSolver(model)
     transient = h is not None and h.fixed_dt > 0.0
     if not transient:
         # steady: fixed-point on temperature-dependent properties
         # (heat_solve_SS.f90 loop)
         for it in range(max(itmax, 1)):
-            T_new = _solve_heat_system(model, T)
+            T_new = _solve_heat_system(model, T, solver=solver)
             chg = float(jnp.sqrt(jnp.sum((T_new - T) ** 2)))
             T = T_new
             total_iters += 1
@@ -412,7 +429,7 @@ def run_heat(mesh: Mesh, cfg: AnalysisConfig, workdir: str,
             dt_inv_C = C / dt_cur
             T_prev = T
             for it in range(max(itmax, 1)):
-                T_new = _solve_heat_system(model, T, dt_inv_C, T_prev)
+                T_new = _solve_heat_system(model, T, dt_inv_C, T_prev, solver=solver)
                 chg = float(jnp.sqrt(jnp.sum((T_new - T) ** 2)))
                 T = T_new
                 total_iters += 1
