@@ -44,8 +44,15 @@ def compute_element_stiffness(model: StructModel):
     """Batched element stiffness per block (linear elastic)."""
     kes = []
     for b in model.blocks:
-        table = get_table(b.etype)
         coords_e = jnp.asarray(model.coords[b.conn])
+        if b.kind == "shell":
+            from frontistr_tpu.fem import shell
+            ke = shell.stiffness_shell(coords_e, b.thick,
+                                       b.material.youngs,
+                                       b.material.poisson, etype=b.etype)
+            kes.append(ke)
+            continue
+        table = get_table(b.etype)
         if b.etype == 361 and b.formulation == "IC":
             ke = solid.stiffness_hex8ic(table, coords_e, jnp.asarray(b.D))
         else:
@@ -117,6 +124,9 @@ def solve_linear(model: StructModel, kes=None,
 def recover_stress(model: StructModel, u_flat: np.ndarray):
     """Gauss strain/stress + nodal smoothing + element means."""
     u = u_flat.reshape(model.n_node, model.ndof)
+    if any(b.kind == "shell" for b in model.blocks):
+        from frontistr_tpu.post.shellpost import shell_recover
+        return u, shell_recover(model, u), []
     block_data = []
     for b in model.blocks:
         table = get_table(b.etype)

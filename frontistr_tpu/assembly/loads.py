@@ -188,7 +188,7 @@ def collect_dload(mesh, model, cards, grpid_filter=None) -> np.ndarray:
         for k, eid in enumerate(b.elem_ids):
             eid2loc[int(eid)] = (bi, k)
 
-    def add_elems(eids, faces, ltype, params):
+    def add_elems(eids, faces, ltype, params, token=""):
         """faces: None or per-element face numbers (for surface groups)."""
         by_block: Dict[tuple, List] = {}
         for idx, eid in enumerate(eids):
@@ -203,9 +203,19 @@ def collect_dload(mesh, model, cards, grpid_filter=None) -> np.ndarray:
             sel = np.asarray(rows, dtype=np.int64)
             coords_e = model.coords[b.conn[sel]]
             rho = float(b.material.density)
-            if ltype < 10:
+            if getattr(b, "kind", "solid") == "shell":
+                from frontistr_tpu.fem import shell as shmod
+                import jax.numpy as jnp
+                tok = token if token in ("BX", "BY", "BZ", "GRAV",
+                                         "CENT") else "P0"
+                vect = np.asarray(shmod.shell_dload(
+                    jnp.asarray(coords_e), b.thick, rho, tok,
+                    np.asarray(params), b.etype))
+            elif ltype < 10:
                 vect = _body_force(b.etype, coords_e, model.dim, b.thick,
                                    ltype, params, rho)
+            elif ltype >= 100:
+                continue        # S/P0 on solids needs a surface group
             else:
                 vect = _face_pressure(b.etype, coords_e, model.dim, b.thick,
                                       face, params[0])
@@ -227,12 +237,13 @@ def collect_dload(mesh, model, cards, grpid_filter=None) -> np.ndarray:
             params = np.asarray(params[:7])
             if ltype == 100:  # surface group: per-entry (elem, face)
                 sg = mesh.surf_groups.get(grp)
-                if sg is None:
+                if sg is not None:
+                    for face in np.unique(sg[:, 1]):
+                        sel = sg[sg[:, 1] == face]
+                        add_elems(sel[:, 0], None, int(face) * 10, params,
+                                  lt_tok)
                     continue
-                for face in np.unique(sg[:, 1]):
-                    sel = sg[sg[:, 1] == face]
-                    add_elems(sel[:, 0], None, int(face) * 10, params)
-                continue
+                # shell P0: element group carrying a mid-surface pressure
             eids = mesh.elem_groups.get(grp)
             if eids is None:
                 # literal element id
@@ -240,5 +251,5 @@ def collect_dload(mesh, model, cards, grpid_filter=None) -> np.ndarray:
                     eids = np.asarray([int(grp)])
                 except ValueError:
                     continue
-            add_elems(eids, None, ltype, params)
+            add_elems(eids, None, ltype, params, lt_tok)
     return f

@@ -36,6 +36,8 @@ class KBlock:
     sect_id: int = 0
     # 361 formulation (fstr_setup.f90:365-379 defaults): FI / BBAR / IC / FBAR
     formulation: str = "FI"
+    # "solid" | "shell" (MITC 731/741, 6 dof/node)
+    kind: str = "solid"
 
 
 def _resolve_material(mesh: Mesh, cnt_mats: Dict[str, CntMaterial],
@@ -191,10 +193,18 @@ def _iset_from_section(sec) -> int:
             2: mat.AXISYMMETRIC}.get(sec.opt, mat.PLANE_STRESS)
 
 
+SHELL_ETYPES = (731, 741)
+
+
 def build_struct_model(mesh: Mesh, cfg: AnalysisConfig) -> StructModel:
+    shell_blocks = [b for b in mesh.blocks if b.etype in SHELL_ETYPES]
     solid_types = [b for b in mesh.blocks
                    if b.etype in ETYPE_INFO and
                    ETYPE_INFO[b.etype][0] >= 2]
+    if shell_blocks:
+        if solid_types:
+            raise NotImplementedError("mixed shell/solid meshes")
+        return _build_shell_model(mesh, cfg, shell_blocks)
     if not solid_types:
         raise ValueError("no supported solid elements in mesh")
     dim = max(ETYPE_INFO[b.etype][0] for b in solid_types)
@@ -263,4 +273,45 @@ def build_struct_model(mesh: Mesh, cfg: AnalysisConfig) -> StructModel:
         if T is not None:
             model.temperature = T
             model.f_ext = model.f_ext + thermal_load(model, T)
+    return model
+
+
+def _build_shell_model(mesh: Mesh, cfg: AnalysisConfig,
+                       shell_blocks) -> StructModel:
+    """MITC shell analysis model: 6 dof/node (ux,uy,uz,tx,ty,tz), NDOF=6
+    system like the reference shell path (fstr_NodalStress.f90:780+,
+    static_LIB_shell.f90)."""
+    dim, ndof = 3, 6
+    n_node = mesh.n_node
+    coords = mesh.coords[:, :3].copy()
+    blocks: List[KBlock] = []
+    for b in shell_blocks:
+        sec = mesh.sections[b.section_id] if mesh.sections else None
+        mname = sec.material if sec else next(iter(mesh.materials), "")
+        m = _resolve_material(mesh, cfg.materials, mname)
+        m.nlgeom = mat.INFINITESIMAL
+        E = len(b.elem_ids)
+        thick = sec.values[0] if sec and sec.values else 1.0
+        D1 = mat.elastic_D(m.youngs, m.poisson, mat.D3)
+        D = np.broadcast_to(D1, (E,) + D1.shape).copy()
+        nn = b.conn.shape[1]
+        dofs = (b.conn[:, :, None] * ndof +
+                np.arange(ndof)[None, None, :]).reshape(E, nn * ndof)
+        blocks.append(KBlock(b.etype, b.elem_ids, b.conn,
+                             dofs.astype(np.int32), D, thick, mat.D3,
+                             np.full(E, m.density), m, b.section_id,
+                             kind="shell"))
+    step = cfg.steps[0]
+    grpid = set(step.boundary_groups) if step.boundary_groups else None
+    fixed_dofs, fixed_vals = collect_boundary(mesh, cfg.boundaries, ndof,
+                                              grpid)
+    lgrp = set(step.load_groups) if step.load_groups else None
+    f_ext = collect_cload(mesh, cfg.cloads, ndof, n_node, lgrp)
+    model = StructModel(mesh, cfg, ndof, dim, n_node, coords, blocks,
+                        fixed_dofs, fixed_vals, f_ext, nlgeom=False,
+                        reftemp=cfg.reftemp)
+    if cfg.dloads:
+        from frontistr_tpu.assembly.loads import collect_dload
+        model.f_ext = model.f_ext + collect_dload(mesh, model, cfg.dloads,
+                                                  lgrp)
     return model
