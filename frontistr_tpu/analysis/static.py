@@ -52,6 +52,23 @@ def compute_element_stiffness(model: StructModel):
                                        b.material.poisson, etype=b.etype)
             kes.append(ke)
             continue
+        if b.kind in ("beam", "beam341"):
+            from frontistr_tpu.fem import beam
+            sec = model.mesh.sections[b.sect_id] \
+                if model.mesh.sections else None
+            sect = sec.values if sec and len(sec.values) >= 7 else \
+                [0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0]
+            ax = model.coords[b.conn[:, 1]] - model.coords[b.conn[:, 0]]
+            ax = ax / np.linalg.norm(ax, axis=1, keepdims=True)
+            if (np.linalg.norm(np.cross(np.asarray(sect[:3]), ax),
+                               axis=1) < 1e-8).any():
+                raise ValueError(
+                    "Bad reference vector for beam element (parallel to "
+                    "the beam axis) -- check !SECTION TYPE=BEAM")
+            ke = beam.stiffness_beam(coords_e, sect, b.material.youngs,
+                                     b.material.poisson, etype=b.etype)
+            kes.append(ke)
+            continue
         table = get_table(b.etype)
         if b.etype == 361 and b.formulation == "IC":
             ke = solid.stiffness_hex8ic(table, coords_e, jnp.asarray(b.D))
@@ -127,8 +144,27 @@ def recover_stress(model: StructModel, u_flat: np.ndarray):
     if any(b.kind == "shell" for b in model.blocks):
         from frontistr_tpu.post.shellpost import shell_recover
         return u, shell_recover(model, u), []
+    if all(b.kind in ("beam", "beam341") for b in model.blocks):
+        # beam stress resultants (NQM) not yet recovered -> zeros
+        n, ns = model.n_node, 6
+        zed = lambda b: np.zeros((len(b.elem_ids), ns))
+        sm = dict(strain=np.zeros((n, ns)), stress=np.zeros((n, ns)),
+                  mises=np.zeros(n), count=np.ones(n),
+                  estrain=[zed(b) for b in model.blocks],
+                  estress=[zed(b) for b in model.blocks],
+                  emises=[np.zeros(len(b.elem_ids))
+                          for b in model.blocks])
+        return u, sm, []
     block_data = []
     for b in model.blocks:
+        if b.kind != "solid":
+            ns = 6 if model.dim == 3 else 4
+            block_data.append(dict(
+                etype=b.etype, conn=b.conn[:, :0],
+                gauss_strain=np.zeros((len(b.elem_ids), 1, ns)),
+                gauss_stress=np.zeros((len(b.elem_ids), 1, ns)),
+                skip=True))
+            continue
         table = get_table(b.etype)
         coords_e = jnp.asarray(model.coords[b.conn])
         u_e = jnp.asarray(u[b.conn])

@@ -194,28 +194,49 @@ def _iset_from_section(sec) -> int:
 
 
 SHELL_ETYPES = (731, 741)
+BEAM6_ETYPES = (611,)          # 2-node beam, 6 dof/node
+BEAM3_ETYPES = (641,)          # 3x4-dof beam packing (NDOF=3 system)
 
 
 def build_struct_model(mesh: Mesh, cfg: AnalysisConfig) -> StructModel:
-    shell_blocks = [b for b in mesh.blocks if b.etype in SHELL_ETYPES]
+    six_blocks = [b for b in mesh.blocks
+                  if b.etype in SHELL_ETYPES + BEAM6_ETYPES]
     solid_types = [b for b in mesh.blocks
-                   if b.etype in ETYPE_INFO and
-                   ETYPE_INFO[b.etype][0] >= 2]
-    if shell_blocks:
+                   if (b.etype in ETYPE_INFO and ETYPE_INFO[b.etype][0] >= 2)
+                   or b.etype in BEAM3_ETYPES]
+    if six_blocks:
         if solid_types:
             raise NotImplementedError("mixed shell/solid meshes")
-        return _build_shell_model(mesh, cfg, shell_blocks)
+        return _build_shell_model(mesh, cfg, six_blocks)
     if not solid_types:
         raise ValueError("no supported solid elements in mesh")
-    dim = max(ETYPE_INFO[b.etype][0] for b in solid_types)
+    dim = max([ETYPE_INFO[b.etype][0] for b in solid_types
+               if b.etype in ETYPE_INFO] + 
+              ([3] if any(b.etype in BEAM3_ETYPES for b in solid_types)
+               else []))
     ndof = dim
     n_node = mesh.n_node
     coords = mesh.coords[:, :dim].copy()
 
     blocks: List[KBlock] = []
     for b in solid_types:
-        table = get_table(b.etype)
         sec = mesh.sections[b.section_id] if mesh.sections else None
+        if b.etype in BEAM3_ETYPES:
+            mname = sec.material if sec else next(iter(mesh.materials), "")
+            m = _resolve_material(mesh, cfg.materials, mname)
+            m.nlgeom = mat.INFINITESIMAL
+            E = len(b.elem_ids)
+            nn = b.conn.shape[1]
+            dofs = (b.conn[:, :, None] * ndof +
+                    np.arange(ndof)[None, None, :]).reshape(E, nn * ndof)
+            D1 = mat.elastic_D(m.youngs, m.poisson, mat.D3)
+            blocks.append(KBlock(b.etype, b.elem_ids, b.conn,
+                                 dofs.astype(np.int32),
+                                 np.broadcast_to(D1, (E,) + D1.shape).copy(),
+                                 1.0, mat.D3, np.full(E, m.density), m,
+                                 b.section_id, kind="beam341"))
+            continue
+        table = get_table(b.etype)
         mname = sec.material if sec else next(iter(mesh.materials), "")
         m = _resolve_material(mesh, cfg.materials, mname)
         if cfg.nlgeom:
@@ -297,10 +318,11 @@ def _build_shell_model(mesh: Mesh, cfg: AnalysisConfig,
         nn = b.conn.shape[1]
         dofs = (b.conn[:, :, None] * ndof +
                 np.arange(ndof)[None, None, :]).reshape(E, nn * ndof)
+        kind = "beam" if b.etype in BEAM6_ETYPES else "shell"
         blocks.append(KBlock(b.etype, b.elem_ids, b.conn,
                              dofs.astype(np.int32), D, thick, mat.D3,
                              np.full(E, m.density), m, b.section_id,
-                             kind="shell"))
+                             kind=kind))
     step = cfg.steps[0]
     grpid = set(step.boundary_groups) if step.boundary_groups else None
     fixed_dofs, fixed_vals = collect_boundary(mesh, cfg.boundaries, ndof,

@@ -117,6 +117,12 @@ def smooth(n_node: int, block_data: List[dict], dim: int):
     for bd in block_data:
         etype = bd["etype"]
         conn = bd["conn"]
+        if bd.get("skip"):        # beam blocks: no continuum stress
+            E = len(bd["gauss_strain"])
+            est_list.append(np.zeros((E, ns)))
+            ess_list.append(np.zeros((E, ns)))
+            ems_list.append(np.zeros(E))
+            continue
         geps = np.asarray(bd["gauss_strain"])[..., :ns]
         gsig = np.asarray(bd["gauss_stress"])[..., :ns]
         Ex = extrapolation_matrix(etype)
