@@ -74,8 +74,13 @@ def _resolve_material(mesh: Mesh, cnt_mats: Dict[str, CntMaterial],
             return default
         if cm.elastic is not None:
             rows = cm.elastic.rows_f()
-            m.elastic_table = np.asarray(rows)
-            m.youngs, m.poisson = rows[0][0], rows[0][1]
+            if (cm.elastic.param("TYPE") or "").upper().startswith("ORTHO"):
+                c9 = [v for row in rows for v in row][:9]
+                m.ortho_consts = np.asarray(c9)
+                m.youngs, m.poisson = c9[0], c9[3]
+            else:
+                m.elastic_table = np.asarray(rows)
+                m.youngs, m.poisson = rows[0][0], rows[0][1]
             m.nlgeom = _flag(cm.elastic, mat.TOTALLAG)
         if cm.density is not None:
             m.density = cm.density.rows_f()[0][0]
@@ -186,6 +191,41 @@ def collect_cload(mesh: Mesh, cards: List[Card], ndof: int, n_node: int,
     return f
 
 
+def _orientation_frame(cfg: AnalysisConfig, sect_id: int):
+    """Resolve cnt '!SECTION, SECNUM=n, ORIENTATION=name' to the 3x3 local
+    frame (rows = local axes) defined by '!ORIENTATION,
+    DEFINITION=COORDINATES' points a, b, c (fstr_setup_ORIENTATION:
+    fstr_setup.f90:1517-1570: x = (a-c)/|a-c|, z = x cross (b-c), y = z
+    cross x)."""
+    name = None
+    for c in cfg.sections:
+        if c.iparam("SECNUM", 0) == sect_id + 1:
+            name = (c.param("ORIENTATION") or "").upper() or None
+    if name is None:
+        return None
+    known = [(c.param("NAME") or "").upper() for c in cfg.orientations]
+    if name not in known:
+        raise ValueError(f"!SECTION references undefined ORIENTATION "
+                         f"'{name}' (defined: {known or 'none'})")
+    for c in cfg.orientations:
+        if (c.param("NAME") or "").upper() != name:
+            continue
+        dfn = (c.param("DEFINITION") or "COORDINATES").upper()
+        if dfn != "COORDINATES":
+            raise NotImplementedError("ORIENTATION DEFINITION=NODES")
+        vals = [float(v) for v in c.rows_f()[0]] + [0.0] * 9
+        a = np.asarray(vals[0:3])
+        b = np.asarray(vals[3:6])
+        c0 = np.asarray(vals[6:9])
+        f1 = a - c0
+        f1 = f1 / np.linalg.norm(f1)
+        f3 = np.cross(f1, b - c0)
+        f3 = f3 / np.linalg.norm(f3)
+        f2 = np.cross(f3, f1)
+        return np.stack([f1, f2, f3])
+    return None
+
+
 def _iset_from_section(sec) -> int:
     # fstr_setup.f90:1012-1021: sect_opt 0 -> PlaneStress(1),
     # 1 -> Planestrain(0), 2 -> AxisSymetric(2)
@@ -252,7 +292,13 @@ def build_struct_model(mesh: Mesh, cfg: AnalysisConfig) -> StructModel:
         if dim == 2:
             iset = _iset_from_section(sec) if sec else mat.PLANE_STRESS
             thick = sec.values[0] if sec and sec.values else 1.0
-        D1 = mat.elastic_D(m.youngs, m.poisson, iset)
+        if m.ortho_consts is not None and dim == 3:
+            D1 = mat.elastic_D_ortho(m.ortho_consts)
+            frame = _orientation_frame(cfg, b.section_id)
+            if frame is not None:
+                D1 = mat.rotate_D(D1, frame)
+        else:
+            D1 = mat.elastic_D(m.youngs, m.poisson, iset)
         D = np.broadcast_to(D1, (E,) + D1.shape).copy()
         nn = table.nn
         dofs = (b.conn[:, :, None] * ndof +

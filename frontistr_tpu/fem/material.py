@@ -60,10 +60,57 @@ class Material:
     creep_consts: Optional[np.ndarray] = None
     # temperature-dependent elastic table rows: (E, nu, temp)
     elastic_table: Optional[np.ndarray] = None
+    # orthotropic constants (E1,E2,E3,nu12,nu13,nu23,G12,G13,G23)
+    ortho_consts: Optional[np.ndarray] = None
     # heat: rows of (value..., temp) tables
     heat_density: Optional[np.ndarray] = None
     heat_capacity: Optional[np.ndarray] = None
     heat_conductivity: Optional[np.ndarray] = None
+
+
+def elastic_D_ortho(c9) -> np.ndarray:
+    """Orthotropic 3D elastic matrix in the material frame
+    (ElasticLinear.f90 calElasticMatrix_ortho:111-170); Voigt order
+    (11,22,33,12,23,13)."""
+    E1, E2, E3, n12, n13, n23, G12, G13, G23 = [float(v) for v in c9[:9]]
+    n21 = E2 / E1 * n12
+    n32 = E3 / E2 * n23
+    n31 = E3 / E1 * n13
+    d = 1.0 / (1 - n12 * n21 - n23 * n32 - n31 * n13 - 2 * n21 * n32 * n13)
+    D = np.zeros((6, 6))
+    D[0, 0] = E1 * (1 - n23 * n32) * d
+    D[1, 1] = E2 * (1 - n13 * n31) * d
+    D[2, 2] = E3 * (1 - n12 * n21) * d
+    D[0, 1] = D[1, 0] = E1 * (n21 + n31 * n23) * d
+    D[0, 2] = D[2, 0] = E1 * (n31 + n21 * n32) * d
+    D[1, 2] = D[2, 1] = E2 * (n32 + n12 * n31) * d
+    D[3, 3], D[4, 4], D[5, 5] = G12, G23, G13
+    return D
+
+
+def voigt_transform(b) -> np.ndarray:
+    """6x6 engineering-Voigt strain transform for frame rows b (local axes
+    in global components): eps_local = tm @ eps_global
+    (utilities.f90 transformation:327-360)."""
+    tm = np.zeros((6, 6))
+    pair = [(0, 1), (1, 2), (2, 0)]
+    for i in range(3):
+        for j in range(3):
+            tm[i, j] = b[i, j] ** 2
+        for k, (p, q) in enumerate(pair):
+            tm[i, 3 + k] = b[i, p] * b[i, q]
+    for k, (i, j) in enumerate(pair):
+        for m in range(3):
+            tm[3 + k, m] = 2.0 * b[i, m] * b[j, m]
+        for l, (p, q) in enumerate(pair):
+            tm[3 + k, 3 + l] = b[i, p] * b[j, q] + b[i, q] * b[j, p]
+    return tm
+
+
+def rotate_D(D_local, frame) -> np.ndarray:
+    """D_global = tm^T D_local tm (calElasticMatrix_ortho:168-169)."""
+    tm = voigt_transform(np.asarray(frame))
+    return tm.T @ D_local @ tm
 
 
 def elastic_D(youngs, poisson, sect_type: int) -> np.ndarray:
