@@ -24,7 +24,15 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
     """
     t_start = time.time()
     ctrl = read_hecmw_ctrl(os.path.join(workdir, "hecmw_ctrl.dat"))
-    mesh = read_mesh(ctrl.path(ctrl.mesh()))
+    mb = ctrl.mesh()
+    mtype = mb.params.get("TYPE", "HECMW-ENTIRE").upper()
+    if mtype == "ABAQUS":
+        from frontistr_tpu.io.abaqusio import read_abaqus
+        mesh = read_abaqus(ctrl.path(mb))
+    elif mtype in ("HECMW-ENTIRE", ""):
+        mesh = read_mesh(ctrl.path(mb))
+    else:
+        raise NotImplementedError(f"!MESH TYPE={mtype}")
     cfg = read_cnt(ctrl.path(ctrl.control()))
     out = {"mesh": mesh, "cfg": cfg, "ctrl": ctrl}
 
