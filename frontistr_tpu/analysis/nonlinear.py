@@ -72,7 +72,7 @@ def _plastic_params(m: mat.Material):
                          np.asarray(consts).reshape(-1)
                          if m.hardening.upper() != "MULTILINEAR"
                          else np.asarray(consts).reshape(-1),
-                         table=table)
+                         table=table, yield_func=m.yield_func.upper())
 
 
 class BlockPrograms:
@@ -242,8 +242,8 @@ class BlockPrograms:
             new_state["stress"] = sig
 
         if self.mtype == mat.EPLASTIC:
-            from frontistr_tpu.fem.plastic import return_mapping_mises
-            sig, p_new, yielded, back = return_mapping_mises(
+            from frontistr_tpu.fem.plastic import return_mapping
+            sig, p_new, yielded, back = return_mapping(
                 self.pl, new_state["stress"], state["pstrain"],
                 state["back"])
             new_state["stress"] = sig
