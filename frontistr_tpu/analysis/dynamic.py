@@ -44,7 +44,12 @@ def lumped_mass_vector(model: StructModel) -> np.ndarray:
     the 'ss(num)*(2*totmass-totdiag)/totdiag' scaling)."""
     from frontistr_tpu.elements.quadhi import mass_tables
     m = np.zeros(model.n_node)
+    rot_zero = model.ndof == 6
     for b in model.blocks:
+        if b.kind in ("shell", "beam", "beam341"):
+            me = _struct_elem_mass(model, b)         # (E, nn) per node
+            np.add.at(m, b.conn.reshape(-1), me.reshape(-1))
+            continue
         N, dN, w = mass_tables(b.etype)
         coords_e = model.coords[b.conn]
         J = np.einsum("qni,enj->eqij", dN, coords_e)
@@ -58,7 +63,45 @@ def lumped_mass_vector(model: StructModel) -> np.ndarray:
         me = mii * (total / np.where(diag_sum == 0, 1.0,
                                      diag_sum))[:, None]
         np.add.at(m, b.conn.reshape(-1), me.reshape(-1))
-    return np.repeat(m, model.ndof)
+    if not rot_zero:
+        return np.repeat(m, model.ndof)
+    # 6-dof models: translational mass only, zero rotary inertia
+    # (fstr_EIG_setMASS.f90:163-231 -- the rotary terms are commented out
+    # in the reference too)
+    md = np.zeros((model.n_node, 6))
+    md[:, :3] = m[:, None]
+    return md.reshape(-1)
+
+
+def _struct_elem_mass(model, b) -> np.ndarray:
+    """Equal-split element mass for shells/beams (fstr_EIG_setMASS.f90:
+    131-150): shells A*t*rho/nn, beams L*a*rho/2 on the geometry-carrying
+    nodes (641 rotation carriers get zero)."""
+    x = model.coords[b.conn]
+    E, nn = b.conn.shape[:2]
+    rho = b.density
+    if b.kind == "shell":
+        if nn == 3:
+            area = 0.5 * np.linalg.norm(
+                np.cross(x[:, 1] - x[:, 0], x[:, 2] - x[:, 0]), axis=1)
+        else:
+            # quad: two triangles (1,2,3) + (1,3,4)
+            a1 = 0.5 * np.linalg.norm(
+                np.cross(x[:, 1] - x[:, 0], x[:, 2] - x[:, 0]), axis=1)
+            a2 = 0.5 * np.linalg.norm(
+                np.cross(x[:, 2] - x[:, 0], x[:, 3] - x[:, 0]), axis=1)
+            area = a1 + a2
+        val = area * b.thick * rho / nn
+        return np.broadcast_to(val[:, None], (E, nn)).copy()
+    # beams: section area from the BEAM section values
+    sec = model.mesh.sections[b.sect_id] if model.mesh.sections else None
+    a = sec.values[3] if sec and len(sec.values) >= 7 else 1.0
+    L = np.linalg.norm(x[:, 1] - x[:, 0], axis=1)
+    val = 0.5 * L * a * rho
+    me = np.zeros((E, nn))
+    me[:, 0] = val
+    me[:, 1] = val
+    return me
 
 
 def _amp_factory(mesh, cfg):
@@ -278,6 +321,10 @@ def _run_explicit(model: StructModel, log_path):
     cfg = model.cfg
     d = cfg.dynamic
     ndof = model.ndof
+    if ndof == 6:
+        raise NotImplementedError(
+            "explicit dynamics needs rotary inertia for 6-dof "
+            "shell/beam models; use implicit (idx_eqa=1)")
     n = model.n_dof_total
     dt = d.t_delta
     a1 = 1.0 / (dt * dt)

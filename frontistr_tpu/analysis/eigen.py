@@ -50,7 +50,15 @@ def run_eigen(model: StructModel, log_path: Optional[str] = None):
                                           model.n_node)
     free = old_ops.make_free_mask(n, model.fixed_dofs)
     mass = lumped_mass_vector(model)
-    active = (free > 0) & (mass > 0)
+    # Lanczos runs in the M-seminorm over mass-carrying dofs; K however
+    # must stay unconstrained on zero-mass dofs (shell/beam rotations are
+    # condensed through K^-1, NOT clamped).  Only Dirichlet dofs and dofs
+    # of nodes untouched by any element are pinned.
+    used = np.zeros(model.n_node, bool)
+    for b in model.blocks:
+        used[np.unique(b.conn)] = True
+    k_active = (free > 0) & np.repeat(used, model.ndof)
+    active = k_active & (mass > 0)
     act = jnp.asarray(active.astype(np.float64))
     mass_j = jnp.asarray(mass)
 
@@ -59,16 +67,18 @@ def run_eigen(model: StructModel, log_path: Optional[str] = None):
         dofs=[jnp.asarray(b.dofs) for b in model.blocks],
         nns=[b.conn.shape[1] for b in model.blocks],
         inc=jnp.asarray(inc), total_en=total_en, n_node=model.n_node,
-        ndof=model.ndof, free_mask=jnp.asarray(active.astype(np.float64)))
+        ndof=model.ndof,
+        free_mask=jnp.asarray(k_active.astype(np.float64)))
     M_pre = op.block_jacobi()
+    k_act = jnp.asarray(k_active.astype(np.float64))
 
     @jax.jit
     def shift_invert(q):
-        """w = K^{-1} (M q) restricted to active dofs."""
-        b = (mass_j * q) * act
+        """w = K^{-1} (M q) on the Dirichlet-constrained system."""
+        b = (mass_j * q) * k_act
         res = krylov.pcg(op.apply_constrained, b, M=M_pre,
                          tol=1e-10, maxiter=model.cfg.solver.nier)
-        return res.x * act
+        return res.x * k_act
 
     # --- Lanczos with full reorthogonalization (M-inner product) ----------
     rng = np.random.default_rng(0)
@@ -119,8 +129,8 @@ def run_eigen(model: StructModel, log_path: Optional[str] = None):
 
     mass_np = np.asarray(mass)
     ndof = model.ndof
-    pf = np.zeros((nget, 3))
-    em = np.zeros((nget, 3))
+    pf = np.zeros((nget, ndof))
+    em = np.zeros((nget, ndof))
     for i in range(nget):
         p = phi[:, i].reshape(model.n_node, ndof)
         mm = mass_np.reshape(model.n_node, ndof)
@@ -130,7 +140,7 @@ def run_eigen(model: StructModel, log_path: Optional[str] = None):
             pf[i, d] = r / gm
             em[i, d] = r * r / gm
 
-    total_mass = float(mass_np.sum() / ndof)
+    total_mass = float(mass_np.sum() / min(ndof, 3))
     res = EigenResult(
         eigenvalues=lam, ang_freq=np.sqrt(np.abs(lam)),
         freq=np.sqrt(np.abs(lam)) / (2 * np.pi), eigenvectors=phi,

@@ -45,6 +45,9 @@ def _sel(dim):
 
 
 def init_block_state(block, table):
+    if block.kind in ("shell", "beam", "beam341") or table is None:
+        # linear structural elements carry no gauss history
+        return dict()
     E, nq = len(block.elem_ids), table.nq
     ns = 6 if get_table(block.etype).dim == 3 else 4
     z = jnp.zeros((E, nq, ns))
@@ -80,6 +83,23 @@ class BlockPrograms:
 
     def __init__(self, model: StructModel, block):
         self.block = block
+        if block.kind in ("shell", "beam", "beam341"):
+            # linear structural elements: constant tangent, qf = ke u
+            from frontistr_tpu.analysis.static import \
+                compute_element_stiffness
+            idx = model.blocks.index(block)
+            ke = compute_element_stiffness(model)[idx]
+            self.table = None
+            self.mtype = mat.ELASTIC
+            self.flag = mat.INFINITESIMAL
+            self._tangent = jax.jit(lambda u_e, ddu_e, st, t, dt: ke)
+            self._update = jax.jit(lambda u_e, ddu_e, st, t, dt: (
+                st,
+                jnp.einsum("eij,ej->ei", ke,
+                           (u_e + ddu_e).reshape(ke.shape[0], -1))))
+            self._linear_struct = True
+            return
+        self._linear_struct = False
         self.table = get_table(block.etype)
         self.dim = self.table.dim
         self.ns = 6 if self.dim == 3 else 4
@@ -607,6 +627,8 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
 
 
 def _commit_state(s):
+    if not s:               # linear structural blocks carry no state
+        return s
     out = dict(s)
     out["strain_bak"] = s["strain"]
     out["stress_bak"] = s["stress"]
@@ -740,9 +762,27 @@ def _qforce(model, programs, states, u, du, inc_j, dofs_j, nns, total_en,
 
 def _postprocess(model, programs, states, u):
     un = np.asarray(u).reshape(model.n_node, model.ndof)
+    if any(b.kind == "shell" for b in model.blocks):
+        from frontistr_tpu.post.shellpost import shell_recover
+        sm = shell_recover(model, un)
+        elem_ids = np.concatenate([b.elem_ids for b in model.blocks])
+        return StaticResult(
+            u=un, nodal_strain=sm["strain"], nodal_stress=sm["stress"],
+            nodal_mises=sm["mises"], node_count=sm["count"],
+            elem_strain=np.concatenate(sm["estrain"]),
+            elem_stress=np.concatenate(sm["estress"]),
+            elem_mises=np.concatenate(sm["emises"]),
+            elem_ids=elem_ids, iters=0, relres=0.0)
     ns_out = 6 if model.dim == 3 else 3
     block_data = []
     for p, s in zip(programs, states):
+        if p.table is None:          # beams: no continuum gauss state
+            block_data.append(dict(
+                etype=p.block.etype, conn=p.block.conn[:, :0],
+                gauss_strain=np.zeros((len(p.block.elem_ids), 1, ns_out)),
+                gauss_stress=np.zeros((len(p.block.elem_ids), 1, ns_out)),
+                skip=True))
+            continue
         block_data.append(dict(etype=p.block.etype, conn=p.block.conn,
                                gauss_strain=np.asarray(s["strain"]),
                                gauss_stress=np.asarray(s["stress"])))
