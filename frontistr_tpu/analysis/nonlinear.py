@@ -124,6 +124,15 @@ class BlockPrograms:
             self.v_taus = jnp.asarray(vt[:, 1])
             self.v_G = m.youngs / (2.0 * (1.0 + m.poisson))
             self.v_K = m.youngs / (3.0 * (1.0 - 2.0 * m.poisson))
+            # TRS reduced time: dt' = a(T_gauss) dt (Viscoelastic.f90:128)
+            self.v_tshift = None
+            if m.trs_consts is not None and model.temperature is not None:
+                from frontistr_tpu.fem.visco import trs_shift
+                T_e = jnp.asarray(model.temperature)[jnp.asarray(
+                    block.conn)]
+                tq = jnp.einsum("qn,en->eq",
+                                jnp.asarray(self.table.N), T_e)
+                self.v_tshift = trs_shift(tq, m.trs_consts, m.trs_def)
         if self.mtype == mat.CREEP:
             cc = np.asarray(m.creep_consts).reshape(-1)
             self.c_A, self.c_n = float(cc[0]), float(cc[1])
@@ -185,6 +194,10 @@ class BlockPrograms:
                                    state["yielded"])
         if self.mtype == mat.VISCOELASTIC:
             from frontistr_tpu.fem.visco import visco_D
+            if self.v_tshift is not None:
+                Dq = visco_D(dtime * self.v_tshift, self.v_G, self.v_K,
+                             self.v_mus, self.v_taus)    # (E, nq, 6, 6)
+                return Dq
             D1 = visco_D(dtime, self.v_G, self.v_K, self.v_mus,
                          self.v_taus)
             return jnp.broadcast_to(D1, self.D_e.shape)
@@ -315,8 +328,10 @@ class BlockPrograms:
             return self.pk2(eps)
         if self.mtype == mat.VISCOELASTIC:
             from frontistr_tpu.fem.visco import visco_update
+            dte = dtime * self.v_tshift if self.v_tshift is not None \
+                else dtime
             sig_v, vq_new = visco_update(eps, state["vq"], state["ven"],
-                                         dtime, self.v_G, self.v_K,
+                                         dte, self.v_G, self.v_K,
                                          self.v_mus, self.v_taus)
             sig_el = jnp.einsum("ekl,eql->eqk", self.D_e, eps)
             use_v = dtime != 0.0

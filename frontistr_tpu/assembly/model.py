@@ -104,6 +104,7 @@ def _resolve_material(mesh: Mesh, cnt_mats: Dict[str, CntMaterial],
             m.nlgeom = _flag(cm.viscoelastic, mat.TOTALLAG)
         if cm.trs is not None:
             m.trs_consts = np.asarray(cm.trs.rows_f())
+            m.trs_def = (cm.trs.param("DEFINITION") or "WLF").upper()
         if cm.creep is not None:
             m.mtype = mat.CREEP
             m.creep_consts = np.asarray(cm.creep.rows_f()[0])

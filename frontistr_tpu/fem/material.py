@@ -55,7 +55,8 @@ class Material:
     hyper_consts: Optional[np.ndarray] = None
     # viscoelastic Prony series rows (g_i, tau_i)
     visco_consts: Optional[np.ndarray] = None
-    trs_consts: Optional[np.ndarray] = None
+    trs_consts: Optional[np.ndarray] = None     # (T0, C1, C2)
+    trs_def: str = "WLF"                        # WLF / ARRHENIUS
     # Norton creep (A, n, m)
     creep_consts: Optional[np.ndarray] = None
     # temperature-dependent elastic table rows: (E, nu, temp)

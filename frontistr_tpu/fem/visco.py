@@ -36,15 +36,29 @@ def _dev(eps):
     return th, dev
 
 
+def trs_shift(T, trs_consts, definition="WLF"):
+    """Reduced-time factor a(T) (Viscoelastic.f90 trs:70-84): effective
+    dt' = a(T) * dt.  WLF: a = exp(C1 (T-T0)/(C2+T-T0) ln10);
+    Arrhenius: a = exp(C1 (1/(T-C2) - 1/(T0-C2)))."""
+    c = jnp.asarray(trs_consts).reshape(-1)
+    T0, C1, C2 = c[0], c[1], c[2]
+    if definition.startswith("ARR"):
+        h = C1 * (1.0 / (T - C2) - 1.0 / (T0 - C2))
+    else:
+        h = C1 * (T - T0) / (C2 + T - T0) * jnp.log(10.0)
+    return jnp.exp(h)
+
+
 def visco_update(eps, vq, ven, dt, G, K, mus, taus):
     """Returns (sigma, vq_new).  vq (..., nterms, 6) committed q;
-    ven (..., 6) committed deviatoric strain."""
+    ven (..., 6) committed deviatoric strain.  dt may be a scalar or an
+    array broadcastable to eps[..., 0] (TRS-scaled reduced time)."""
     th, dev = _dev(eps)
-    dtau = dt / taus                                  # (nterms,)
+    dtau = jnp.asarray(dt)[..., None] / taus          # (..., nterms)
     expn = jnp.exp(-dtau)
     dq = mus * hvisc(dtau)
     de = dev[..., None, :] - ven[..., None, :]
-    vq_new = expn[:, None] * vq + dq[:, None] * de
+    vq_new = expn[..., None] * vq + dq[..., None] * de
     mu0 = 1.0 - mus.sum()
     s = vq_new.sum(axis=-2)
     sig_dev = 2.0 * G * (mu0 * dev + s)
@@ -60,10 +74,11 @@ def visco_commit(state_vq_new, eps):
 
 
 def visco_D(dt, G, K, mus, taus):
-    """Traced isotropic viscoelastic tangent (calViscoelasticMatrix)."""
+    """Traced isotropic viscoelastic tangent (calViscoelasticMatrix).
+    dt scalar or (...,) array -> D (..., 6, 6)."""
     dt = jnp.asarray(dt)
-    dtau = dt / taus
-    gfac_t = (mus * hvisc(dtau)).sum() + (1.0 - mus.sum())
+    dtau = dt[..., None] / taus
+    gfac_t = (mus * hvisc(dtau)).sum(-1) + (1.0 - mus.sum())
     gfac = jnp.where(dt == 0.0, 1.0, gfac_t)
     Gg = G * gfac
     Kg = K - 2.0 / 3.0 * Gg

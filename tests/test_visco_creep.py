@@ -112,3 +112,45 @@ def test_creep_norton_uniaxial():
     u_exp = eps_el + eps_creep
     u_ax = res.u[:, 0].max()
     assert abs(u_ax - u_exp) / u_exp < 0.01, (u_ax, u_exp)
+
+
+def test_trs_shift_wlf_and_arrhenius():
+    import jax
+    import jax.numpy as jnp
+    from frontistr_tpu.fem.visco import trs_shift
+    # WLF: a(T0) = 1; above T0 relaxation accelerates (a > 1)
+    c = np.asarray([20.0, 8.86, 101.6])
+    assert float(trs_shift(jnp.asarray(20.0), c)) == 1.0
+    a50 = float(trs_shift(jnp.asarray(50.0), c))
+    assert a50 == pytest.approx(10 ** (8.86 * 30 / (101.6 + 30)), rel=1e-12)
+    # Arrhenius
+    c2 = np.asarray([300.0, 5000.0, 0.0])
+    aT = float(trs_shift(jnp.asarray(350.0), c2, "ARRHENIUS"))
+    assert aT == pytest.approx(np.exp(5000.0 * (1 / 350.0 - 1 / 300.0)),
+                               rel=1e-12)
+
+
+def test_trs_accelerates_relaxation():
+    """Same Prony solid held at fixed strain: at elevated temperature the
+    WLF-shifted material relaxes further in the same physical time."""
+    import jax.numpy as jnp
+    from frontistr_tpu.fem.visco import visco_update, trs_shift
+    mus = jnp.asarray([0.5])
+    taus = jnp.asarray([10.0])
+    G, K = 100.0, 200.0
+    eps = jnp.asarray([[0.01, 0.0, 0.0, 0.0, 0.0, 0.0]])
+    vq = jnp.zeros((1, 1, 6))
+    ven = jnp.zeros((1, 6))
+    dt = 5.0
+    c = np.asarray([20.0, 8.86, 101.6])
+    a_hot = trs_shift(jnp.asarray(60.0), c)
+    s_cold, _ = visco_update(eps, vq, ven, dt, G, K, mus, taus)
+    s_hot, _ = visco_update(eps, vq, ven, dt * a_hot, G, K, mus, taus)
+    # deviatoric part relaxes more when hot
+    dev = lambda s: float(s[0, 0] - (s[0, 0] + s[0, 1] + s[0, 2]) / 3.0)
+    assert dev(np.asarray(s_hot)) < dev(np.asarray(s_cold))
+    # and exactly equals the cold response at the reduced time
+    s_equiv, _ = visco_update(eps, vq, ven, float(dt * a_hot), G, K,
+                              mus, taus)
+    np.testing.assert_allclose(np.asarray(s_hot), np.asarray(s_equiv),
+                               rtol=1e-12)
