@@ -44,6 +44,7 @@ class Card:
     name: str
     params: Dict[str, str]
     data: List[List[str]]
+    raw: str = ""
 
     def param(self, key: str, default=None):
         return self.params.get(key.upper(), default)
@@ -183,6 +184,7 @@ class AnalysisConfig:
     reftemp: float = 0.0
     write_result: bool = False
     write_visual: bool = False
+    visual: dict = dataclasses.field(default_factory=dict)
     write_log: bool = True
     output_res: List[Card] = dataclasses.field(default_factory=list)
     output_vis: List[Card] = dataclasses.field(default_factory=list)
@@ -254,7 +256,7 @@ def parse_cards(path: str) -> List[Card]:
                 if inc:
                     cards.extend(parse_cards(os.path.join(base, inc)))
                 continue
-            cur = Card(name, params, [])
+            cur = Card(name, params, [], raw=s)
             cards.append(cur)
             continue
         if cur is not None:
@@ -270,6 +272,7 @@ def read_cnt(path: str) -> AnalysisConfig:
     cards = parse_cards(path)
     cfg = AnalysisConfig(all_cards=cards)
     cur_mat: Optional[CntMaterial] = None
+    in_visual = False
 
     for c in cards:
         n = c.name
@@ -392,6 +395,14 @@ def read_cnt(path: str) -> AnalysisConfig:
             cfg.sections.append(c)
         elif n == "ORIENTATION":
             cfg.orientations.append(c)
+        elif n == "VISUAL":
+            cfg.visual["method"] = (c.param("METHOD") or "PSR").upper()
+            in_visual = True
+        elif in_visual and "=" in c.raw:
+            # visualizer sub-directives: "!key = value"
+            # (hecmw_vis_read_control.c grammar)
+            k, _, v = c.raw.lstrip("!").partition("=")
+            cfg.visual[k.strip().lower()] = v.strip()
         elif n == "WRITE":
             if c.has("RESULT"):
                 cfg.write_result = True

@@ -69,6 +69,15 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
     else:
         raise NotImplementedError(f"solution type {sol}")
 
+    # in-situ visualization (!WRITE,VISUAL + !VISUAL PSR surface render)
+    if cfg.write_visual and "static" in out:
+        try:
+            from frontistr_tpu.vis.psf import visualize
+            out["visual"] = visualize(mesh, out["model"], out["static"],
+                                      workdir, cfg)
+        except Exception as e:                      # vis must never kill FEM
+            print(f"### visualizer skipped: {e}")
+
     # result file output (!WRITE,RESULT)
     if cfg.write_result and "static" in out:
         rb = ctrl.result()
