@@ -668,6 +668,19 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
     # prescribed displacement increment for this substep (fstr_AddBC)
     dufix = jnp.asarray(u_fix_total) * (lam2 - lam1)
     gl = f_total * lam2
+    # follower loads: DLOAD re-assembled at the deformed geometry every
+    # Newton iteration (DLOAD_follow=1 default under nlgeom,
+    # fstr_solve_NonLinear.f90:103)
+    follow = model.nlgeom and model.dload_grp is not None
+
+    def _follow_gl(u_now):
+        from frontistr_tpu.assembly.loads import collect_dload
+        cards, lgrp = model.dload_grp
+        coords_def = model.coords + np.asarray(u_now).reshape(
+            model.n_node, ndof)[:, :model.dim]
+        fd = collect_dload(model.mesh, model, cards, lgrp,
+                           coords=coords_def)
+        return jnp.asarray(model.f_base + fd) * lam2
     states_cur = states
     conv = False
     iters = 0
@@ -681,6 +694,8 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
             ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
             kes.append(p.tangent(u_e, ddu_e, s, ctime, tincr))
         kes.extend(ex_kes)
+        if follow:
+            gl = _follow_gl(u + du)
         # residual with current state
         B = gl - Q_cur
         dirichlet_inc = dufix if it == 1 else jnp.zeros_like(dufix)

@@ -179,9 +179,16 @@ def thermal_load(model, temperature: np.ndarray) -> np.ndarray:
     return f
 
 
-def collect_dload(mesh, model, cards, grpid_filter=None) -> np.ndarray:
-    """Assemble !DLOAD cards into a global load vector."""
+def collect_dload(mesh, model, cards, grpid_filter=None,
+                  coords=None) -> np.ndarray:
+    """Assemble !DLOAD cards into a global load vector.
+
+    coords overrides the node positions (follower loads: the reference
+    re-assembles DLOAD at hecMESH%node + unode every Newton iteration when
+    DLOAD_follow=1, fstr_ass_load.f90:165-196)."""
     ndof = model.ndof
+    if coords is None:
+        coords = model.coords
     f = np.zeros(model.n_node * ndof)
     eid2loc = {}
     for bi, b in enumerate(model.blocks):
@@ -201,7 +208,7 @@ def collect_dload(mesh, model, cards, grpid_filter=None) -> np.ndarray:
         for (bi, face), rows in by_block.items():
             b = model.blocks[bi]
             sel = np.asarray(rows, dtype=np.int64)
-            coords_e = model.coords[b.conn[sel]]
+            coords_e = coords[b.conn[sel]]
             rho = float(b.material.density)
             if getattr(b, "kind", "solid") == "shell":
                 from frontistr_tpu.fem import shell as shmod

@@ -126,6 +126,10 @@ class StructModel:
     f_ext: np.ndarray           # (n_node*ndof,)
     nlgeom: bool = False
     temperature: Optional[np.ndarray] = None   # (n_node,) current temp
+    # follower loads (DLOAD_follow=1 default under nlgeom): base vector
+    # without DLOAD + the deck needed to re-assemble DLOAD at u
+    f_base: Optional[np.ndarray] = None
+    dload_grp: Optional[tuple] = None          # (cards, lgrp)
     reftemp: float = 0.0
     # spring blocks: (conns, dofs, kes, nns) from assembly.extras
     extras: tuple = ([], [], [], [])
@@ -331,6 +335,8 @@ def build_struct_model(mesh: Mesh, cfg: AnalysisConfig) -> StructModel:
     model.extras = collect_extras(model, grpid)
     if cfg.dloads:
         from frontistr_tpu.assembly.loads import collect_dload
+        model.f_base = model.f_ext.copy()
+        model.dload_grp = (cfg.dloads, lgrp)
         model.f_ext = model.f_ext + collect_dload(mesh, model, cfg.dloads,
                                                   lgrp)
     if cfg.temperatures:
@@ -340,7 +346,10 @@ def build_struct_model(mesh: Mesh, cfg: AnalysisConfig) -> StructModel:
                                 lgrp)
         if T is not None:
             model.temperature = T
-            model.f_ext = model.f_ext + thermal_load(model, T)
+            tl = thermal_load(model, T)
+            model.f_ext = model.f_ext + tl
+            if model.f_base is not None:
+                model.f_base = model.f_base + tl
     return model
 
 

@@ -139,3 +139,72 @@ def test_dp_element_drive():
     p = _params("DRUCKER-PRAGER", c=10.0, phi=20.0, H=50.0)
     elastic_s33 = 1000.0 * (1 - 0.3) / ((1 + 0.3) * (1 - 0.6)) * 0.05
     assert abs(s33) < 0.7 * elastic_s33      # capped well below elastic
+
+
+def test_follower_pressure_differs_from_dead_load():
+    """NLGEOM plate under face pressure: the follower load (default) tracks
+    the rotating surface, a dead load does not -- results must differ and
+    both converge."""
+    import tempfile
+    from frontistr_tpu.io.meshio import read_mesh
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
+    msh = """!HEADER
+ fol
+!NODE
+ 1, 0., 0., 0.
+ 2, 1., 0., 0.
+ 3, 1., 1., 0.
+ 4, 0., 1., 0.
+ 5, 0., 0., 0.2
+ 6, 1., 0., 0.2
+ 7, 1., 1., 0.2
+ 8, 0., 1., 0.2
+ 9, 2., 0., 0.
+ 10, 2., 1., 0.
+ 11, 2., 0., 0.2
+ 12, 2., 1., 0.2
+!ELEMENT, TYPE=361
+ 1, 1, 2, 3, 4, 5, 6, 7, 8
+ 2, 2, 9, 10, 3, 6, 11, 12, 7
+!SECTION, TYPE=SOLID, EGRP=ALL, MATERIAL=M1
+!NGROUP, NGRP=FIX
+ 1, 4, 5, 8
+!END
+"""
+    cnt = """!VERSION
+ 3
+!SOLUTION, TYPE=NLSTATIC
+!BOUNDARY
+ FIX, 1, 3, 0.0
+!DLOAD
+ ALL, P2, 8.0
+!STEP, SUBSTEPS=4, CONVERG=1.0e-6
+!MATERIAL, NAME=M1
+!ELASTIC
+ 1000.0, 0.3
+!SOLVER,METHOD=CG,PRECOND=1
+ 10000, 1
+ 1.0e-10, 1.0, 0.0
+!END
+"""
+    import os
+    with tempfile.TemporaryDirectory() as d:
+        mp, cp = os.path.join(d, "m.msh"), os.path.join(d, "m.cnt")
+        open(mp, "w").write(msh)
+        open(cp, "w").write(cnt)
+        mesh = read_mesh(mp)
+        cfg = read_cnt(cp)
+    model = build_struct_model(mesh, cfg)
+    res_f = run_nonlinear_static(model)
+    uf = res_f.u.copy()
+    # dead load: disable the follower deck
+    model2 = build_struct_model(mesh, cfg)
+    model2.dload_grp = None
+    res_d = run_nonlinear_static(model2)
+    ud = res_d.u
+    assert np.isfinite(uf).all() and np.isfinite(ud).all()
+    # large deflection: load direction matters
+    assert np.abs(uf).max() > 0.05
+    assert np.abs(uf - ud).max() > 1e-3 * np.abs(uf).max()
