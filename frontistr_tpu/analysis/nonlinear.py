@@ -537,6 +537,13 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
     nns = [b.conn.shape[1] for b in model.blocks] + list(ex_nns)
     ex_kes_j = [jnp.asarray(k) for k in ex_kes]
     f_total = jnp.asarray(model.f_ext)
+    sta_path = None
+    if log_path is not None:
+        import os as _os
+        from frontistr_tpu.io.stafile import sta_init
+        sta_path = _os.path.join(_os.path.dirname(_os.path.abspath(
+            log_path)) or ".", "FSTR.sta")
+        sta_init(sta_path)
     stats = NewtonStats()
     import os as _os
     resume = None
@@ -605,7 +612,16 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
             if not converged:
                 cb_count += 1
                 stats.cutbacks += 1
+                if sta_path:
+                    from frontistr_tpu.io.stafile import sta_status
+                    sta_status(sta_path, cstep, sub, 1, iters, iters, t,
+                               dt, cutback=cb_count,
+                               message="Failed to converge due to "
+                               "MAXITER.")
                 if cb_count > 5 or dt <= step.mindt:
+                    if sta_path:
+                        from frontistr_tpu.io.stafile import sta_final
+                        sta_final(sta_path, False)
                     raise RuntimeError(
                         f"Newton failed to converge at step {cstep} "
                         f"substep {sub} (dt={dt})")
@@ -613,6 +629,10 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
                 sub -= 1
                 continue
             cb_count = 0
+            if sta_path:
+                from frontistr_tpu.io.stafile import sta_status
+                sta_status(sta_path, cstep, sub, 1, iters,
+                           stats.total_iters, t, dt)
             t += dt
             u = u + du
             # commit state (fstr_UpdateState)
@@ -637,6 +657,9 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
         result = _postprocess(model, programs, states, u)
         if log_path is not None:
             _append_log(log_path, model, result, max(step_count, 1))
+    if sta_path:
+        from frontistr_tpu.io.stafile import sta_final
+        sta_final(sta_path, True)
     result.iters = stats.total_iters
     return result
 

@@ -135,6 +135,12 @@ def solve_linear(model: StructModel, kes=None,
     x_sol = mpc.recover(res.x) if mpc.active else res.x
     x = np.asarray(jax.block_until_ready(x_sol))
     t2 = time.perf_counter()
+    if sv.estcond:
+        # ESTCOND option (hecmw_solver_CG.f90:89): report the estimated
+        # condition number of the preconditioned operator
+        from frontistr_tpu.solver.cond import estimate_condition
+        cond = estimate_condition(A, n, M=op.block_jacobi())
+        print(f"### Condition number estimate (precond K): {cond:.4e}")
     return x, int(res.iters), float(res.relres), t1 - t0, t2 - t1
 
 

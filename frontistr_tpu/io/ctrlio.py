@@ -299,6 +299,7 @@ def read_cnt(path: str) -> AnalysisConfig:
             sv.iterlog = (c.param("ITERLOG", "NO").upper() == "YES")
             sv.timelog = (c.param("TIMELOG", "NO").upper() in ("YES", "VERBOSE"))
             sv.scaling = (c.param("SCALING", "NO").upper() == "YES")
+            sv.estcond = c.iparam("ESTCOND", 0)
             if c.data:
                 row = c.data[0]
                 sv.nier = int(_f(row[0], 10000))
