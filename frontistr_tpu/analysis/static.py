@@ -122,7 +122,20 @@ def solve_linear(model: StructModel, kes=None,
             x = np.asarray(mpc.recover(jnp.asarray(x)))
         t2 = time.perf_counter()
         return x, 1, 0.0, t1 - t0, t2 - t1
-    if _solve_policy() == "mixed" and sv.method.upper() == "CG" \
+    import os
+    if os.environ.get("FRONTISTR_TPU_PRECOND", "") == "cheby" \
+            and not mpc.active:
+        # polynomial (Chebyshev) preconditioner: the TPU-native stand-in
+        # for the reference's sequential SSOR/BILU sweeps; opt-in (it
+        # trades dots for matvecs and only wins on stiff spectra)
+        from frontistr_tpu.solver.cheby import (estimate_lmax,
+                                                chebyshev_precond)
+        lmax = estimate_lmax(op.apply_constrained, op.block_jacobi(), n)
+        MC = chebyshev_precond(op.apply_constrained, op.block_jacobi(),
+                               lmax)
+        res = krylov.solve(sv.method, A, b_c, M=MC, tol=sv.resid,
+                           maxiter=sv.nier)
+    elif _solve_policy() == "mixed" and sv.method.upper() == "CG" \
             and not mpc.active:
         op32 = op.astype(jnp.float32)
         res = refined_cg(op.apply_constrained, op32.apply_constrained,

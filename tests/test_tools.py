@@ -73,3 +73,44 @@ def test_rmerge_roundtrip():
         b = read_result(back)
         np.testing.assert_allclose(b["node_comps"][0][1],
                                    m["node_comps"][0][1])
+
+
+def test_chebyshev_precond_solves_same():
+    """Opt-in polynomial preconditioner reproduces the block-Jacobi
+    solution."""
+    import os
+    import numpy as np
+    from frontistr_tpu.meshgen import box_hex8
+    from frontistr_tpu.io.ctrlio import read_cnt
+    import tempfile
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.static import run_linear_static
+    mesh = box_hex8(3, 3, 3)
+    cnt = """!VERSION
+ 3
+!SOLUTION, TYPE=STATIC
+!BOUNDARY
+ X0, 1, 3, 0.0
+!CLOAD
+ X1, 3, -1.0
+!MATERIAL, NAME=M1
+!ELASTIC
+ 210000., 0.3
+!SOLVER,METHOD=CG,PRECOND=1
+ 10000, 1
+ 1.0e-10, 1.0, 0.0
+!END
+"""
+    with tempfile.NamedTemporaryFile("w", suffix=".cnt",
+                                     delete=False) as f:
+        f.write(cnt)
+        p = f.name
+    cfg = read_cnt(p)
+    os.unlink(p)
+    r0 = run_linear_static(build_struct_model(mesh, cfg))
+    os.environ["FRONTISTR_TPU_PRECOND"] = "cheby"
+    try:
+        r1 = run_linear_static(build_struct_model(mesh, cfg))
+    finally:
+        del os.environ["FRONTISTR_TPU_PRECOND"]
+    np.testing.assert_allclose(r1.u, r0.u, atol=1e-9)
