@@ -33,6 +33,12 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
         mesh = read_mesh(ctrl.path(mb))
     else:
         raise NotImplementedError(f"!MESH TYPE={mtype}")
+    refine = int(mb.params.get("REFINE", "0") or 0)
+    if refine > 0:
+        from frontistr_tpu.io.refine import refine_mesh
+        mesh = refine_mesh(mesh, refine)
+        print(f"### mesh refined x{refine}: {mesh.n_node} nodes, "
+              f"{mesh.n_elem} elements")
     cfg = read_cnt(ctrl.path(ctrl.control()))
     out = {"mesh": mesh, "cfg": cfg, "ctrl": ctrl}
 
