@@ -95,7 +95,7 @@ def main():
     def cg32(ke32, b32, x0):
         op = make_op(ke32, free32)
         res = pcg(op.apply_constrained, b32, M=op.block_jacobi(),
-                  x0=x0, tol=3e-4, maxiter=cg_chunk)
+                  x0=x0, tol=1e-6, maxiter=cg_chunk)
         return res.x, res.iters, res.relres
 
     def cg32_restarting(ke32, b32, max_chunks=10):
@@ -104,7 +104,7 @@ def main():
         for _ in range(max_chunks):
             x, it, rr = cg32(ke32, b32, x)
             total += int(it)
-            if float(rr) <= 3e-4:
+            if float(rr) <= 1e-6:
                 break
         return x, total
 
@@ -144,16 +144,16 @@ def main():
     def newton_step():
         """assemble (f32 + f64) + refined CG to true f64 relres <= 1e-8.
 
-        bf16-pass matmuls in the f32 CG limit each inner solve to ~3-4
-        digits; refinement against the stored f64 matrix recovers the rest
-        (~3 digits/pass)."""
+        the femop matvec einsum runs at Precision.HIGHEST (full f32), so
+        each inner CG reaches ~1e-6 and 2-3 refinement passes against the
+        stored f64 matrix hit 1e-8."""
         ke32 = assemble32(coords32)
         ke64f = assemble64_flat(coords64)
         x = jnp.zeros(n_dofs)
         bnrm = float(np.linalg.norm(f))
         total_iters = 0
         relres = 1.0
-        for _ in range(12):
+        for _ in range(6):
             r = residual64(ke64f, x)
             relres = float(jnp.linalg.norm(r)) / bnrm
             if relres <= 1e-8:

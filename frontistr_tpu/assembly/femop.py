@@ -75,7 +75,12 @@ class FEOperator:
         fes = []
         for ke, dofs in zip(self.kes, self.dofs):
             xe = x[dofs]
-            fe = jnp.einsum("eij,ej->ei", ke, xe)
+            # HIGHEST: the TPU default is bf16-pass matmul (eps ~ 4e-3),
+            # which caps the inner CG of the mixed-precision refinement at
+            # ~3 digits/pass.  These tiny batched matmuls are HBM-bound
+            # (reading ke dominates), so full-f32 accumulation is free.
+            fe = jnp.einsum("eij,ej->ei", ke, xe,
+                            precision=jax.lax.Precision.HIGHEST)
             fes.append(fe.reshape(-1))
         fes.append(jnp.zeros(self.ndof, x.dtype))
         return jnp.concatenate(fes)
