@@ -29,6 +29,9 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
     if mtype == "ABAQUS":
         from frontistr_tpu.io.abaqusio import read_abaqus
         mesh = read_abaqus(ctrl.path(mb))
+    elif mtype == "NASTRAN":
+        from frontistr_tpu.io.nastranio import read_nastran
+        mesh = read_nastran(ctrl.path(mb))
     elif mtype in ("HECMW-ENTIRE", ""):
         mesh = read_mesh(ctrl.path(mb))
     else:
