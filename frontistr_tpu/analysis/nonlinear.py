@@ -255,7 +255,9 @@ class BlockPrograms:
             new_state["stress"] = sig
         else:  # UPDATELAG: incremental with Jaumann rotation
             new_state["strain"] = state["strain_bak"] + eps
-            dsig = jnp.einsum("ekl,eql->eqk", self.D_e, eps)
+            dsig = (jnp.einsum("eqkl,eql->eqk", self.D_e, eps)
+                    if self.D_e.ndim == 4 else
+                    jnp.einsum("ekl,eql->eqk", self.D_e, eps))
             rot = 0.5 * (dudx - jnp.swapaxes(dudx, -1, -2))
             sig_b = _voigt_to_tensor(state["stress_bak"], self.dim)
             dum = rot @ sig_b - sig_b @ rot
@@ -333,11 +335,15 @@ class BlockPrograms:
             sig_v, vq_new = visco_update(eps, state["vq"], state["ven"],
                                          dte, self.v_G, self.v_K,
                                          self.v_mus, self.v_taus)
-            sig_el = jnp.einsum("ekl,eql->eqk", self.D_e, eps)
+            sig_el = (jnp.einsum("eqkl,eql->eqk", self.D_e, eps)
+                      if self.D_e.ndim == 4 else
+                      jnp.einsum("ekl,eql->eqk", self.D_e, eps))
             use_v = dtime != 0.0
             new_state["vq_new"] = jnp.where(use_v, vq_new, state["vq"])
             return jnp.where(use_v, sig_v, sig_el)
-        return jnp.einsum("ekl,eql->eqk", self.D_e, eps)
+        return (jnp.einsum("eqkl,eql->eqk", self.D_e, eps)
+                if self.D_e.ndim == 4 else
+                jnp.einsum("ekl,eql->eqk", self.D_e, eps))
 
     def tangent(self, u_e, ddu_e, state, time=0.0, dtime=0.0):
         return self._tangent(u_e, ddu_e, state, jnp.asarray(time),

@@ -197,7 +197,10 @@ def recover_stress(model: StructModel, u_flat: np.ndarray):
             from frontistr_tpu.assembly.loads import thermal_strains
             eps_el = eps - jnp.asarray(
                 thermal_strains(model, b, model.temperature))
-        sig = jnp.einsum("ekl,eql->eqk", jnp.asarray(b.D), eps_el)
+        if b.D.ndim == 4:
+            sig = jnp.einsum("eqkl,eql->eqk", jnp.asarray(b.D), eps_el)
+        else:
+            sig = jnp.einsum("ekl,eql->eqk", jnp.asarray(b.D), eps_el)
         block_data.append(dict(etype=b.etype, conn=b.conn,
                                gauss_strain=np.asarray(eps),
                                gauss_stress=np.asarray(sig)))

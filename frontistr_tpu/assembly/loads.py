@@ -146,7 +146,7 @@ def thermal_strains(model, block, temperature: np.ndarray):
     T_e = temperature[block.conn]                         # (E, nn)
     tq = np.einsum("qn,en->eq", t.N, T_e)                 # (E, nq)
     alpha = float(block.material.expansion)
-    ns = block.D.shape[1]
+    ns = block.D.shape[-1]
     eps = np.zeros(T_e.shape[:1] + (t.nq, ns))
     ncomp = 3 if model.dim == 3 else 2
     dT = alpha * (tq - model.reftemp)
@@ -172,7 +172,10 @@ def thermal_load(model, temperature: np.ndarray) -> np.ndarray:
         scale = b.thick if model.dim == 2 else 1.0
         wdet = (t.weights * scale)[None, :] * det
         epsth = thermal_strains(model, b, temperature)
-        sig = np.einsum("ekl,eql->eqk", b.D, epsth)
+        if b.D.ndim == 4:
+            sig = np.einsum("eqkl,eql->eqk", b.D, epsth)
+        else:
+            sig = np.einsum("ekl,eql->eqk", b.D, epsth)
         vect = np.einsum("kdj,eqnj,eqk,eq->end", S, g, sig, wdet)
         dofs = (b.conn[:, :, None] * ndof + np.arange(ndof)[None, None, :])
         np.add.at(f, dofs.reshape(-1), vect.reshape(-1))

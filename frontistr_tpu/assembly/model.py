@@ -346,6 +346,16 @@ def build_struct_model(mesh: Mesh, cfg: AnalysisConfig) -> StructModel:
                                 lgrp)
         if T is not None:
             model.temperature = T
+            # temperature-dependent E(T), nu(T): upgrade block D to
+            # per-gauss matrices before assembling the thermal load
+            for b in model.blocks:
+                et = b.material.elastic_table
+                if et is not None and len(np.asarray(et)) > 1 \
+                        and b.kind == "solid":
+                    t = get_table(b.etype)
+                    tq = np.einsum("qn,en->eq", t.N, T[b.conn])
+                    Eq, nuq = mat.elastic_at_T(et, tq)
+                    b.D = mat.elastic_D_batch(Eq, nuq, b.iset)
             tl = thermal_load(model, T)
             model.f_ext = model.f_ext + tl
             if model.f_base is not None:

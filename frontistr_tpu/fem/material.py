@@ -114,6 +114,44 @@ def rotate_D(D_local, frame) -> np.ndarray:
     return tm.T @ D_local @ tm
 
 
+def elastic_D_batch(EE, PP, sect_type: int) -> np.ndarray:
+    """Vectorized isotropic elastic matrices: EE, PP (...,) ->
+    (..., ns, ns).  Used for temperature-dependent E(T), nu(T) evaluated
+    at gauss points (calElasticMatrix with fetch_TableData MC_ISOELASTIC,
+    ElasticLinear.f90:24-43)."""
+    EE = np.asarray(EE, float)
+    PP = np.asarray(PP, float)
+    shp = EE.shape
+    if sect_type == D3:
+        D = np.zeros(shp + (6, 6))
+        c = EE / ((1 + PP) * (1 - 2 * PP))
+        for i in range(3):
+            D[..., i, i] = c * (1 - PP)
+            for j in range(3):
+                if i != j:
+                    D[..., i, j] = c * PP
+        g = 0.5 * EE / (1 + PP)
+        for i in (3, 4, 5):
+            D[..., i, i] = g
+        return D
+    if sect_type == PLANE_STRESS:
+        D = np.zeros(shp + (4, 4))
+        c1 = EE / (1 - PP * PP)
+        D[..., 0, 0] = D[..., 1, 1] = c1
+        D[..., 0, 1] = D[..., 1, 0] = c1 * PP
+        D[..., 2, 2] = c1 * 0.5 * (1 - PP)
+        return D
+    raise NotImplementedError("temperature-dependent D for this section")
+
+
+def elastic_at_T(table_rows: np.ndarray, T):
+    """(E(T), nu(T)) from !ELASTIC rows (E, nu, temp) by linear interp."""
+    rows = np.asarray(table_rows)
+    temps = rows[:, 2] if rows.shape[1] > 2 else np.arange(len(rows))
+    return (np.interp(T, temps, rows[:, 0]),
+            np.interp(T, temps, rows[:, 1]))
+
+
 def elastic_D(youngs, poisson, sect_type: int) -> np.ndarray:
     """Isotropic elastic matrix (ElasticLinear.f90 calElasticMatrix)."""
     ee, pp = float(youngs), float(poisson)

@@ -81,10 +81,14 @@ def stiffness_linear(table: ElementTable, coords_e: jnp.ndarray,
     # the q-unrolled accumulation and per-q broadcast of D, each of which
     # XLA materialized as a multi-GB temp at 1M dof)
     B = jnp.einsum("kdj,eqnj->eqknd", S, gderiv).reshape(E, nq, ns, m)
-    # DB[e,q,k,j] = D[e,k,l] B[e,q,l,j]  as (E, ns, nq*m) batched matmul
-    B2 = jnp.swapaxes(B, 1, 2).reshape(E, ns, nq * m)
-    DB = jnp.matmul(D_e, B2, preferred_element_type=dt)
-    DB = jnp.swapaxes(DB.reshape(E, ns, nq, m), 1, 2)    # (E, nq, ns, m)
+    if D_e.ndim == 4:
+        # per-gauss material (temperature-dependent E(T), nu(T))
+        DB = jnp.einsum("eqkl,eqlm->eqkm", D_e, B)
+    else:
+        # DB[e,q,k,j] = D[e,k,l] B[e,q,l,j] as (E, ns, nq*m) batched matmul
+        B2 = jnp.swapaxes(B, 1, 2).reshape(E, ns, nq * m)
+        DB = jnp.matmul(D_e, B2, preferred_element_type=dt)
+        DB = jnp.swapaxes(DB.reshape(E, ns, nq, m), 1, 2)  # (E, nq, ns, m)
     wdet = (w * scale)[None, :] * det                    # (E, nq)
     DB = DB * wdet[:, :, None, None]
     # k[e,i,j] = sum_{q,k} B[e,q,k,i] DB[e,q,k,j]: (E, m, nq*ns)x(E, nq*ns, m)
@@ -215,7 +219,10 @@ def _hex8ic_k_full(table: ElementTable, coords_e, D_e):
     B = jnp.einsum("kdj,eqnj->eqknd", S, g_full).reshape(
         E, table.nq, 6, m)
     wdet = w[None, :] * det
-    DB = jnp.einsum("ekl,eqlj,eq->eqkj", D_e, B, wdet)
+    if D_e.ndim == 4:
+        DB = jnp.einsum("eqkl,eqlj,eq->eqkj", D_e, B, wdet)
+    else:
+        DB = jnp.einsum("ekl,eqlj,eq->eqkj", D_e, B, wdet)
     k = jnp.einsum("eqki,eqkj->eij", B, DB)
     return k, g_full
 

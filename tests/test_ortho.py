@@ -112,3 +112,51 @@ def test_rotate_D_identity():
     D = elastic_D_ortho([200e3, 100e3, 50e3, .3, .2, .25,
                          40e3, 30e3, 20e3])
     np.testing.assert_allclose(rotate_D(D, np.eye(3)), D, atol=1e-9)
+
+
+def test_temperature_dependent_elastic():
+    """!ELASTIC with (E, nu, temp) rows + !TEMPERATURE: E interpolated at
+    gauss temperature.  Uniform hot cube at T where E halves -> double the
+    displacement of the cold cube."""
+    import tempfile
+    from frontistr_tpu.meshgen import box_hex8
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.static import run_linear_static
+    mesh = box_hex8(2, 2, 2)
+    base = """!VERSION
+ 3
+!SOLUTION, TYPE=STATIC
+!REFTEMP
+ {tref}
+!BOUNDARY
+ Z0, 3, 3, 0.0
+ X0, 1, 1, 0.0
+ Y0, 2, 2, 0.0
+!CLOAD
+ Z1, 3, -{load}
+!TEMPERATURE
+ ALL, {T}
+!MATERIAL, NAME=M1
+!ELASTIC, DEPENDENCIES=1
+ 200000., 0.0, 0.0
+ 100000., 0.0, 100.0
+!EXPANSION_COEFF
+ 0.0
+!SOLVER,METHOD=CG,PRECOND=1
+ 10000, 1
+ 1.0e-12, 1.0, 0.0
+!END
+"""
+    def run(T):
+        with tempfile.NamedTemporaryFile("w", suffix=".cnt",
+                                         delete=False) as f:
+            f.write(base.format(T=T, tref=T, load=25.0 / 9.0))
+            p = f.name
+        cfg = read_cnt(p)
+        os.unlink(p)
+        res = run_linear_static(build_struct_model(mesh, cfg))
+        return np.abs(res.u[:, 2]).max()
+    u_cold = run(0.0)
+    u_hot = run(100.0)
+    np.testing.assert_allclose(u_hot, 2.0 * u_cold, rtol=1e-8)
