@@ -46,7 +46,7 @@ def lumped_mass_vector(model: StructModel) -> np.ndarray:
     m = np.zeros(model.n_node)
     rot_zero = model.ndof == 6
     for b in model.blocks:
-        if b.kind in ("shell", "beam", "beam341"):
+        if b.kind in ("shell", "beam", "beam341", "sshell"):
             me = _struct_elem_mass(model, b)         # (E, nn) per node
             np.add.at(m, b.conn.reshape(-1), me.reshape(-1))
             continue
@@ -80,7 +80,28 @@ def _struct_elem_mass(model, b) -> np.ndarray:
     x = model.coords[b.conn]
     E, nn = b.conn.shape[:2]
     rho = b.density
-    if b.kind == "shell":
+    if b.kind in ("shell", "sshell"):
+        if b.kind == "sshell":
+            # lower-face area; mass on the translation-carrying nodes only
+            # (fstr_EIG_setMASS.f90:174-199)
+            nn2 = b.conn.shape[1] // 2
+            xl = x[:, :nn2]
+            if nn2 == 3:
+                area = 0.5 * np.linalg.norm(
+                    np.cross(xl[:, 1] - xl[:, 0], xl[:, 2] - xl[:, 0]),
+                    axis=1)
+            else:
+                a1 = 0.5 * np.linalg.norm(
+                    np.cross(xl[:, 1] - xl[:, 0], xl[:, 2] - xl[:, 0]),
+                    axis=1)
+                a2 = 0.5 * np.linalg.norm(
+                    np.cross(xl[:, 2] - xl[:, 0], xl[:, 3] - xl[:, 0]),
+                    axis=1)
+                area = a1 + a2
+            val = area * b.thick * rho / nn2
+            me = np.zeros((E, nn))
+            me[:, :nn2] = val[:, None]
+            return me
         if nn == 3:
             area = 0.5 * np.linalg.norm(
                 np.cross(x[:, 1] - x[:, 0], x[:, 2] - x[:, 0]), axis=1)

@@ -45,7 +45,8 @@ def _sel(dim):
 
 
 def init_block_state(block, table):
-    if block.kind in ("shell", "beam", "beam341") or table is None:
+    if block.kind in ("shell", "beam", "beam341", "sshell") \
+            or table is None:
         # linear structural elements carry no gauss history
         return dict()
     E, nq = len(block.elem_ids), table.nq
@@ -83,7 +84,7 @@ class BlockPrograms:
 
     def __init__(self, model: StructModel, block):
         self.block = block
-        if block.kind in ("shell", "beam", "beam341"):
+        if block.kind in ("shell", "beam", "beam341", "sshell"):
             # linear structural elements: constant tangent, qf = ke u
             from frontistr_tpu.analysis.static import \
                 compute_element_stiffness

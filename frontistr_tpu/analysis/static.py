@@ -52,6 +52,14 @@ def compute_element_stiffness(model: StructModel):
                                        b.material.poisson, etype=b.etype)
             kes.append(ke)
             continue
+        if b.kind == "sshell":
+            from frontistr_tpu.fem import shell
+            nn2 = b.conn.shape[1] // 2
+            ke = shell.stiffness_solid_shell(
+                coords_e[:, :nn2, :], b.thick, b.material.youngs,
+                b.material.poisson, etype=b.etype)
+            kes.append(ke)
+            continue
         if b.kind in ("beam", "beam341"):
             from frontistr_tpu.fem import beam
             sec = model.mesh.sections[b.sect_id] \
@@ -163,7 +171,8 @@ def recover_stress(model: StructModel, u_flat: np.ndarray):
     if any(b.kind == "shell" for b in model.blocks):
         from frontistr_tpu.post.shellpost import shell_recover
         return u, shell_recover(model, u), []
-    if all(b.kind in ("beam", "beam341") for b in model.blocks):
+    if all(b.kind in ("beam", "beam341", "sshell")
+           for b in model.blocks):
         # beam stress resultants (NQM) not yet recovered -> zeros
         n, ns = model.n_node, 6
         zed = lambda b: np.zeros((len(b.elem_ids), ns))

@@ -239,6 +239,7 @@ def _iset_from_section(sec) -> int:
 
 
 SHELL_ETYPES = (731, 741)
+SSHELL_ETYPES = (761, 781)   # solid-shell packing, 3 dof/node
 BEAM6_ETYPES = (611,)          # 2-node beam, 6 dof/node
 BEAM3_ETYPES = (641,)          # 3x4-dof beam packing (NDOF=3 system)
 
@@ -248,7 +249,7 @@ def build_struct_model(mesh: Mesh, cfg: AnalysisConfig) -> StructModel:
                   if b.etype in SHELL_ETYPES + BEAM6_ETYPES]
     solid_types = [b for b in mesh.blocks
                    if (b.etype in ETYPE_INFO and ETYPE_INFO[b.etype][0] >= 2)
-                   or b.etype in BEAM3_ETYPES]
+                   or b.etype in BEAM3_ETYPES + SSHELL_ETYPES]
     if six_blocks:
         if solid_types:
             raise NotImplementedError("mixed shell/solid meshes")
@@ -256,9 +257,9 @@ def build_struct_model(mesh: Mesh, cfg: AnalysisConfig) -> StructModel:
     if not solid_types:
         raise ValueError("no supported solid elements in mesh")
     dim = max([ETYPE_INFO[b.etype][0] for b in solid_types
-               if b.etype in ETYPE_INFO] + 
-              ([3] if any(b.etype in BEAM3_ETYPES for b in solid_types)
-               else []))
+               if b.etype in ETYPE_INFO] +
+              ([3] if any(b.etype in BEAM3_ETYPES + SSHELL_ETYPES
+                          for b in solid_types) else []))
     ndof = dim
     n_node = mesh.n_node
     coords = mesh.coords[:, :dim].copy()
@@ -266,6 +267,22 @@ def build_struct_model(mesh: Mesh, cfg: AnalysisConfig) -> StructModel:
     blocks: List[KBlock] = []
     for b in solid_types:
         sec = mesh.sections[b.section_id] if mesh.sections else None
+        if b.etype in SSHELL_ETYPES:
+            mname = sec.material if sec else next(iter(mesh.materials), "")
+            m = _resolve_material(mesh, cfg.materials, mname)
+            m.nlgeom = mat.INFINITESIMAL
+            E = len(b.elem_ids)
+            nn = b.conn.shape[1]
+            thick = sec.values[0] if sec and sec.values else 1.0
+            dofs = (b.conn[:, :, None] * ndof +
+                    np.arange(ndof)[None, None, :]).reshape(E, nn * ndof)
+            D1 = mat.elastic_D(m.youngs, m.poisson, mat.D3)
+            blocks.append(KBlock(b.etype, b.elem_ids, b.conn,
+                                 dofs.astype(np.int32),
+                                 np.broadcast_to(D1, (E,) + D1.shape).copy(),
+                                 thick, mat.D3, np.full(E, m.density), m,
+                                 b.section_id, kind="sshell"))
+            continue
         if b.etype in BEAM3_ETYPES:
             mname = sec.material if sec else next(iter(mesh.materials), "")
             m = _resolve_material(mesh, cfg.materials, mname)

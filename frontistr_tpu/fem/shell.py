@@ -405,6 +405,24 @@ def shell_dload(elem, thick, rho, ltype, params, etype=741):
     return f.reshape(E, nn * 6)
 
 
+def stiffness_solid_shell(elem_lower, thick, ee, pp, etype=781,
+                          alpha_over_mu=1.0e-3):
+    """761/781 'shell-solid mixed' stiffness: the MITC3/MITC4 6-dof shell
+    evaluated on the lower-face nodes, with dofs re-ordered so the element
+    exposes 2*nn 3-dof nodes (translations first, rotation carriers after
+    -- fstr_StiffMatrix.f90:168-183 + the sstable permutation in
+    STF_Shell_MITC:1240-1295)."""
+    base = 731 if etype == 761 else 741
+    K = stiffness_shell(elem_lower, thick, ee, pp,
+                        alpha_over_mu=alpha_over_mu, etype=base)
+    nn = 3 if etype == 761 else 4
+    # old order per node: (ux,uy,uz,tx,ty,tz); new: all u blocks then all t
+    perm = np.concatenate([
+        np.concatenate([np.arange(3) + 6 * i for i in range(nn)]),
+        np.concatenate([np.arange(3, 6) + 6 * i for i in range(nn)])])
+    return K[:, perm[:, None], perm[None, :]]
+
+
 # ---------------------------------------------------------------- stress
 
 def shell_nodal_stress(elem, ue, thick, ee, pp, etype=741):
