@@ -581,6 +581,8 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
         lam_prev = 0.0
         t_end = step.elapsetime
         dt = step.initdt
+        ainc = _ainc_params(cfg, step)
+        ainc_stat = 0
         t = 0.0
         if resume is not None and cstep == 1:
             t = float(np.asarray(resume.get("t", 0.0)))
@@ -625,14 +627,16 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
                                dt, cutback=cb_count,
                                message="Failed to converge due to "
                                "MAXITER.")
-                if cb_count > 5 or dt <= step.mindt:
+                ainc_stat = -1
+                if cb_count > ainc["CBbound"] or dt <= step.mindt:
                     if sta_path:
                         from frontistr_tpu.io.stafile import sta_final
                         sta_final(sta_path, False)
                     raise RuntimeError(
                         f"Newton failed to converge at step {cstep} "
                         f"substep {sub} (dt={dt})")
-                dt = dt * 0.5   # cutback (fstr_solve_NLGEOM.f90:151-195)
+                # cutback ratio Rc (fstr_TimeInc_SetTimeIncrement)
+                dt = dt * ainc["Rc"]
                 sub -= 1
                 continue
             cb_count = 0
@@ -658,7 +662,21 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
                 result = _postprocess(model, programs, states, u)
                 _append_log(log_path, model, result, step_count)
             if step.inc_type == "AUTO":
-                dt = min(dt * 1.5, step.maxdt)
+                # !AUTOINC_PARAM heuristics (fstr_Ctrl_TimeInc.f90:168-210):
+                # count successive substeps satisfying the NR-iteration
+                # bounds, then scale dt by Rl / Rs
+                dec = iters > min(ainc["bound_s"])
+                inc = iters <= min(ainc["bound_l"])
+                if dec:
+                    ainc_stat = min(ainc_stat, 0) - 1
+                elif inc:
+                    ainc_stat = max(ainc_stat, 0) + 1
+                else:
+                    ainc_stat = 0
+                if ainc_stat >= ainc["NRtimes_l"]:
+                    dt = min(dt * ainc["Rl"], step.maxdt)
+                elif ainc_stat <= -ainc["NRtimes_s"]:
+                    dt = max(dt * ainc["Rs"], step.mindt)
 
     if result is None:
         result = _postprocess(model, programs, states, u)
@@ -669,6 +687,34 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
         sta_final(sta_path, True)
     result.iters = stats.total_iters
     return result
+
+
+def _ainc_params(cfg, step):
+    """!AUTOINC_PARAM card (fstr_get_AUTOINC, fstr_ctrl_common.f90:572-640)
+    with init_AincParam defaults (m_step.f90:160-180)."""
+    p = dict(Rs=0.25, Rl=1.25, bound_s=(10, 50, 10), bound_l=(1, 1, 1),
+             NRtimes_s=1, NRtimes_l=2, Rc=0.25, CBbound=5)
+    name = (step.aincparam or "").upper()
+    for c in getattr(cfg, "autoinc_params", []):
+        if name and (c.param("NAME") or "").upper() != name:
+            continue
+        rows = c.rows_f()
+        if len(rows) > 0 and rows[0]:
+            r = rows[0] + [0] * 5
+            p["Rs"] = r[0] or p["Rs"]
+            p["bound_s"] = tuple(int(v) for v in r[1:4])
+            p["NRtimes_s"] = int(r[4]) or 1
+        if len(rows) > 1 and rows[1]:
+            r = rows[1] + [0] * 5
+            p["Rl"] = r[0] or p["Rl"]
+            p["bound_l"] = tuple(int(v) for v in r[1:4])
+            p["NRtimes_l"] = int(r[4]) or 1
+        if len(rows) > 2 and rows[2]:
+            r = rows[2] + [0] * 2
+            p["Rc"] = r[0] or p["Rc"]
+            p["CBbound"] = int(r[1]) or p["CBbound"]
+        break
+    return p
 
 
 def _commit_state(s):
