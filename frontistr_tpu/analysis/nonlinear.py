@@ -583,6 +583,7 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
         dt = step.initdt
         ainc = _ainc_params(cfg, step)
         ainc_stat = 0
+        tpoints = _time_points(cfg, step)
         t = 0.0
         if resume is not None and cstep == 1:
             t = float(np.asarray(resume.get("t", 0.0)))
@@ -591,6 +592,12 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
         cb_count = 0
         while t < t_end - 1e-12:
             dt = min(dt, t_end - t)
+            if tpoints is not None:
+                # clip dt so substeps land exactly on !TIME_POINTS
+                # (get_remain_to_next_timepoints, fstr_Ctrl_TimeInc.f90:219)
+                nxt = tpoints[tpoints > t + 1e-12 * t_end]
+                if len(nxt):
+                    dt = min(dt, float(nxt[0]) - t)
             lam2 = (t + dt) / t_end
             lam1 = t / t_end
             sub += 1
@@ -687,6 +694,27 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
         sta_final(sta_path, True)
     result.iters = stats.total_iters
     return result
+
+
+def _time_points(cfg, step):
+    """!TIME_POINTS NAME=..., TIME=STEP|TOTAL [,GENERATE] -> sorted array
+    of step-relative times (fstr_ctrl_get_TIMEPOINTS,
+    fstr_ctrl_common.f90:655-690)."""
+    name = (getattr(step, "timepoints", "") or "").upper()
+    cards = getattr(cfg, "time_points", [])
+    if not cards:
+        return None
+    for c in cards:
+        if name and (c.param("NAME") or "").upper() != name:
+            continue
+        rows = c.rows_f()
+        if c.param("GENERATE") is not None:
+            r = rows[0] + [0.0]
+            ts = np.arange(r[0], r[1] + 1e-12, max(r[2], 1e-30))
+        else:
+            ts = np.asarray([r[0] for r in rows if r])
+        return np.sort(ts)
+    return None
 
 
 def _ainc_params(cfg, step):
