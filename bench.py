@@ -2,16 +2,23 @@
 
 Mirrors BASELINE.json's driver metric: "Newton step wall-time and CG GFLOP/s
 per chip at 1M DOF; assembly Melem/s".  Workload: structured hex8 box,
-~1M dofs; batched f32 element assembly + gather-only matrix-free CG with
-f64 iterative refinement to true relative residual <= 1e-8 (FrontISTR's
-convergence target at FrontISTR's accuracy, on the TPU's fast path).
+~1M dofs; batched f32 element assembly + a gather-free structured-stencil
+matrix-free CG with f64 iterative refinement to true relative residual
+<= 1e-8 (FrontISTR's convergence target at FrontISTR's accuracy, on the
+TPU's fast path).
 
-Each stage is its own jitted program (one monolithic graph makes the remote
-TPU compile pathologically slow); the refinement loop is host-orchestrated.
+Design notes (measured on TPU v5e):
+  - TPU gathers run ~0.6 GB/s: the unstructured incidence-gather matvec
+    costs 120 ms at 1M dof, 115 ms of which is the two gathers.  On the
+    structured box both gathers are strided slices
+    (assembly/structured.py) -> ~2-3 ms/matvec.
+  - the femop element matvec einsum runs at Precision.HIGHEST: the bf16
+    default caps mixed-precision refinement at ~3 digits/pass.
+  - each stage is its own jitted program; one monolithic 30s+ device
+    program trips the remote-TPU execution watchdog, so the Krylov loop is
+    chunked (CG_CHUNK iterations per device call, host warm-restarts).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
-vs_baseline compares against bench_baseline.json when present (first
-recorded run at the same size), else 1.0.
 """
 
 import dataclasses as dc
@@ -24,8 +31,6 @@ import numpy as np
 
 def main():
     import jax
-    # persistent compile cache: the remote TPU compiles for the 1M-dof
-    # programs take minutes; cache them across runs
     cache = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
@@ -37,7 +42,8 @@ def main():
     from frontistr_tpu.elements.tables import get_table
     from frontistr_tpu.fem import solid
     from frontistr_tpu.fem.material import elastic_D, D3
-    from frontistr_tpu.assembly import femop
+    from frontistr_tpu.assembly.structured import (StructuredHexOperator,
+                                                   soa_from_blocks)
     from frontistr_tpu.solver.cg import pcg
 
     n = int(os.environ.get("BENCH_N", "69"))        # (n+1)^3*3 dofs ~ 1.03M
@@ -58,84 +64,68 @@ def main():
     f = np.zeros(n_dofs)
     f[mesh.node_groups["X1"] * 3 + 2] = -1.0
 
-    inc, total_en = femop.build_incidence([conn], n_node)
     conn_j = jnp.asarray(conn)
     coords32 = jnp.asarray(mesh.coords, jnp.float32)
     coords64 = jnp.asarray(mesh.coords, jnp.float64)
-    dofs = jnp.asarray((conn[:, :, None] * ndof +
-                        np.arange(ndof)[None, None, :]).reshape(E, nn * ndof)
-                       .astype(np.int32))
-    inc_j = jnp.asarray(inc)
     free32 = jnp.asarray(free, jnp.float32)
     free64 = jnp.asarray(free)
     D32 = jnp.asarray(np.broadcast_to(D1, (E, 6, 6)), jnp.float32)
     D64 = jnp.asarray(np.broadcast_to(D1, (E, 6, 6)), jnp.float64)
+    f64 = jnp.asarray(f)
 
     def t32(t):
         return dc.replace(t, dN=t.dN.astype(np.float32),
                           N=t.N.astype(np.float32),
                           weights=t.weights.astype(np.float32))
 
-    def make_op(kes, fm):
-        return femop.FEOperator(kes=[kes], dofs=[dofs], nns=[nn], inc=inc_j,
-                                total_en=total_en, n_node=n_node, ndof=ndof,
-                                free_mask=fm)
+    def make_op(keT, fm):
+        return StructuredHexOperator(n, n, n, keT, fm)
 
     @jax.jit
     def assemble32(c):
-        return solid.stiffness_linear(t32(table), c[conn_j], D32)
-
-    # NOTE: one monolithic 3000-iteration CG program runs ~30s+ on device
-    # and trips the remote-TPU execution watchdog ("TPU worker process
-    # crashed").  Chunk the Krylov loop: each call runs CG_CHUNK iterations
-    # (a few seconds), the host warm-restarts until the inner tolerance.
-    cg_chunk = int(os.environ.get("BENCH_CG_CHUNK", "400"))
+        """f32 element matrices straight into SoA (24, 24, E) layout."""
+        ke = solid.stiffness_linear(t32(table), c[conn_j], D32)
+        return soa_from_blocks(ke)
 
     @jax.jit
-    def cg32(ke32, b32, x0):
-        op = make_op(ke32, free32)
+    def assemble64(c):
+        def chunk(ce, De):
+            return solid.stiffness_linear(table, ce, De)
+        ke = solid._chunked(chunk, c[conn_j], D64, chunk=32768)
+        return soa_from_blocks(ke)
+
+    # NOTE: one monolithic multi-thousand-iteration CG program runs 30s+
+    # on device and trips the remote-TPU execution watchdog; chunk the
+    # Krylov loop and warm-restart on the host.
+    cg_chunk = int(os.environ.get("BENCH_CG_CHUNK", "600"))
+    inner_tol = 1e-5
+
+    @jax.jit
+    def cg32(keT32, b32, x0):
+        op = make_op(keT32, free32)
         res = pcg(op.apply_constrained, b32, M=op.block_jacobi(),
-                  x0=x0, tol=1e-6, maxiter=cg_chunk)
+                  x0=x0, tol=inner_tol, maxiter=cg_chunk)
         return res.x, res.iters, res.relres
 
-    def cg32_restarting(ke32, b32, max_chunks=10):
+    def cg32_restarting(keT32, b32, max_chunks=6):
         x = jnp.zeros_like(b32)
         total = 0
         for _ in range(max_chunks):
-            x, it, rr = cg32(ke32, b32, x)
+            x, it, rr = cg32(keT32, b32, x)
             total += int(it)
-            if float(rr) <= 1e-6:
+            if float(rr) <= inner_tol:
                 break
         return x, total
 
-    m = nn * ndof
+    @jax.jit
+    def residual64(keT64, x):
+        op = make_op(keT64, free64)
+        y = op.matvec(x * free64) * free64
+        return f64 * free64 - y
 
     @jax.jit
-    def assemble64_flat(c):
-        """f64 element matrices stored (E, m*m): the flat layout avoids the
-        (E, 24, 24) -> (E, 32, 128) TPU tile padding (4GB -> 1.7GB)."""
-        def chunk(ce, De):
-            ke = solid.stiffness_linear(table, ce, De)
-            return ke.reshape(ke.shape[0], m * m)
-        return solid._chunked(chunk, c[conn_j], D64, chunk=32768)
-
-    @jax.jit
-    def residual64(ke64_flat, x):
-        """r = P(b - A64 x) with the stored f64 matrix, chunked matvec."""
-        xm = x * free64
-
-        def chunk_fe(kf, de):
-            return jnp.einsum("eij,ej->ei", kf.reshape(-1, m, m), xm[de])
-
-        fe = solid._chunked(chunk_fe, ke64_flat, dofs, chunk=32768)
-        flat = jnp.concatenate([fe.reshape(-1), jnp.zeros(3)])
-        idx = inc_j[:, :, None] * 3 + jnp.arange(3)[None, None, :]
-        y = flat[idx].sum(axis=1).reshape(-1) * free64
-        return jnp.asarray(f) * free64 - y
-
-    @jax.jit
-    def mv50(ke32, x):
-        op = make_op(ke32, free32)
+    def mv50(keT32, x):
+        op = make_op(keT32, free32)
 
         def body(i, v):
             return op.matvec(v)
@@ -144,47 +134,55 @@ def main():
     def newton_step():
         """assemble (f32 + f64) + refined CG to true f64 relres <= 1e-8.
 
-        the femop matvec einsum runs at Precision.HIGHEST (full f32), so
-        each inner CG reaches ~1e-6 and 2-3 refinement passes against the
-        stored f64 matrix hit 1e-8."""
-        ke32 = assemble32(coords32)
-        ke64f = assemble64_flat(coords64)
+        full-f32 stencil matvecs let each inner CG reach 1e-5; 2-3
+        refinement passes against the f64 operator hit 1e-8."""
+        keT32 = assemble32(coords32)
+        keT64 = assemble64(coords64)
         x = jnp.zeros(n_dofs)
         bnrm = float(np.linalg.norm(f))
         total_iters = 0
         relres = 1.0
-        for _ in range(6):
-            r = residual64(ke64f, x)
+        for _ in range(5):
+            r = residual64(keT64, x)
             relres = float(jnp.linalg.norm(r)) / bnrm
             if relres <= 1e-8:
                 break
-            dx, it = cg32_restarting(ke32, r.astype(jnp.float32))
+            dx, it = cg32_restarting(keT32, r.astype(jnp.float32))
             total_iters += it
             x = x + dx.astype(jnp.float64)
-        r = residual64(ke64f, x)
+        r = residual64(keT64, x)
         relres = float(jnp.linalg.norm(r)) / bnrm
         return x, total_iters, relres
 
+    # block_until_ready does not reliably synchronize through the remote
+    # TPU (axon) tunnel; a scalar reduction + 8-byte device_get does.
+    _snorm = jax.jit(lambda x: jnp.sum(jnp.abs(x)))
+
+    def sync(x):
+        return float(_snorm(x))
+
     # ---- warm-up compiles (each piece separately) -------------------------
-    ke32 = jax.block_until_ready(assemble32(coords32))
+    keT32 = assemble32(coords32)
+    sync(keT32)
     x32 = jnp.asarray(f, jnp.float32)
-    jax.block_until_ready(mv50(ke32, x32))
-    jax.block_until_ready(cg32(ke32, x32, jnp.zeros_like(x32))[0])
-    ke64f_w = jax.block_until_ready(assemble64_flat(coords64))
-    jax.block_until_ready(residual64(ke64f_w, jnp.zeros(n_dofs)))
-    del ke64f_w
+    sync(mv50(keT32, x32))
+    sync(cg32(keT32, x32, jnp.zeros_like(x32))[0])
+    keT64_w = assemble64(coords64)
+    sync(keT64_w)
+    sync(residual64(keT64_w, jnp.zeros(n_dofs)))
+    del keT64_w
 
     t0 = time.perf_counter()
-    jax.block_until_ready(assemble32(coords32))
+    sync(assemble32(coords32))
     t_asm = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    jax.block_until_ready(mv50(ke32, x32))
+    sync(mv50(keT32, x32))
     t_mv50 = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     u, iters, relres = newton_step()
-    u = jax.block_until_ready(u)
+    sync(u)
     t_newton = time.perf_counter() - t0
 
     melem_s = E / t_asm / 1e6
@@ -195,8 +193,9 @@ def main():
     extras = dict(
         n_dofs=n_dofs, n_elems=E, cg_iters=iters, true_relres=relres,
         assembly_s=round(t_asm, 4), assembly_melem_s=round(melem_s, 3),
-        spmv_gflop_s=round(gflops, 2), device=str(jax.devices()[0]),
-        precision="f32+f64 refinement")
+        spmv_gflop_s=round(gflops, 2), spmv_ms=round(t_mv50 / 50 * 1e3, 3),
+        device=str(jax.devices()[0]),
+        precision="f32+f64 refinement, structured stencil")
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")

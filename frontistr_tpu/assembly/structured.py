@@ -1,0 +1,107 @@
+"""Gather-free matrix-free operator for structured hex8 boxes.
+
+TPU gathers run at ~0.6 GB/s (measured: 53 ms for the (24, E) input
+gather of a 1M-dof matvec, 62 ms for the incidence output gather, vs
+1.6 ms for the actual element compute).  On a structured grid both
+gathers are unnecessary: element nodal values are strided SLICES of the
+(nx+1, ny+1, nz+1, 3) node array, and the transpose accumulation is 8
+overlapping slice-adds — all dense strided ops the TPU streams at HBM
+bandwidth.
+
+This is the TPU-native analogue of structured-block FEM engines; the
+general unstructured path (assembly/femop.py) remains for arbitrary
+meshes.  Element storage is SoA (m, m, E) with the element axis on
+vector lanes.
+
+Element/node ordering matches meshgen.box_hex8: node (i,j,k) at
+(i*(ny+1)+j)*(nz+1)+k, element (i,j,k) at (i*ny+j)*nz+k, corner order
+(hex8): (0,0,0),(1,0,0),(1,1,0),(0,1,0) then the k+1 plane.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_OFFS = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+         (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]
+
+
+@dataclasses.dataclass
+class StructuredHexOperator:
+    nx: int
+    ny: int
+    nz: int
+    keT: jnp.ndarray           # (24, 24, E) SoA element matrices
+    free_mask: jnp.ndarray     # (n_dof,)
+    ndof: int = 3
+
+    @property
+    def n_node(self):
+        return (self.nx + 1) * (self.ny + 1) * (self.nz + 1)
+
+    @property
+    def n_dof(self):
+        return self.n_node * self.ndof
+
+    def _gather_stencil(self, x):
+        """x (n_dof,) -> xeT (24, E) by strided slicing."""
+        nx, ny, nz = self.nx, self.ny, self.nz
+        X = x.reshape(nx + 1, ny + 1, nz + 1, 3)
+        cs = [X[di:di + nx, dj:dj + ny, dk:dk + nz].reshape(-1, 3)
+              for (di, dj, dk) in _OFFS]
+        xe = jnp.stack(cs, axis=0)                 # (8, E, 3)
+        return jnp.swapaxes(xe, 1, 2).reshape(24, -1)
+
+    def _scatter_stencil(self, feT):
+        """feT (24, E) -> y (n_dof,) by 8 overlapping slice-adds."""
+        nx, ny, nz = self.nx, self.ny, self.nz
+        fe = jnp.swapaxes(feT.reshape(8, 3, -1), 1, 2)   # (8, E, 3)
+        Y = jnp.zeros((nx + 1, ny + 1, nz + 1, 3), feT.dtype)
+        for c, (di, dj, dk) in enumerate(_OFFS):
+            Y = Y.at[di:di + nx, dj:dj + ny, dk:dk + nz, :].add(
+                fe[c].reshape(nx, ny, nz, 3))
+        return Y.reshape(-1)
+
+    def matvec(self, x):
+        xeT = self._gather_stencil(x)
+        feT = (self.keT * xeT[None, :, :]).sum(axis=1)   # (24, E)
+        return self._scatter_stencil(feT)
+
+    def apply_constrained(self, x):
+        xm = x * self.free_mask
+        return self.matvec(xm) * self.free_mask + x * (1.0 - self.free_mask)
+
+    def diag_blocks(self):
+        """(n_node, 3, 3) nodal diagonal blocks via the same slice-adds."""
+        nx, ny, nz = self.nx, self.ny, self.nz
+        E = nx * ny * nz
+        Y = jnp.zeros((nx + 1, ny + 1, nz + 1, 3, 3), self.keT.dtype)
+        for c, (di, dj, dk) in enumerate(_OFFS):
+            blk = self.keT[3 * c:3 * c + 3, 3 * c:3 * c + 3, :]  # (3,3,E)
+            Y = Y.at[di:di + nx, dj:dj + ny, dk:dk + nz].add(
+                jnp.transpose(blk, (2, 0, 1)).reshape(nx, ny, nz, 3, 3))
+        return Y.reshape(-1, 3, 3)
+
+    def block_jacobi(self):
+        from frontistr_tpu.utils.linalg import gauss_jordan_inv
+        D = self.diag_blocks()
+        fm = self.free_mask.reshape(-1, 3)
+        # zero blocks (no adjacent elements) -> identity
+        zero = jnp.abs(D).sum(axis=(1, 2)) == 0.0
+        D = D + zero[:, None, None] * jnp.eye(3, dtype=D.dtype)
+        Dinv = gauss_jordan_inv(D)
+
+        def M(r):
+            rn = r.reshape(-1, 3)
+            return jnp.einsum("nij,nj->ni", Dinv, rn).reshape(-1)
+        return M
+
+
+def soa_from_blocks(ke):
+    """(E, m, m) -> (m, m, E) SoA layout (element axis on lanes)."""
+    return jnp.transpose(ke, (1, 2, 0))
