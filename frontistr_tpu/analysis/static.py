@@ -121,6 +121,18 @@ def solve_linear(model: StructModel, kes=None,
             (1.0 - mpc.dep_mask) * 0.0
 
     sv = model.cfg.solver
+    # gather-free stencil operator for structured hex boxes (TPU gathers
+    # run ~0.6 GB/s; strided slices stream at HBM bandwidth)
+    sop = None
+    if (getattr(model.mesh, "structured", None) is not None
+            and len(model.blocks) == 1 and model.blocks[0].etype == 361
+            and model.blocks[0].kind == "solid" and not model.extras[0]
+            and not mpc.active):
+        from frontistr_tpu.assembly.structured import (
+            StructuredHexOperator, soa_from_blocks)
+        nxyz = model.mesh.structured
+        keT = soa_from_blocks(jnp.asarray(kes[0]))
+        sop = StructuredHexOperator(*nxyz, keT, op.free_mask)
     t1 = time.perf_counter()
     if sv.method.upper() in ("DIRECT", "DIRECTMKL", "MUMPS", "MKL",
                              "DIRECTLAG"):
@@ -145,13 +157,24 @@ def solve_linear(model: StructModel, kes=None,
                            maxiter=sv.nier)
     elif _solve_policy() == "mixed" and sv.method.upper() == "CG" \
             and not mpc.active:
-        op32 = op.astype(jnp.float32)
-        res = refined_cg(op.apply_constrained, op32.apply_constrained,
-                         op32.block_jacobi(), b_c, tol=sv.resid,
-                         inner_tol=1e-6, maxiter=sv.nier)
+        if sop is not None:
+            sop32 = dataclasses.replace(
+                sop, keT=sop.keT.astype(jnp.float32),
+                free_mask=sop.free_mask.astype(jnp.float32))
+            res = refined_cg(sop.apply_constrained,
+                             sop32.apply_constrained,
+                             sop32.block_jacobi(), b_c, tol=sv.resid,
+                             inner_tol=1e-6, maxiter=sv.nier)
+        else:
+            op32 = op.astype(jnp.float32)
+            res = refined_cg(op.apply_constrained, op32.apply_constrained,
+                             op32.block_jacobi(), b_c, tol=sv.resid,
+                             inner_tol=1e-6, maxiter=sv.nier)
     else:
-        res = krylov.solve(sv.method, A, b_c,
-                           M=op.block_jacobi(), tol=sv.resid,
+        res = krylov.solve(sv.method,
+                           sop.apply_constrained if sop is not None
+                           else A, b_c,
+                           M=(sop or op).block_jacobi(), tol=sv.resid,
                            maxiter=sv.nier)
     x_sol = mpc.recover(res.x) if mpc.active else res.x
     x = np.asarray(jax.block_until_ready(x_sol))

@@ -97,6 +97,9 @@ class Mesh:
     contact_pairs: List[ContactPairDef]
     initial_conditions: Dict[str, np.ndarray]
     zero_temp: float = 0.0
+    # (nx, ny, nz) when the mesh is a structured hex box in meshgen
+    # ordering -- unlocks the gather-free stencil operator on TPU
+    structured: tuple = None
 
     @property
     def n_node(self) -> int:

@@ -58,6 +58,7 @@ def box_hex8(nx: int, ny: int, nz: int,
         "Z1": idx[:, :, -1].ravel().astype(np.int64),
     }
     mat = MaterialDef("M1", {1: [[youngs, poisson]], 2: [[density]]})
+    structured = (nx, ny, nz)
     block = ElemBlock(etype, elem_ids, conn, conn, 0)
     return Mesh(
         header="generated box", coords=coords, node_ids=node_ids,
@@ -65,7 +66,8 @@ def box_hex8(nx: int, ny: int, nz: int,
         sections=[Section("SOLID", "ALL", "M1", [1.0])],
         materials={"M1": mat}, node_groups=groups,
         elem_groups={"ALL": elem_ids}, surf_groups={}, amplitudes={},
-        equations=[], contact_pairs=[], initial_conditions={})
+        equations=[], contact_pairs=[], initial_conditions={},
+        structured=structured)
 
 
 def box_tet4(nx: int, ny: int, nz: int, **kw) -> Mesh:
