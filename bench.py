@@ -98,7 +98,9 @@ def main():
     # on device and trips the remote-TPU execution watchdog; chunk the
     # Krylov loop and warm-restart on the host.
     cg_chunk = int(os.environ.get("BENCH_CG_CHUNK", "600"))
-    inner_tol = 1e-5
+    # per-pass contraction floors at eps_f32 * cond(M K) ~ 2e-3 (measured);
+    # pushing the inner CG below that wastes iterations
+    inner_tol = 1e-3
 
     @jax.jit
     def cg32(keT32, b32, x0):
@@ -142,7 +144,7 @@ def main():
         bnrm = float(np.linalg.norm(f))
         total_iters = 0
         relres = 1.0
-        for _ in range(5):
+        for _ in range(6):
             r = residual64(keT64, x)
             relres = float(jnp.linalg.norm(r)) / bnrm
             if relres <= 1e-8:

@@ -11,6 +11,7 @@ Conventions (matching the reference):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -62,10 +63,12 @@ def jacobians(dN: jnp.ndarray, coords_e: jnp.ndarray):
       gderiv: (E, nq, nn, dim) global shape derivatives.
     """
     # J: (E, nq, dim, dim);  J[e,q,i,j] = sum_n dN[q,n,i] coords[e,n,j]
-    J = jnp.einsum("qni,enj->eqij", dN, coords_e)
+    J = jnp.einsum("qni,enj->eqij", dN, coords_e,
+                    precision=jax.lax.Precision.HIGHEST)
     det, Jinv = det_inv_small(J)
     # gderiv[e,q,n,j] = sum_i dN[q,n,i] * Jinv[e,q,j,i]  (= dN @ J^{-T})
-    gderiv = jnp.einsum("qni,eqji->eqnj", dN, Jinv)
+    gderiv = jnp.einsum("qni,eqji->eqnj", dN, Jinv,
+                       precision=jax.lax.Precision.HIGHEST)
     return det, gderiv
 
 

@@ -80,14 +80,20 @@ def stiffness_linear(table: ElementTable, coords_e: jnp.ndarray,
     # all-quadrature B, then two batched GEMMs (pure MXU work; avoids both
     # the q-unrolled accumulation and per-q broadcast of D, each of which
     # XLA materialized as a multi-GB temp at 1M dof)
-    B = jnp.einsum("kdj,eqnj->eqknd", S, gderiv).reshape(E, nq, ns, m)
+    # Precision.HIGHEST throughout: the TPU default feeds bf16 into the
+    # MXU (~0.4% input rounding), and K = B^T D B entries carry heavy
+    # cancellation between gauss terms -- measured ~10% error in the f32
+    # element matrices at 1M dof, which breaks mixed-precision refinement.
+    HI = jax.lax.Precision.HIGHEST
+    B = jnp.einsum("kdj,eqnj->eqknd", S, gderiv,
+                   precision=HI).reshape(E, nq, ns, m)
     if D_e.ndim == 4:
         # per-gauss material (temperature-dependent E(T), nu(T))
-        DB = jnp.einsum("eqkl,eqlm->eqkm", D_e, B)
+        DB = jnp.einsum("eqkl,eqlm->eqkm", D_e, B, precision=HI)
     else:
         # DB[e,q,k,j] = D[e,k,l] B[e,q,l,j] as (E, ns, nq*m) batched matmul
         B2 = jnp.swapaxes(B, 1, 2).reshape(E, ns, nq * m)
-        DB = jnp.matmul(D_e, B2, preferred_element_type=dt)
+        DB = jnp.matmul(D_e, B2, preferred_element_type=dt, precision=HI)
         DB = jnp.swapaxes(DB.reshape(E, ns, nq, m), 1, 2)  # (E, nq, ns, m)
     wdet = (w * scale)[None, :] * det                    # (E, nq)
     DB = DB * wdet[:, :, None, None]
@@ -95,7 +101,8 @@ def stiffness_linear(table: ElementTable, coords_e: jnp.ndarray,
     Bt = B.reshape(E, nq * ns, m)
     DBt = DB.reshape(E, nq * ns, m)
     return jnp.matmul(jnp.swapaxes(Bt, 1, 2), DBt,
-                      preferred_element_type=dt)
+                      preferred_element_type=dt,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def centroid_gderiv(table: ElementTable, elem):
