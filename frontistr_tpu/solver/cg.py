@@ -147,9 +147,13 @@ def gmres(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
             return (V, H)
 
         V, H = jax.lax.fori_loop(0, m, step, (V, H))
-        # solve least squares min ||beta e1 - H y||
+        # least squares min ||beta e1 - H y|| via normal equations with a
+        # TPU-safe dense inverse (f64 QR/SVD are not lowered on TPU;
+        # m = 30 so the (m, m) solve is trivial)
+        from frontistr_tpu.utils.linalg import gauss_jordan_inv
         e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
-        y, *_ = jnp.linalg.lstsq(H, e1)
+        HtH = H.T @ H + 1e-30 * jnp.eye(m, dtype=dtype)
+        y = (gauss_jordan_inv(HtH[None])[0] @ (H.T @ e1))
         x_new = x + M(V[:m].T @ y)
         r_new = b - A(x_new)
         res = jnp.sqrt(jnp.vdot(r_new, r_new)) / bnrm
