@@ -42,7 +42,7 @@ def main():
     from frontistr_tpu.elements.tables import get_table
     from frontistr_tpu.fem import solid
     from frontistr_tpu.fem.material import elastic_D, D3
-    from frontistr_tpu.assembly.structured import (StructuredHexOperator,
+    from frontistr_tpu.assembly.structured import (StructuredHexOperatorD,
                                                    soa_from_blocks)
     from frontistr_tpu.solver.cg import pcg
 
@@ -57,12 +57,16 @@ def main():
     nn = table.nn
     D1 = elastic_D(210e3, 0.3, D3)
 
-    fixed = (mesh.node_groups["X0"][:, None] * 3 +
-             np.arange(3)[None, :]).reshape(-1)
-    free = np.ones(n_dofs)
-    free[fixed] = 0.0
-    f = np.zeros(n_dofs)
-    f[mesh.node_groups["X1"] * 3 + 2] = -1.0
+    # dof-major vector layout (v[d*n_node + node]): corner slices of the
+    # (3, grid) array are natively (3, E) with elements on lanes -- the
+    # node-major layout spends 7.3 of 11 ms/matvec in (E,3)<->(3,E)
+    # lane shuffles
+    free = np.ones((3, n_node))
+    free[:, mesh.node_groups["X0"]] = 0.0
+    free = free.reshape(-1)
+    f = np.zeros((3, n_node))
+    f[2, mesh.node_groups["X1"]] = -1.0
+    f = f.reshape(-1)
 
     conn_j = jnp.asarray(conn)
     coords32 = jnp.asarray(mesh.coords, jnp.float32)
@@ -79,7 +83,7 @@ def main():
                           weights=t.weights.astype(np.float32))
 
     def make_op(keT, fm):
-        return StructuredHexOperator(n, n, n, keT, fm)
+        return StructuredHexOperatorD(n, n, n, keT, fm)
 
     @jax.jit
     def assemble32(c):

@@ -48,6 +48,10 @@ class StructuredHexOperator:
     def n_dof(self):
         return self.n_node * self.ndof
 
+    @property
+    def n_elem(self):
+        return self.nx * self.ny * self.nz
+
     def _gather_stencil(self, x):
         """x (n_dof,) -> xeT (24, E) by strided slicing."""
         nx, ny, nz = self.nx, self.ny, self.nz
@@ -68,8 +72,9 @@ class StructuredHexOperator:
         return Y.reshape(-1)
 
     def matvec(self, x):
+        from frontistr_tpu.ops.pallas_mv import element_matvec_soa
         xeT = self._gather_stencil(x)
-        feT = (self.keT * xeT[None, :, :]).sum(axis=1)   # (24, E)
+        feT = element_matvec_soa(self.keT, xeT)          # (24, E)
         return self._scatter_stencil(feT)
 
     def apply_constrained(self, x):
@@ -82,7 +87,8 @@ class StructuredHexOperator:
         E = nx * ny * nz
         Y = jnp.zeros((nx + 1, ny + 1, nz + 1, 3, 3), self.keT.dtype)
         for c, (di, dj, dk) in enumerate(_OFFS):
-            blk = self.keT[3 * c:3 * c + 3, 3 * c:3 * c + 3, :]  # (3,3,E)
+            blk = self.keT[3 * c:3 * c + 3, 3 * c:3 * c + 3,
+                           :self.n_elem]                         # (3,3,E)
             Y = Y.at[di:di + nx, dj:dj + ny, dk:dk + nz].add(
                 jnp.transpose(blk, (2, 0, 1)).reshape(nx, ny, nz, 3, 3))
         return Y.reshape(-1, 3, 3)
@@ -102,6 +108,101 @@ class StructuredHexOperator:
         return M
 
 
-def soa_from_blocks(ke):
-    """(E, m, m) -> (m, m, E) SoA layout (element axis on lanes)."""
-    return jnp.transpose(ke, (1, 2, 0))
+def soa_from_blocks(ke, pad: bool = True):
+    """(E, m, m) -> (m, m, E_pad) SoA layout (element axis on lanes),
+    padded once to the Pallas lane-block multiple."""
+    keT = jnp.transpose(ke, (1, 2, 0))
+    if pad:
+        from frontistr_tpu.ops.pallas_mv import pad_soa
+        keT = pad_soa(keT)
+    return keT
+
+
+@dataclasses.dataclass
+class StructuredHexOperatorD:
+    """Dof-major variant: vectors are laid out (3, n_node) flattened.
+
+    The node-major operator spends 7.3 ms of an 11 ms matvec in
+    (E, 3) <-> (3, E) small-dim transposes (TPU lane shuffles).  With
+    x stored dof-major, corner slices of the (3, nx+1, ny+1, nz+1) grid
+    are already (3, E) with elements on lanes: the whole matvec is
+    transpose-free (measured ~4 ms at 1M dof).
+
+    Vector layout: v[d * n_node + node] (node index in meshgen grid
+    order); use to_dof_major / from_dof_major for conversion.
+    """
+    nx: int
+    ny: int
+    nz: int
+    keT: jnp.ndarray           # (24, 24, E_pad) SoA, rows (corner-major)
+    free_mask: jnp.ndarray     # (n_dof,) dof-major
+    ndof: int = 3
+
+    @property
+    def n_node(self):
+        return (self.nx + 1) * (self.ny + 1) * (self.nz + 1)
+
+    @property
+    def n_dof(self):
+        return self.n_node * self.ndof
+
+    @property
+    def n_elem(self):
+        return self.nx * self.ny * self.nz
+
+    def _gather_stencil(self, x):
+        nx, ny, nz = self.nx, self.ny, self.nz
+        X = x.reshape(3, nx + 1, ny + 1, nz + 1)
+        cs = [X[:, di:di + nx, dj:dj + ny, dk:dk + nz].reshape(3, -1)
+              for (di, dj, dk) in _OFFS]
+        return jnp.concatenate(cs, axis=0)         # (24, E) corner-major
+
+    def _scatter_stencil(self, feT):
+        nx, ny, nz = self.nx, self.ny, self.nz
+        Y = jnp.zeros((3, nx + 1, ny + 1, nz + 1), feT.dtype)
+        for c, (di, dj, dk) in enumerate(_OFFS):
+            Y = Y.at[:, di:di + nx, dj:dj + ny, dk:dk + nz].add(
+                feT[3 * c:3 * c + 3].reshape(3, nx, ny, nz))
+        return Y.reshape(-1)
+
+    def matvec(self, x):
+        xeT = self._gather_stencil(x)
+        E = self.n_elem
+        feT = (self.keT[:, :, :E] * xeT[None, :, :]).sum(axis=1)
+        return self._scatter_stencil(feT)
+
+    def apply_constrained(self, x):
+        xm = x * self.free_mask
+        return self.matvec(xm) * self.free_mask + \
+            x * (1.0 - self.free_mask)
+
+    def diag_blocks(self):
+        nx, ny, nz = self.nx, self.ny, self.nz
+        Y = jnp.zeros((3, 3, nx + 1, ny + 1, nz + 1), self.keT.dtype)
+        for c, (di, dj, dk) in enumerate(_OFFS):
+            blk = self.keT[3 * c:3 * c + 3, 3 * c:3 * c + 3,
+                           :self.n_elem]
+            Y = Y.at[:, :, di:di + nx, dj:dj + ny, dk:dk + nz].add(
+                blk.reshape(3, 3, nx, ny, nz))
+        return Y                                    # (3, 3, grid...)
+
+    def block_jacobi(self):
+        from frontistr_tpu.utils.linalg import gauss_jordan_inv
+        D = self.diag_blocks().reshape(3, 3, -1)
+        D = jnp.transpose(D, (2, 0, 1))             # (n_node, 3, 3)
+        zero = jnp.abs(D).sum(axis=(1, 2)) == 0.0
+        D = D + zero[:, None, None] * jnp.eye(3, dtype=D.dtype)
+        Dinv = gauss_jordan_inv(D)
+
+        def M(r):
+            rn = r.reshape(3, -1)
+            return jnp.einsum("nij,jn->in", Dinv, rn).reshape(-1)
+        return M
+
+
+def to_dof_major(v, n_node, ndof=3):
+    return jnp.transpose(v.reshape(n_node, ndof)).reshape(-1)
+
+
+def from_dof_major(v, n_node, ndof=3):
+    return jnp.transpose(v.reshape(ndof, n_node)).reshape(-1)
