@@ -87,13 +87,48 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
         except Exception as e:                      # vis must never kill FEM
             print(f"### visualizer skipped: {e}")
 
-    # result file output (!WRITE,RESULT)
-    if cfg.write_result and "static" in out:
+    # result file output (!WRITE,RESULT) for every analysis family
+    # (hecmw_result_write_by_name: fstr writes <name>.<rank>.<step>)
+    if cfg.write_result and ctrl.result() is not None:
         rb = ctrl.result()
-        if rb is not None:
-            from frontistr_tpu.io.resfile import write_static_result
-            write_static_result(ctrl.path(rb) + ".0.1", mesh, out["model"],
+        base = ctrl.path(rb)
+        from frontistr_tpu.io.resfile import (write_static_result,
+                                              write_result)
+        if "static" in out:
+            write_static_result(base + ".0.1", mesh, out["model"],
                                 out["static"], step=1)
+        elif "heat" in out:
+            hr = out["heat"]
+            write_result(base + ".0.1", "*fstrresult heat step=1",
+                         mesh.node_ids,
+                         np.concatenate([b.elem_ids
+                                         for b in mesh.blocks]),
+                         [("TEMPERATURE", np.asarray(
+                             hr.T).reshape(-1, 1))], [])
+        elif "dynamic" in out:
+            dr = out["dynamic"]
+            nd = np.asarray(dr.u).reshape(mesh.n_node, -1)
+            nv = np.asarray(dr.vel).reshape(mesh.n_node, -1)
+            na = np.asarray(dr.acc).reshape(mesh.n_node, -1)
+            write_result(base + f".0.{dr.steps}",
+                         f"*fstrresult dynamic step={dr.steps}",
+                         mesh.node_ids,
+                         np.concatenate([b.elem_ids
+                                         for b in mesh.blocks]),
+                         [("DISPLACEMENT", nd[:, :3]),
+                          ("VELOCITY", nv[:, :3]),
+                          ("ACCELERATION", na[:, :3])], [])
+        elif "eigen" in out:
+            er = out["eigen"]
+            eids = np.concatenate([b.elem_ids for b in mesh.blocks])
+            ndof = out["model"].ndof
+            for k in range(er.eigenvectors.shape[1]):
+                phi = er.eigenvectors[:, k].reshape(mesh.n_node, ndof)
+                write_result(base + f".0.{k+1}",
+                             f"*fstrresult eigen mode={k+1} "
+                             f"freq={er.freq[k]:.6e}",
+                             mesh.node_ids, eids,
+                             [("DISPLACEMENT", phi[:, :3])], [])
     out["total_time"] = time.time() - t_start
     return out
 
