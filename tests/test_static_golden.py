@@ -127,3 +127,16 @@ def test_exi_nlgeom_golden(model_name):
     errs += [f"@Element {e}"
              for e in _compare(elem, golden["Element"], threshold=5e-3)]
     assert not errs, f"{model_name}: " + "; ".join(errs)
+
+
+@requires_reference
+@pytest.mark.parametrize("et", _ETYPES + ["731", "741"])
+def test_exg_golden(et):
+    """exG: concentrated-load suite over all solid + shell etypes."""
+    d = os.path.join(REFERENCE, "examples", "static", "exG")
+    name = "A" + et
+    cnt = ("G700.cnt" if et.startswith("7")
+           else "G300.cnt" if et.startswith("3") else "G200.cnt")
+    if not os.path.exists(os.path.join(d, name + "_correct.log")):
+        pytest.skip("no golden")
+    _check_golden(d, name, cnt)
