@@ -47,6 +47,7 @@ def main():
     from frontistr_tpu.solver.cg import pcg
 
     n = int(os.environ.get("BENCH_N", "69"))        # (n+1)^3*3 dofs ~ 1.03M
+    use_mg = os.environ.get("BENCH_MG", "1") != "0" and n % 3 == 0
     mesh = box_hex8(n, n, n)
     conn = mesh.blocks[0].conn
     n_node = mesh.n_node
@@ -85,6 +86,26 @@ def main():
     def make_op(keT, fm):
         return StructuredHexOperatorD(n, n, n, keT, fm)
 
+    # geometric two-grid: coarse box re-discretized at 3h
+    nc = n // 3
+    mesh_c = box_hex8(nc, nc, nc)
+    conn_c = mesh_c.blocks[0].conn
+    Ec = conn_c.shape[0]
+    conn_cj = jnp.asarray(conn_c)
+    coords_c32 = jnp.asarray(mesh_c.coords, jnp.float32)
+    D32c = jnp.asarray(np.broadcast_to(D1, (Ec, 6, 6)), jnp.float32)
+    free_c = np.ones((3, mesh_c.n_node))
+    free_c[:, mesh_c.node_groups["X0"]] = 0.0
+    free_c32 = jnp.asarray(free_c.reshape(-1), jnp.float32)
+
+    @jax.jit
+    def assemble32c(c):
+        ke = solid.stiffness_linear(t32(table), c[conn_cj], D32c)
+        return soa_from_blocks(ke)
+
+    def make_op_c(keTc):
+        return StructuredHexOperatorD(nc, nc, nc, keTc, free_c32)
+
     @jax.jit
     def assemble32(c):
         """f32 element matrices straight into SoA (24, 24, E) layout."""
@@ -106,18 +127,43 @@ def main():
     # pushing the inner CG below that wastes iterations
     inner_tol = 1e-3
 
+    from frontistr_tpu.solver.mg import make_transfers, make_twogrid
+    prolong, restrict = make_transfers(n, n, n, 3) if use_mg else (None,
+                                                                   None)
+
     @jax.jit
-    def cg32(keT32, b32, x0):
+    def cg32(keT32, keTc32, lmax_c, b32, x0):
         op = make_op(keT32, free32)
-        res = pcg(op.apply_constrained, b32, M=op.block_jacobi(),
+        if use_mg:
+            M = make_twogrid(op, make_op_c(keTc32), prolong, restrict,
+                             lmax_c)
+        else:
+            M = op.block_jacobi()
+        res = pcg(op.apply_constrained, b32, M=M,
                   x0=x0, tol=inner_tol, maxiter=cg_chunk)
         return res.x, res.iters, res.relres
 
-    def cg32_restarting(keT32, b32, max_chunks=6):
+    @jax.jit
+    def coarse_lmax_step(keTc32, v):
+        opc = make_op_c(keTc32)
+        w = opc.block_jacobi()(opc.apply_constrained(v))
+        nrm = jnp.linalg.norm(w)
+        return w / nrm, nrm
+
+    def coarse_lmax(keTc32):
+        rng = np.random.default_rng(7)
+        v = jnp.asarray(rng.standard_normal(mesh_c.n_node * 3),
+                        jnp.float32)
+        lam = jnp.asarray(1.0, jnp.float32)
+        for _ in range(15):
+            v, lam = coarse_lmax_step(keTc32, v)
+        return lam * 1.05
+
+    def cg32_restarting(keT32, keTc32, lmax_c, b32, max_chunks=6):
         x = jnp.zeros_like(b32)
         total = 0
         for _ in range(max_chunks):
-            x, it, rr = cg32(keT32, b32, x)
+            x, it, rr = cg32(keT32, keTc32, lmax_c, x0=x, b32=b32)
             total += int(it)
             if float(rr) <= inner_tol:
                 break
@@ -143,6 +189,8 @@ def main():
         full-f32 stencil matvecs let each inner CG reach 1e-5; 2-3
         refinement passes against the f64 operator hit 1e-8."""
         keT32 = assemble32(coords32)
+        keTc32 = assemble32c(coords_c32)
+        lmax_c = coarse_lmax(keTc32)
         keT64 = assemble64(coords64)
         x = jnp.zeros(n_dofs)
         bnrm = float(np.linalg.norm(f))
@@ -153,7 +201,8 @@ def main():
             relres = float(jnp.linalg.norm(r)) / bnrm
             if relres <= 1e-8:
                 break
-            dx, it = cg32_restarting(keT32, r.astype(jnp.float32))
+            dx, it = cg32_restarting(keT32, keTc32, lmax_c,
+                                     r.astype(jnp.float32))
             total_iters += it
             x = x + dx.astype(jnp.float64)
         r = residual64(keT64, x)
@@ -170,9 +219,12 @@ def main():
     # ---- warm-up compiles (each piece separately) -------------------------
     keT32 = assemble32(coords32)
     sync(keT32)
+    keTc32 = assemble32c(coords_c32)
+    sync(keTc32)
+    lmax_c = coarse_lmax(keTc32)
     x32 = jnp.asarray(f, jnp.float32)
     sync(mv50(keT32, x32))
-    sync(cg32(keT32, x32, jnp.zeros_like(x32))[0])
+    sync(cg32(keT32, keTc32, lmax_c, x32, jnp.zeros_like(x32))[0])
     keT64_w = assemble64(coords64)
     sync(keT64_w)
     sync(residual64(keT64_w, jnp.zeros(n_dofs)))
@@ -201,7 +253,8 @@ def main():
         assembly_s=round(t_asm, 4), assembly_melem_s=round(melem_s, 3),
         spmv_gflop_s=round(gflops, 2), spmv_ms=round(t_mv50 / 50 * 1e3, 3),
         device=str(jax.devices()[0]),
-        precision="f32+f64 refinement, structured stencil")
+        precision="f32+f64 refinement, structured stencil"
+                  + (", two-grid" if use_mg else ""))
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
