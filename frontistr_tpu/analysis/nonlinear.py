@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from frontistr_tpu.assembly import femop
-from frontistr_tpu.assembly.model import StructModel
+from frontistr_tpu.assembly.model import (StructModel, collect_boundary,
+                                          collect_cload)
 from frontistr_tpu.assembly import operators as old_ops
 from frontistr_tpu.elements.tables import get_table
 from frontistr_tpu.fem import material as mat
@@ -505,6 +506,54 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     return solve
 
 
+def _load_group_universe(cfg):
+    """All GRPIDs appearing on load-type cards (CLOAD/DLOAD/TEMPERATURE)."""
+    cards = list(cfg.cloads) + list(cfg.dloads) + list(cfg.temperatures)
+    return {c.iparam("GRPID", 1) for c in cards}
+
+
+def _active_sets(cfg, cstep):
+    """Per-!STEP active load groups split by the reference's cross-step
+    factor rule (fstr_ass_load.f90:69-70): groups active in the current step
+    AND the previous one are held at factor 1.0, groups newly active this
+    step ramp 0->1.  A step without LOAD sub-lines activates everything
+    (single-step decks never list groups).
+
+    Returns (sel_held, sel_ramp) as concrete sets of GRPIDs.
+    """
+    universe = _load_group_universe(cfg)
+
+    def active(step_idx):
+        if step_idx < 1:
+            return set()
+        lg = cfg.steps[step_idx - 1].load_groups
+        return set(lg) if lg else set(universe)
+
+    cur = active(cstep)
+    prev = active(cstep - 1)
+    return cur & prev, cur - prev
+
+
+def _assemble_loads_sel(model, cfg, sel, coords=None):
+    """External load vector (CLOAD + DLOAD + thermal) restricted to the load
+    groups in `sel`.  Empty set -> zero vector."""
+    if not sel:
+        return np.zeros(model.n_dof_total)
+    mesh = model.mesh
+    f = collect_cload(mesh, cfg.cloads, model.ndof, model.n_node, sel)
+    if cfg.dloads:
+        from frontistr_tpu.assembly.loads import collect_dload
+        f = f + collect_dload(mesh, model, cfg.dloads, sel, coords=coords)
+    if cfg.temperatures and getattr(model, "temperature", None) is not None:
+        from frontistr_tpu.assembly.loads import (collect_temperature,
+                                                  thermal_load)
+        T = collect_temperature(mesh, cfg.temperatures, model.n_node,
+                                cfg.reftemp, sel)
+        if T is not None:
+            f = f + thermal_load(model, T)
+    return f
+
+
 @dataclasses.dataclass
 class NewtonStats:
     substeps: int = 0
@@ -577,8 +626,33 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
     step_count = 0
     result = None
 
+    multi = len(cfg.steps) > 1
+    f_held = None
+    f_ramp = f_total
+    follow_sel = None
     for cstep, step in enumerate(cfg.steps, start=1):
-        lam_prev = 0.0
+        if multi:
+            # per-!STEP BC/load bookkeeping (fstr_solve_NLGEOM's per-step
+            # tables): rebuild the active Dirichlet set for this step and
+            # split external loads into held (active in the previous step
+            # too -> factor 1.0, fstr_ass_load.f90:69-70) and ramped
+            # (newly active -> factor lam2) parts, so loads neither
+            # un-ramp to zero at a step boundary nor double-apply.
+            bgrp = set(step.boundary_groups) if step.boundary_groups \
+                else None
+            fx_d, fx_v = collect_boundary(model.mesh, cfg.boundaries,
+                                          ndof, bgrp)
+            u_fix_total = old_ops.full_fixed_vector(n, fx_d, fx_v)
+            free = jnp.asarray(old_ops.make_free_mask(n, fx_d))
+            sel_held, sel_ramp = _active_sets(cfg, cstep)
+            follow_sel = (sel_held, sel_ramp)
+            f_held = jnp.asarray(_assemble_loads_sel(model, cfg, sel_held))
+            f_ramp = jnp.asarray(_assemble_loads_sel(model, cfg, sel_ramp))
+            solver = make_constrained_solver(model, dofs_j, nns, inc_j,
+                                             total_en, free, mixed)
+            if cm is not None:
+                contact_solver = make_contact_solver(
+                    model, dofs_j, nns, inc_j, total_en, free)
         t_end = step.elapsetime
         dt = step.initdt
         ainc = _ainc_params(cfg, step)
@@ -605,12 +679,13 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
             max_cont = step.max_contiter if cm is not None else 1
             for cont_it in range(max_cont):
                 converged, du, new_states, iters = _newton_substep(
-                    model, programs, states, u, f_total, free, u_fix_total,
+                    model, programs, states, u, f_ramp, free, u_fix_total,
                     lam1, lam2, step, inc_j, dofs_j, nns, total_en, mixed,
                     solve=solver, ctime=t + dt, tincr=tincr,
                     ex_kes=ex_kes_j,
                     ex_dofs=[jnp.asarray(d) for d in ex_dofs],
-                    cm=cm, contact_solve=contact_solver)
+                    cm=cm, contact_solve=contact_solver,
+                    f_held=f_held, follow_sel=follow_sel)
                 if cm is None or not converged:
                     break
                 coords_def = model.coords + np.asarray(
@@ -765,13 +840,16 @@ def _commit_state(s):
 def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
                     lam1, lam2, step, inc_j, dofs_j, nns, total_en, mixed,
                     solve=None, ctime=0.0, tincr=0.0, ex_kes=(),
-                    ex_dofs=(), cm=None, contact_solve=None):
+                    ex_dofs=(), cm=None, contact_solve=None,
+                    f_held=None, follow_sel=None):
     n = model.n_dof_total
     ndof = model.ndof
     du = jnp.zeros(n)
     # prescribed displacement increment for this substep (fstr_AddBC)
     dufix = jnp.asarray(u_fix_total) * (lam2 - lam1)
-    gl = f_total * lam2
+    # multi-step decks split loads into a held part (groups already active
+    # in the previous step, factor 1.0) and a ramped part
+    gl = f_total * lam2 if f_held is None else f_held + f_total * lam2
     # follower loads: DLOAD re-assembled at the deformed geometry every
     # Newton iteration (DLOAD_follow=1 default under nlgeom,
     # fstr_solve_NonLinear.f90:103)
@@ -782,6 +860,13 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
         cards, lgrp = model.dload_grp
         coords_def = model.coords + np.asarray(u_now).reshape(
             model.n_node, ndof)[:, :model.dim]
+        if follow_sel is not None:
+            sel_h, sel_r = follow_sel
+            return jnp.asarray(
+                _assemble_loads_sel(model, model.cfg, sel_h,
+                                    coords=coords_def) +
+                _assemble_loads_sel(model, model.cfg, sel_r,
+                                    coords=coords_def) * lam2)
         fd = collect_dload(model.mesh, model, cards, lgrp,
                            coords=coords_def)
         return jnp.asarray(model.f_base + fd) * lam2

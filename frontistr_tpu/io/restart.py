@@ -20,9 +20,16 @@ FORMAT_VERSION = 1
 
 def _flatten(prefix: str, obj, out: Dict[str, np.ndarray]):
     if isinstance(obj, dict):
+        if not obj:
+            # sentinel: without it, empty containers (e.g. stateless
+            # shell/beam blocks' gauss state) vanish from the flat keyset and
+            # load_restart reconstructs a truncated/misaligned structure
+            out[f"{prefix}#emptydict"] = np.zeros(0)
         for k, v in obj.items():
             _flatten(f"{prefix}.{k}", v, out)
     elif isinstance(obj, (list, tuple)):
+        if not obj:
+            out[f"{prefix}#emptylist"] = np.zeros(0)
         for i, v in enumerate(obj):
             _flatten(f"{prefix}[{i}]", v, out)
     elif obj is None:
@@ -70,10 +77,15 @@ def load_restart(path: str) -> Dict[str, Any]:
         if key == "__version__":
             continue
         arr = data[key]
-        none = key.endswith("#none")
-        if none:
+        if key.endswith("#none"):
             key = key[:-len("#none")]
             arr = None
+        elif key.endswith("#emptydict"):
+            key = key[:-len("#emptydict")]
+            arr = {}
+        elif key.endswith("#emptylist"):
+            key = key[:-len("#emptylist")]
+            arr = []
         parts = []
         for tok in key.split(".")[1:] if key.startswith("r.") else \
                 [key[2:]] if key.startswith("r[") else key.split(".")[1:]:

@@ -51,7 +51,12 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
     if sol in ("STATIC", "NLSTATIC"):
         from frontistr_tpu.assembly.model import build_struct_model
         model = build_struct_model(mesh, cfg)
-        if sol == "NLSTATIC" or cfg.nlgeom or _needs_newton(model):
+        # contact decks must take the nonlinear/contact loop even with
+        # linear-elastic material (the reference forces fstr_Newton_contact*
+        # whenever contact conditions exist)
+        has_contact = bool(cfg.contacts) and bool(mesh.contact_pairs)
+        if (sol == "NLSTATIC" or cfg.nlgeom or has_contact
+                or _needs_newton(model)):
             from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
             res = run_nonlinear_static(model, log_path=log_path)
         else:

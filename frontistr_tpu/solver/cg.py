@@ -236,6 +236,11 @@ SOLVERS = {
     "BICGSTAB": bicgstab,
     "GMRES": gmres,
     "GPBICG": gpbicg,
+    # numeric codes as in hecmw Iarray(1) (hecmw_matrix_misc.f90 method ids)
+    "1": pcg,
+    "2": bicgstab,
+    "3": gmres,
+    "4": gpbicg,
 }
 
 
@@ -245,5 +250,7 @@ def solve(method: str, A, b, M=None, x0=None, tol=1.0e-8, maxiter=10000,
     if method in ("DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG"):
         # dense/direct path handled by caller (solver/direct.py)
         raise ValueError("direct solvers are dispatched in solver.direct")
-    fn = SOLVERS.get(method, pcg)
-    return fn(A, b, M=M, x0=x0, tol=tol, maxiter=maxiter, **kw)
+    if method not in SOLVERS:
+        raise ValueError(f"unknown solver METHOD={method!r}; "
+                         f"expected one of {sorted(SOLVERS)}")
+    return SOLVERS[method](A, b, M=M, x0=x0, tol=tol, maxiter=maxiter, **kw)

@@ -86,6 +86,7 @@ void* msh_scan(const char* path) {
   ElemBlock* cur = nullptr;
   std::vector<int64_t> pend;   // partial element row (continuation lines)
   int64_t pend_id = 0;
+  bool pend_has_id = false;    // id read, connectivity (possibly) pending
 
   while (fgets(line, sizeof line, f)) {
     char* s = line;
@@ -95,6 +96,7 @@ void* msh_scan(const char* path) {
       mode = NONE;
       cur = nullptr;
       pend.clear();
+      pend_has_id = false;
       // card name
       char name[64];
       int k = 0;
@@ -136,18 +138,26 @@ void* msh_scan(const char* path) {
         d->coords.push_back(n > 3 ? nums[3] : 0.0);
       }
     } else if (mode == ELEM && cur) {
+      // token-stream semantics like the reference's flex lexer: the id-read
+      // state is tracked separately from pend's fill level (an id alone on
+      // its line must not eat the next line's first connectivity value), and
+      // a single line may complete several element rows.
       int n = parse_nums(s, nums, 64);
-      int off = 0;
-      if (pend.empty()) {
-        if (n < 1) continue;
-        pend_id = (int64_t)nums[0];
-        off = 1;
-      }
-      for (int i = off; i < n; ++i) pend.push_back((int64_t)nums[i]);
-      if ((int)pend.size() >= cur->nn) {
-        cur->ids.push_back(pend_id);
-        for (int i = 0; i < cur->nn; ++i) cur->conn.push_back(pend[i]);
-        pend.clear();
+      int i = 0;
+      while (i < n) {
+        if (!pend_has_id) {
+          pend_id = (int64_t)nums[i++];
+          pend_has_id = true;
+          pend.clear();
+        }
+        while (i < n && (int)pend.size() < cur->nn)
+          pend.push_back((int64_t)nums[i++]);
+        if ((int)pend.size() >= cur->nn) {
+          cur->ids.push_back(pend_id);
+          for (int k = 0; k < cur->nn; ++k) cur->conn.push_back(pend[k]);
+          pend.clear();
+          pend_has_id = false;
+        }
       }
     }
   }
