@@ -166,15 +166,26 @@ def solve_linear(model: StructModel, kes=None,
                              sop32.block_jacobi(), b_c, tol=sv.resid,
                              inner_tol=1e-6, maxiter=sv.nier)
         else:
-            op32 = op.astype(jnp.float32)
-            res = refined_cg(op.apply_constrained, op32.apply_constrained,
-                             op32.block_jacobi(), b_c, tol=sv.resid,
+            # assembled block-ELL f32 operator for the CG hot loop
+            # (~12x the incidence-gather matvec); f64 true residuals
+            # still go through the gather operator
+            from frontistr_tpu.assembly import ell
+            eop32 = ell.from_model(model, kes, dtype=jnp.float32)
+            res = refined_cg(op.apply_constrained, eop32.apply_constrained,
+                             eop32.block_jacobi(), b_c, tol=sv.resid,
                              inner_tol=1e-6, maxiter=sv.nier)
     else:
+        if sop is None and not mpc.active:
+            from frontistr_tpu.assembly import ell
+            eop = ell.from_model(model, kes)
+            A = eop.apply_constrained
+            Mj = eop.block_jacobi()
+        else:
+            Mj = (sop or op).block_jacobi()
         res = krylov.solve(sv.method,
                            sop.apply_constrained if sop is not None
                            else A, b_c,
-                           M=(sop or op).block_jacobi(), tol=sv.resid,
+                           M=Mj, tol=sv.resid,
                            maxiter=sv.nier)
     x_sol = mpc.recover(res.x) if mpc.active else res.x
     x = np.asarray(jax.block_until_ready(x_sol))

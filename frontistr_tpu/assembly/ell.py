@@ -1,0 +1,233 @@
+"""Assembled block-ELL operator: the fast unstructured SpMV path.
+
+The round-1 gather operator (assembly/femop.py) re-reads every element
+stiffness each matvec (~E*(nn*ndof)^2 floats: 2.9 GB at 1M dof hex8), which
+measures ~120 ms/matvec on TPU v5e.  This module assembles the global block
+matrix ONCE per tangent into an ELL (padded fixed-width rows) layout and
+reads only the N*W nodal blocks per matvec — the TPU redesign of the
+reference's block-CSR SpMV (hecmw1/src/solver/las/hecmw_solver_las_33.f90:
+135-351) with ELL padding instead of CSR indirection so every row does
+identical work (no row-pointer loops, pure batched einsum).
+
+  host setup (once per mesh):  node adjacency graph -> cols (N, W) padded
+      with the row itself; per-element (a, b) pair -> flat slot map; a
+      permutation sorting all pair entries by destination slot.
+  device assembly (per tangent): entries = ke blocks in (P, nd*nd) planes,
+      permuted to slot order, segment-summed into (N, W, nd, nd).
+  device matvec:  y = einsum(blocks, x[cols]) — one row gather + one
+      batched small matmul, HBM-bound at N*W*nd*nd reads.
+
+Dirichlet handling matches femop.FEOperator (projection form).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class ELLProfile:
+    """Static (host) sparsity profile of the node graph.
+
+    Plays the role of hecmw_mat_con (hecmw1/src/solver/matrix/
+    hecmw_mat_con.f90): symbolic assembly from element connectivity.
+    """
+    n_node: int
+    ndof: int
+    W: int                       # max neighbors (incl. self), padded width
+    cols: np.ndarray             # (N, W) int32, padded with the row index
+    diag_slot: np.ndarray        # (N,) int32 slot of the diagonal block
+    perm: np.ndarray             # (P,) int sorts pair entries by slot
+    seg_sorted: np.ndarray       # (P,) int32 destination slots, sorted
+    pair_counts: List[int]       # entries per block (E*nn*nn each)
+
+    @property
+    def n_slots(self) -> int:
+        return self.n_node * self.W
+
+
+def build_profile(conns: Sequence[np.ndarray], n_node: int,
+                  ndof: int) -> ELLProfile:
+    """Symbolic assembly: node graph -> padded ELL columns + scatter maps."""
+    rows_l, cols_l, counts = [], [], []
+    for c in conns:
+        E, nn = c.shape
+        r = np.repeat(c, nn, axis=1).reshape(-1)         # (E*nn*nn,) row a
+        q = np.tile(c, (1, nn)).reshape(-1)              # col b
+        rows_l.append(r.astype(np.int64))
+        cols_l.append(q.astype(np.int64))
+        counts.append(E * nn * nn)
+    rows = np.concatenate(rows_l)
+    colsv = np.concatenate(cols_l)
+    key = rows * n_node + colsv
+    uniq, inv = np.unique(key, return_inverse=True)
+    urow = (uniq // n_node).astype(np.int64)
+    ucol = (uniq % n_node).astype(np.int32)
+    per_row = np.bincount(urow, minlength=n_node)
+    W = max(int(per_row.max()) if len(per_row) else 1, 1)
+    starts = np.zeros(n_node + 1, dtype=np.int64)
+    np.cumsum(per_row, out=starts[1:])
+    within = np.arange(len(uniq), dtype=np.int64) - starts[urow]
+    cols_pad = np.repeat(np.arange(n_node, dtype=np.int32)[:, None], W,
+                         axis=1)
+    cols_pad[urow, within] = ucol
+    uniq_slot = (urow * W + within).astype(np.int64)     # per unique pair
+    slot = uniq_slot[inv]                                # per raw pair entry
+    perm = np.argsort(slot, kind="stable")
+    seg_sorted = slot[perm].astype(np.int32)
+    # diagonal slot: where the unique pair is (i, i)
+    diag_slot = np.zeros(n_node, dtype=np.int32)
+    is_diag = urow == ucol
+    diag_slot[urow[is_diag]] = within[is_diag].astype(np.int32)
+    return ELLProfile(n_node=n_node, ndof=ndof, W=W, cols=cols_pad,
+                      diag_slot=diag_slot, perm=perm.astype(np.int64),
+                      seg_sorted=seg_sorted, pair_counts=counts)
+
+
+def assemble_blocks(profile: ELLProfile, kes: Sequence[jnp.ndarray],
+                    nns: Sequence[int]) -> jnp.ndarray:
+    """Numeric assembly: per-element dense blocks -> (N, W, nd, nd).
+
+    Deterministic (sorted segment_sum), scatter-free; the TPU equivalent of
+    hecmw_mat_ass_elem's CSR binary-search scatter
+    (hecmw1/src/solver/matrix/hecmw_mat_ass.f90:31-90).
+    """
+    nd = profile.ndof
+    entries = []
+    for ke, nn in zip(kes, nns):
+        E = ke.shape[0]
+        kr = ke.reshape(E, nn, nd, nn, nd)
+        # (E, a, b, i, j) pair-major to match build_profile's pair order
+        entries.append(jnp.transpose(kr, (0, 1, 3, 2, 4))
+                       .reshape(E * nn * nn, nd * nd))
+    ent = jnp.concatenate(entries, axis=0)
+    ent_sorted = ent[jnp.asarray(profile.perm)]
+    blocks = jax.ops.segment_sum(ent_sorted,
+                                 jnp.asarray(profile.seg_sorted),
+                                 num_segments=profile.n_slots,
+                                 indices_are_sorted=True)
+    return blocks.reshape(profile.n_node, profile.W, nd, nd)
+
+
+@dataclasses.dataclass
+class ELLOperator:
+    """Constrained global stiffness operator over assembled ELL blocks.
+
+    API-compatible with femop.FEOperator (matvec / apply_constrained /
+    constrained_rhs / diag_blocks / block_jacobi / astype).
+    """
+    blocks: jnp.ndarray          # (N, W, nd, nd)
+    cols: jnp.ndarray            # (N, W) int32
+    diag_slot: jnp.ndarray       # (N,) int32
+    n_node: int
+    ndof: int
+    free_mask: jnp.ndarray       # (N*nd,) 1.0 free / 0.0 fixed
+
+    @property
+    def n_dof(self) -> int:
+        return self.n_node * self.ndof
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        nd = self.ndof
+        xn = x.reshape(self.n_node, nd)
+        xg = xn[self.cols]                        # (N, W, nd) row gather
+        y = jnp.einsum("nwij,nwj->ni", self.blocks, xg,
+                       precision=jax.lax.Precision.HIGHEST)
+        return y.reshape(-1)
+
+    def apply_constrained(self, x: jnp.ndarray) -> jnp.ndarray:
+        xm = x * self.free_mask
+        y = self.matvec(xm)
+        return y * self.free_mask + x * (1.0 - self.free_mask)
+
+    def constrained_rhs(self, f: jnp.ndarray, u_fix: jnp.ndarray):
+        y = self.matvec(u_fix)
+        return (f - y) * self.free_mask + u_fix * (1.0 - self.free_mask)
+
+    def diag_blocks(self) -> jnp.ndarray:
+        n = jnp.arange(self.n_node)
+        return self.blocks[n, self.diag_slot]     # (N, nd, nd)
+
+    def block_jacobi(self) -> Callable:
+        from frontistr_tpu.fem.isoparam import det_inv_small
+        from frontistr_tpu.utils.linalg import gauss_jordan_inv
+        nd = self.ndof
+        D = self.diag_blocks()
+        fm = self.free_mask.reshape(self.n_node, nd)
+        D = D * (fm[:, :, None] * fm[:, None, :])
+        dd = D[:, jnp.arange(nd), jnp.arange(nd)]
+        D = D.at[:, jnp.arange(nd), jnp.arange(nd)].add(
+            jnp.where(dd == 0.0, jnp.ones_like(dd), jnp.zeros_like(dd)))
+        if nd == 1:
+            Dinv = 1.0 / D
+        elif nd in (2, 3):
+            _, Dinv = det_inv_small(D)
+        else:
+            Dinv = gauss_jordan_inv(D)
+
+        def apply(r):
+            rn = r.reshape(self.n_node, nd)
+            return jnp.einsum("nij,nj->ni", Dinv, rn).reshape(-1)
+
+        return apply
+
+    def astype(self, dtype) -> "ELLOperator":
+        return ELLOperator(blocks=self.blocks.astype(dtype),
+                           cols=self.cols, diag_slot=self.diag_slot,
+                           n_node=self.n_node, ndof=self.ndof,
+                           free_mask=self.free_mask.astype(dtype))
+
+
+_PROFILE_CACHE: dict = {}
+
+
+def _profile_key(conns, n_node, ndof):
+    import hashlib
+    h = hashlib.sha1()
+    h.update(np.int64(n_node).tobytes())
+    h.update(np.int64(ndof).tobytes())
+    for c in conns:
+        h.update(np.int64(c.shape[0]).tobytes())
+        h.update(np.ascontiguousarray(c[:: max(1, c.shape[0] // 64)])
+                 .tobytes())
+    return h.hexdigest()
+
+
+def profile_from_model(model) -> ELLProfile:
+    """Build (and cache) the ELL profile for a StructModel, including any
+    spring extra-blocks."""
+    ex_conns = getattr(model, "extras", ([], [], [], []))[0]
+    conns = [b.conn for b in model.blocks] + list(ex_conns)
+    key = _profile_key(conns, model.n_node, model.ndof)
+    prof = _PROFILE_CACHE.get(key)
+    if prof is None:
+        prof = build_profile(conns, model.n_node, model.ndof)
+        _PROFILE_CACHE.clear()        # hold one profile (they are large)
+        _PROFILE_CACHE[key] = prof
+    return prof
+
+
+def from_model(model, kes, dtype=None,
+               profile: Optional[ELLProfile] = None) -> ELLOperator:
+    """Assemble the ELL operator from a StructModel + element matrices."""
+    from frontistr_tpu.assembly import operators as old_ops
+    ex = getattr(model, "extras", ([], [], [], []))
+    ex_conns, _, ex_kes, ex_nns = ex
+    if profile is None:
+        profile = profile_from_model(model)
+    all_kes = [jnp.asarray(k) for k in kes] + [jnp.asarray(k)
+                                               for k in ex_kes]
+    nns = [b.conn.shape[1] for b in model.blocks] + list(ex_nns)
+    if dtype is not None:
+        all_kes = [k.astype(dtype) for k in all_kes]
+    blocks = assemble_blocks(profile, all_kes, nns)
+    free = old_ops.make_free_mask(model.n_dof_total, model.fixed_dofs)
+    fm = jnp.asarray(free, blocks.dtype)
+    return ELLOperator(blocks=blocks, cols=jnp.asarray(profile.cols),
+                       diag_slot=jnp.asarray(profile.diag_slot),
+                       n_node=model.n_node, ndof=model.ndof, free_mask=fm)

@@ -1,0 +1,141 @@
+"""Unstructured SpMV benchmark: femop gather vs assembled block-ELL.
+
+The VERDICT round-1 'done' bar: <= 15 ms/matvec at 1M dof on a tet mesh.
+Run: python scripts/bench_unstructured.py [tet|hex] [n]
+"""
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from frontistr_tpu.meshgen import box_hex8, box_tet4
+    from frontistr_tpu.elements.tables import get_table
+    from frontistr_tpu.fem import solid
+    from frontistr_tpu.fem.material import elastic_D, D3
+    from frontistr_tpu.assembly import ell, femop
+
+    kind = sys.argv[1] if len(sys.argv) > 1 else "tet"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 69
+    mesh = box_tet4(n, n, n) if kind == "tet" else box_hex8(n, n, n)
+    etype = 341 if kind == "tet" else 361
+    conn = mesh.blocks[0].conn
+    n_node = mesh.n_node
+    ndof = 3
+    E = conn.shape[0]
+    table = get_table(etype)
+    nn = table.nn
+    D1 = elastic_D(210e3, 0.3, D3)
+    D_e32 = jnp.asarray(np.broadcast_to(D1, (E, 6, 6)), jnp.float32)
+    coords32 = jnp.asarray(mesh.coords, jnp.float32)
+    free = np.ones(n_node * 3, np.float32)
+    free[(mesh.node_groups["X0"][:, None] * 3 + np.arange(3)).reshape(-1)] \
+        = 0.0
+    free_j = jnp.asarray(free)
+    print(f"{kind} mesh: {E} elems, {n_node} nodes, {n_node*3/1e6:.2f}M dof")
+
+    import dataclasses as dc
+
+    def t32(t):
+        return dc.replace(t, dN=t.dN.astype(np.float32),
+                          N=t.N.astype(np.float32),
+                          weights=t.weights.astype(np.float32))
+
+    @jax.jit
+    def assemble_kes(c):
+        def chunk(ce, De):
+            return solid.stiffness_linear(t32(table), ce, De)
+        return solid._chunked(chunk, c[jnp.asarray(conn)], D_e32,
+                              chunk=65536)
+
+    _snorm = jax.jit(lambda x: jnp.sum(jnp.abs(x)))
+
+    def sync(x):
+        return float(_snorm(x.reshape(-1)))
+
+    t0 = time.perf_counter()
+    ke = assemble_kes(coords32)
+    sync(ke)
+    t0 = time.perf_counter()
+    ke = assemble_kes(coords32)
+    sync(ke)
+    t_ke = time.perf_counter() - t0
+    print(f"element stiffness: {t_ke*1e3:.1f} ms ({E/t_ke/1e6:.1f} Melem/s)")
+
+    # --- host profile build ---
+    t0 = time.perf_counter()
+    prof = ell.build_profile([conn], n_node, ndof)
+    t_prof = time.perf_counter() - t0
+    print(f"ELL profile (host): {t_prof:.2f} s, W={prof.W}, "
+          f"pad fill={prof.cols.size/ (prof.seg_sorted.size and len(np.unique(prof.seg_sorted))):.2f}x")
+
+    # --- device assembly ---
+    perm_j = jnp.asarray(prof.perm)
+    seg_j = jnp.asarray(prof.seg_sorted)
+
+    @jax.jit
+    def assemble_ell(ke):
+        return ell.assemble_blocks(prof, [ke], [nn])
+    blocks = assemble_ell(ke)
+    sync(blocks)
+    t0 = time.perf_counter()
+    blocks = assemble_ell(ke)
+    sync(blocks)
+    t_asm = time.perf_counter() - t0
+    print(f"ELL assembly (device): {t_asm*1e3:.1f} ms")
+
+    eop = ell.ELLOperator(blocks=blocks, cols=jnp.asarray(prof.cols),
+                          diag_slot=jnp.asarray(prof.diag_slot),
+                          n_node=n_node, ndof=ndof, free_mask=free_j)
+
+    dofs = (conn[:, :, None] * 3 + np.arange(3)).reshape(E, -1).astype(
+        np.int32)
+    inc, total_en = femop.build_incidence([conn], n_node)
+    fop = femop.FEOperator(kes=[ke], dofs=[jnp.asarray(dofs)], nns=[nn],
+                           inc=jnp.asarray(inc), total_en=total_en,
+                           n_node=n_node, ndof=3, free_mask=free_j)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(n_node * 3), jnp.float32)
+
+    @jax.jit
+    def mv20_ell(b, x):
+        op = dc.replace(eop, blocks=b)
+
+        def body(i, v):
+            return op.matvec(v) / (1e3 * 27.0)
+        return jax.lax.fori_loop(0, 20, body, x)
+
+    @jax.jit
+    def mv20_fem(ke, x):
+        op = dc.replace(fop, kes=[ke])
+
+        def body(i, v):
+            return op.matvec(v) / (1e6 * 27.0)
+        return jax.lax.fori_loop(0, 20, body, x)
+
+    sync(mv20_ell(blocks, x))
+    t0 = time.perf_counter()
+    sync(mv20_ell(blocks, x))
+    t_ell = (time.perf_counter() - t0) / 20
+    print(f"ELL matvec:   {t_ell*1e3:8.2f} ms")
+
+    sync(mv20_fem(ke, x))
+    t0 = time.perf_counter()
+    sync(mv20_fem(ke, x))
+    t_fem = (time.perf_counter() - t0) / 20
+    print(f"femop matvec: {t_fem*1e3:8.2f} ms   (ELL speedup "
+          f"{t_fem/t_ell:.1f}x)")
+
+    # sanity: same result
+    y1 = np.asarray(eop.matvec(x))
+    y2 = np.asarray(fop.matvec(x))
+    err = np.abs(y1 - y2).max() / max(np.abs(y2).max(), 1e-30)
+    print(f"ELL vs femop rel err: {err:.2e}")
+
+
+if __name__ == "__main__":
+    main()
