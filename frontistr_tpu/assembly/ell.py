@@ -50,6 +50,17 @@ class ELLProfile:
     def n_slots(self) -> int:
         return self.n_node * self.W
 
+    def device_maps(self):
+        """Device copies of (perm, seg_sorted), cached.  Closing over
+        jnp arrays keeps them out of the compiled program body (they ride
+        as runtime buffers); raw np arrays would be inlined as literals,
+        which overflows the remote-TPU compile payload at 1M dof."""
+        if not hasattr(self, "_dev"):
+            object.__setattr__(self, "_dev",
+                               (jnp.asarray(self.perm),
+                                jnp.asarray(self.seg_sorted)))
+        return self._dev
+
 
 def build_profile(conns: Sequence[np.ndarray], n_node: int,
                   ndof: int) -> ELLProfile:
@@ -106,9 +117,9 @@ def assemble_blocks(profile: ELLProfile, kes: Sequence[jnp.ndarray],
         entries.append(jnp.transpose(kr, (0, 1, 3, 2, 4))
                        .reshape(E * nn * nn, nd * nd))
     ent = jnp.concatenate(entries, axis=0)
-    ent_sorted = ent[jnp.asarray(profile.perm)]
-    blocks = jax.ops.segment_sum(ent_sorted,
-                                 jnp.asarray(profile.seg_sorted),
+    perm_j, seg_j = profile.device_maps()
+    ent_sorted = ent[perm_j]
+    blocks = jax.ops.segment_sum(ent_sorted, seg_j,
                                  num_segments=profile.n_slots,
                                  indices_are_sorted=True)
     return blocks.reshape(profile.n_node, profile.W, nd, nd)
