@@ -228,11 +228,16 @@ def _run_implicit(model: StructModel, log_path):
     result = None
     from frontistr_tpu.fem.isoparam import det_inv_small
 
+    nns_t = tuple(nns)
+
     @jax.jit
-    def solve_eff(kes, B, dirichlet_inc):
-        """K_eff = c1 K + c2 M solve, compiled once for the whole run."""
-        op = femop.FEOperator(list(kes), dofs_j, nns, inc_j, total_en,
-                              model.n_node, ndof, free)
+    def _solve_eff(ctx, kes, B, dirichlet_inc):
+        """K_eff = c1 K + c2 M solve, compiled once for the whole run.
+        Arrays ride through as pytree args (closure arrays would be
+        inlined as module literals — remote-compile payload blowup)."""
+        dofs_a, inc_a, free, mass = ctx
+        op = femop.FEOperator(list(kes), list(dofs_a), nns_t, inc_a,
+                              total_en, model.n_node, ndof, free)
 
         def A_raw(x):
             return c1 * op.matvec(x) + c2 * mass * x
@@ -260,11 +265,20 @@ def _run_implicit(model: StructModel, log_path):
         return krylov.pcg(A_eff, b_c, M=M, tol=cfg.solver.resid,
                           maxiter=cfg.solver.nier).x
 
+    _ctx = (list(dofs_j), inc_j, free, mass)
+
+    def solve_eff(kes, B, dirichlet_inc):
+        return _solve_eff(_ctx, kes, B, dirichlet_inc)
+
     @jax.jit
-    def matvec_k(kes, x):
-        op = femop.FEOperator(list(kes), dofs_j, nns, inc_j, total_en,
-                              model.n_node, ndof, free)
+    def _matvec_k(ctx, kes, x):
+        dofs_a, inc_a, free_a, _ = ctx
+        op = femop.FEOperator(list(kes), list(dofs_a), nns_t, inc_a,
+                              total_en, model.n_node, ndof, free_a)
         return op.matvec(x)
+
+    def matvec_k(kes, x):
+        return _matvec_k(_ctx, kes, x)
 
     for i in range(1, d.n_step + 1):
         t = dt * i

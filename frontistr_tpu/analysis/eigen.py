@@ -69,16 +69,20 @@ def run_eigen(model: StructModel, log_path: Optional[str] = None):
         inc=jnp.asarray(inc), total_en=total_en, n_node=model.n_node,
         ndof=model.ndof,
         free_mask=jnp.asarray(k_active.astype(np.float64)))
-    M_pre = op.block_jacobi()
     k_act = jnp.asarray(k_active.astype(np.float64))
 
     @jax.jit
-    def shift_invert(q):
-        """w = K^{-1} (M q) on the Dirichlet-constrained system."""
+    def _shift_invert(op, mass_j, k_act, q):
+        """w = K^{-1} (M q) on the Dirichlet-constrained system.  The
+        operator rides through jit as a pytree arg (closure arrays are
+        inlined as module literals — payload overflow at scale)."""
         b = (mass_j * q) * k_act
-        res = krylov.pcg(op.apply_constrained, b, M=M_pre,
+        res = krylov.pcg(op.apply_constrained, b, M=op.block_jacobi(),
                          tol=1e-10, maxiter=model.cfg.solver.nier)
         return res.x * k_act
+
+    def shift_invert(q):
+        return _shift_invert(op, mass_j, k_act, q)
 
     # --- Lanczos with full reorthogonalization (M-inner product) ----------
     rng = np.random.default_rng(0)

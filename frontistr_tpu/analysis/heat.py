@@ -287,12 +287,16 @@ class _HeatSolver:
         u_fix[model.fixtemp_nodes] = model.fixtemp_vals
         self.u_fix = jnp.asarray(u_fix)
         sv = model.cfg.solver
-        free_j, u_fix_j = self.free, self.u_fix
+        nns_t = tuple(nns)
 
+        # all arrays ride through the jit boundary as pytree ARGS
+        # (closure arrays are inlined as module literals: payload
+        # overflow on the remote-compile path at scale)
         @jax.jit
-        def solve(kes, f, dt_inv_C):
+        def _solve(ctx, kes, f, dt_inv_C):
+            dofs_a, inc_a, free_j, u_fix_j = ctx
             op = femop.FEOperator(
-                kes=list(kes), dofs=dofs, nns=nns, inc=self.inc,
+                kes=list(kes), dofs=list(dofs_a), nns=nns_t, inc=inc_a,
                 total_en=total_en, n_node=n, ndof=1, free_mask=free_j)
 
             def A(x):
@@ -307,7 +311,10 @@ class _HeatSolver:
             res = krylov.pcg(A, b_c, M=lambda r: r / D, tol=sv.resid,
                              maxiter=max(sv.nier, 2000))
             return res.x
-        self._solve = solve
+
+        ctx = (list(dofs), self.inc, self.free, self.u_fix)
+        self._solve = lambda kes, f, dt_inv_C: _solve(ctx, kes, f,
+                                                      dt_inv_C)
 
     def step(self, T, dt_inv_C=None, T_prev=None):
         model = self.model

@@ -449,10 +449,12 @@ def make_contact_solver(model, dofs_j, nns, inc_j, total_en, free):
     incidence (scatter-add; contact conn changes face targets per search)."""
     n_node, ndof = model.n_node, model.ndof
     sv = model.cfg.solver
+    nns_t = tuple(nns)
 
     @jax.jit
-    def solve(kes, B, dirichlet_inc, cdofs, cke):
-        op = femop.FEOperator(list(kes), dofs_j, nns, inc_j, total_en,
+    def _solve(ctx, kes, B, dirichlet_inc, cdofs, cke):
+        dofs, inc, free = ctx
+        op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
                               n_node, ndof, free)
 
         def A_raw(x):
@@ -469,6 +471,12 @@ def make_contact_solver(model, dofs_j, nns, inc_j, total_en, free):
         res = krylov.pcg(A, b_c, M=op.block_jacobi(), tol=sv.resid,
                          maxiter=sv.nier)
         return res.x
+
+    ctx = (list(dofs_j), inc_j, free)
+
+    def solve(kes, B, dirichlet_inc, cdofs, cke):
+        return _solve(ctx, kes, B, dirichlet_inc, cdofs, cke)
+
     return solve
 
 
@@ -476,47 +484,73 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                             mixed: bool):
     """One jitted constrained-solve(kes, b_c) for the whole analysis —
     building it per Newton iteration would retrace the Krylov while_loop
-    every call."""
+    every call.
+
+    TPU contract: every array the trace touches (ELL maps, AMG maps,
+    incidence, dof tables, coords) rides through the jit boundary as a
+    pytree ARGUMENT — closed-over concrete arrays are inlined into the
+    lowered module as dense literals (remote-compile payload overflow at
+    ~1M dof)."""
     n_node, ndof = model.n_node, model.ndof
     sv = model.cfg.solver
     from frontistr_tpu.assembly import ell as ellmod
+    from frontistr_tpu.solver import amg as amgmod
     prof = ellmod.profile_from_model(model)
-    cols_j = jnp.asarray(prof.cols)
-    diag_j = jnp.asarray(prof.diag_slot)
+    prof_d = prof.device()
+    amaps = amgmod.eligible_maps(prof, model.n_dof_total)
+    coords_j = jnp.asarray(model.coords)
+    nns_t = tuple(nns)
 
-    def _ell_op(kes, dtype):
+    def _ell_op(profile, kes, free_m, dtype):
         blocks = ellmod.assemble_blocks(
-            prof, [k.astype(dtype) for k in kes], nns)
-        return ellmod.ELLOperator(blocks=blocks, cols=cols_j,
-                                  diag_slot=diag_j, n_node=n_node,
-                                  ndof=ndof, free_mask=free.astype(dtype))
+            profile, [k.astype(dtype) for k in kes], nns_t)
+        return ellmod.ELLOperator(blocks=blocks, cols=profile.cols,
+                                  diag_slot=profile.diag_slot,
+                                  n_node=n_node, ndof=ndof,
+                                  free_mask=free_m.astype(dtype))
+
+    def _precond(eop, am, coords):
+        if am is None:
+            return eop.block_jacobi()
+        return amgmod.setup_amg(
+            am, eop.blocks, eop.cols, coords.astype(eop.blocks.dtype),
+            eop.free_mask, eop.apply_constrained, eop.block_jacobi())
 
     if mixed:
         @jax.jit
-        def solve(kes, B, dirichlet_inc):
-            op = femop.FEOperator(list(kes), dofs_j, nns, inc_j, total_en,
-                                  n_node, ndof, free)
-            b_c = (B - op.matvec(dirichlet_inc)) * free + \
-                dirichlet_inc * (1.0 - free)
+        def _solve(profile, am, ctx, kes, B, dirichlet_inc):
+            dofs, inc, free_m, coords = ctx
+            op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
+                                  n_node, ndof, free_m)
+            b_c = (B - op.matvec(dirichlet_inc)) * free_m + \
+                dirichlet_inc * (1.0 - free_m)
             # block-ELL f32 operator for the CG hot loop (~12x the
             # incidence-gather matvec); f64 true residual via gather op
-            eop32 = _ell_op(kes, jnp.float32)
+            eop32 = _ell_op(profile, kes, free_m, jnp.float32)
             res = refined_cg(op.apply_constrained, eop32.apply_constrained,
-                             eop32.block_jacobi(), b_c, tol=sv.resid,
-                             inner_tol=1e-6, maxiter=sv.nier, max_passes=2)
+                             _precond(eop32, am, coords), b_c,
+                             tol=sv.resid, inner_tol=1e-6,
+                             maxiter=sv.nier, max_passes=2)
             return res.x
     else:
         @jax.jit
-        def solve(kes, B, dirichlet_inc):
-            op = femop.FEOperator(list(kes), dofs_j, nns, inc_j, total_en,
-                                  n_node, ndof, free)
-            b_c = (B - op.matvec(dirichlet_inc)) * free + \
-                dirichlet_inc * (1.0 - free)
-            eop = _ell_op(kes, b_c.dtype)
+        def _solve(profile, am, ctx, kes, B, dirichlet_inc):
+            dofs, inc, free_m, coords = ctx
+            op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
+                                  n_node, ndof, free_m)
+            b_c = (B - op.matvec(dirichlet_inc)) * free_m + \
+                dirichlet_inc * (1.0 - free_m)
+            eop = _ell_op(profile, kes, free_m, b_c.dtype)
             res = krylov.pcg(eop.apply_constrained, b_c,
-                             M=eop.block_jacobi(), tol=sv.resid,
+                             M=_precond(eop, am, coords), tol=sv.resid,
                              maxiter=sv.nier)
             return res.x
+
+    ctx = (list(dofs_j), inc_j, free, coords_j)
+
+    def solve(kes, B, dirichlet_inc):
+        return _solve(prof_d, amaps, ctx, kes, B, dirichlet_inc)
+
     return solve
 
 

@@ -87,6 +87,50 @@ def compute_element_stiffness(model: StructModel):
     return kes
 
 
+from functools import partial
+
+
+def _amg_or_jacobi(eop, amaps, coords):
+    """V-cycle preconditioner when maps are provided, else block-Jacobi.
+    Trace-safe: amaps/coords arrive as pytree args of the enclosing jit."""
+    from frontistr_tpu.solver import amg as amgmod
+    if amaps is None:
+        return eop.block_jacobi()
+    return amgmod.setup_amg(amaps, eop.blocks, eop.cols,
+                            coords.astype(eop.blocks.dtype),
+                            eop.free_mask, eop.apply_constrained,
+                            eop.block_jacobi())
+
+
+@partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter"))
+def _mixed_ell_solve(op, eop32, amaps, coords, b_c, tol, inner_tol,
+                     maxiter):
+    """f32 ELL-CG + f64 gather-op refinement.  All operators/maps are
+    pytree ARGS — nothing big is closed over (closure arrays get inlined
+    as module literals: HTTP 413 at 1M dof on the remote-compile path)."""
+    from frontistr_tpu.solver.mixed import refined_cg
+    M32 = _amg_or_jacobi(eop32, amaps, coords)
+    return refined_cg(op.apply_constrained, eop32.apply_constrained,
+                      M32, b_c, tol=tol, inner_tol=inner_tol,
+                      maxiter=maxiter)
+
+
+@partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter"))
+def _mixed_structured_solve(sop, sop32, b_c, tol, inner_tol, maxiter):
+    from frontistr_tpu.solver.mixed import refined_cg
+    return refined_cg(sop.apply_constrained, sop32.apply_constrained,
+                      sop32.block_jacobi(), b_c, tol=tol,
+                      inner_tol=inner_tol, maxiter=maxiter)
+
+
+@partial(jax.jit, static_argnames=("method", "tol", "maxiter"))
+def _krylov_ell_solve(eop, amaps, coords, b_c, method, tol, maxiter):
+    M = _amg_or_jacobi(eop, amaps, coords) \
+        if method.upper() in ("CG", "1") else eop.block_jacobi()
+    return krylov.solve(method, eop.apply_constrained, b_c, M=M,
+                        tol=tol, maxiter=maxiter)
+
+
 def _solve_policy() -> str:
     """'f64' (CPU: native f64 Krylov) or 'mixed' (TPU: f32 CG + f64
     refinement).  Override with FRONTISTR_TPU_PRECISION=f64|mixed."""
@@ -161,32 +205,43 @@ def solve_linear(model: StructModel, kes=None,
             sop32 = dataclasses.replace(
                 sop, keT=sop.keT.astype(jnp.float32),
                 free_mask=sop.free_mask.astype(jnp.float32))
-            res = refined_cg(sop.apply_constrained,
-                             sop32.apply_constrained,
-                             sop32.block_jacobi(), b_c, tol=sv.resid,
-                             inner_tol=1e-6, maxiter=sv.nier)
+            res = _mixed_structured_solve(sop, sop32, b_c, tol=sv.resid,
+                                          inner_tol=1e-6,
+                                          maxiter=sv.nier)
         else:
             # assembled block-ELL f32 operator for the CG hot loop
             # (~12x the incidence-gather matvec); f64 true residuals
-            # still go through the gather operator
+            # still go through the gather operator.  AMG V-cycle
+            # preconditioner when the problem is big enough.
             from frontistr_tpu.assembly import ell
-            eop32 = ell.from_model(model, kes, dtype=jnp.float32)
-            res = refined_cg(op.apply_constrained, eop32.apply_constrained,
-                             eop32.block_jacobi(), b_c, tol=sv.resid,
-                             inner_tol=1e-6, maxiter=sv.nier)
+            from frontistr_tpu.solver import amg as amgmod
+            prof = ell.profile_from_model(model)
+            eop32 = ell.from_model(model, kes, dtype=jnp.float32,
+                                   profile=prof)
+            amaps = amgmod.eligible_maps(prof, model.n_dof_total)
+            res = _mixed_ell_solve(op, eop32, amaps,
+                                   jnp.asarray(model.coords), b_c,
+                                   tol=sv.resid, inner_tol=1e-6,
+                                   maxiter=sv.nier)
     else:
         if sop is None and not mpc.active:
             from frontistr_tpu.assembly import ell
-            eop = ell.from_model(model, kes)
-            A = eop.apply_constrained
-            Mj = eop.block_jacobi()
+            from frontistr_tpu.solver import amg as amgmod
+            prof = ell.profile_from_model(model)
+            eop = ell.from_model(model, kes, profile=prof)
+            amaps = amgmod.eligible_maps(prof, model.n_dof_total) \
+                if sv.method.upper() in ("CG", "1") else None
+            res = _krylov_ell_solve(eop, amaps,
+                                    jnp.asarray(model.coords), b_c,
+                                    method=sv.method, tol=sv.resid,
+                                    maxiter=sv.nier)
         else:
             Mj = (sop or op).block_jacobi()
-        res = krylov.solve(sv.method,
-                           sop.apply_constrained if sop is not None
-                           else A, b_c,
-                           M=Mj, tol=sv.resid,
-                           maxiter=sv.nier)
+            res = krylov.solve(sv.method,
+                               sop.apply_constrained if sop is not None
+                               else A, b_c,
+                               M=Mj, tol=sv.resid,
+                               maxiter=sv.nier)
     x_sol = mpc.recover(res.x) if mpc.active else res.x
     x = np.asarray(jax.block_until_ready(x_sol))
     t2 = time.perf_counter()

@@ -32,10 +32,17 @@ import numpy as np
 
 @dataclasses.dataclass
 class ELLProfile:
-    """Static (host) sparsity profile of the node graph.
+    """Static sparsity profile of the node graph (registered pytree).
 
     Plays the role of hecmw_mat_con (hecmw1/src/solver/matrix/
     hecmw_mat_con.f90): symbolic assembly from element connectivity.
+
+    TPU CONTRACT: any array a traced computation touches must reach the
+    jit as an ARGUMENT — closed-over concrete arrays (np OR device) are
+    inlined into the lowered module as dense literals, which overflows
+    the remote-compile payload at ~1M dof (HTTP 413).  ELLProfile is
+    therefore a pytree: pass ``profile.device()`` straight through jit
+    boundaries and read its fields inside the trace.
     """
     n_node: int
     ndof: int
@@ -44,22 +51,30 @@ class ELLProfile:
     diag_slot: np.ndarray        # (N,) int32 slot of the diagonal block
     perm: np.ndarray             # (P,) int sorts pair entries by slot
     seg_sorted: np.ndarray       # (P,) int32 destination slots, sorted
-    pair_counts: List[int]       # entries per block (E*nn*nn each)
+    pair_counts: tuple           # entries per block (E*nn*nn each)
 
     @property
     def n_slots(self) -> int:
         return self.n_node * self.W
 
-    def device_maps(self):
-        """Device copies of (perm, seg_sorted), cached.  Closing over
-        jnp arrays keeps them out of the compiled program body (they ride
-        as runtime buffers); raw np arrays would be inlined as literals,
-        which overflows the remote-TPU compile payload at 1M dof."""
+    def device(self) -> "ELLProfile":
+        """Device-resident copy (cached).  Pass THIS through jit args —
+        passing the host (np) version would re-upload every call."""
         if not hasattr(self, "_dev"):
-            object.__setattr__(self, "_dev",
-                               (jnp.asarray(self.perm),
-                                jnp.asarray(self.seg_sorted)))
+            object.__setattr__(self, "_dev", ELLProfile(
+                n_node=self.n_node, ndof=self.ndof, W=self.W,
+                cols=jnp.asarray(self.cols),
+                diag_slot=jnp.asarray(self.diag_slot),
+                perm=jnp.asarray(self.perm),
+                seg_sorted=jnp.asarray(self.seg_sorted),
+                pair_counts=tuple(self.pair_counts)))
         return self._dev
+
+
+jax.tree_util.register_dataclass(
+    ELLProfile,
+    data_fields=["cols", "diag_slot", "perm", "seg_sorted"],
+    meta_fields=["n_node", "ndof", "W", "pair_counts"])
 
 
 def build_profile(conns: Sequence[np.ndarray], n_node: int,
@@ -68,8 +83,11 @@ def build_profile(conns: Sequence[np.ndarray], n_node: int,
     rows_l, cols_l, counts = [], [], []
     for c in conns:
         E, nn = c.shape
-        r = np.repeat(c, nn, axis=1).reshape(-1)         # (E*nn*nn,) row a
-        q = np.tile(c, (1, nn)).reshape(-1)              # col b
+        ct = c.T                                          # (nn, E)
+        # pair order (a, b, e): entry planes become pure reshapes of the
+        # element matrices (big axis last -> no TPU lane-padding blowup)
+        r = np.repeat(ct[:, None, :], nn, axis=1).reshape(-1)
+        q = np.broadcast_to(ct[None, :, :], (nn, nn, E)).reshape(-1)
         rows_l.append(r.astype(np.int64))
         cols_l.append(q.astype(np.int64))
         counts.append(E * nn * nn)
@@ -95,9 +113,11 @@ def build_profile(conns: Sequence[np.ndarray], n_node: int,
     diag_slot = np.zeros(n_node, dtype=np.int32)
     is_diag = urow == ucol
     diag_slot[urow[is_diag]] = within[is_diag].astype(np.int32)
+    # int32 perm: P < 2^31 always (31M pairs at 1M-dof tet) and it halves
+    # the HBM cost of the assembly gather
     return ELLProfile(n_node=n_node, ndof=ndof, W=W, cols=cols_pad,
-                      diag_slot=diag_slot, perm=perm.astype(np.int64),
-                      seg_sorted=seg_sorted, pair_counts=counts)
+                      diag_slot=diag_slot, perm=perm.astype(np.int32),
+                      seg_sorted=seg_sorted, pair_counts=tuple(counts))
 
 
 def assemble_blocks(profile: ELLProfile, kes: Sequence[jnp.ndarray],
@@ -109,19 +129,24 @@ def assemble_blocks(profile: ELLProfile, kes: Sequence[jnp.ndarray],
     (hecmw1/src/solver/matrix/hecmw_mat_ass.f90:31-90).
     """
     nd = profile.ndof
-    entries = []
+    # (nd*nd, P) plane-major entries: pair order (a, b, e) within each
+    # block, matching build_profile.  Big axis last — a (P, nd*nd) layout
+    # would be lane-padded 14x by XLA and OOM at 1M dof.
+    planes = []
     for ke, nn in zip(kes, nns):
         E = ke.shape[0]
         kr = ke.reshape(E, nn, nd, nn, nd)
-        # (E, a, b, i, j) pair-major to match build_profile's pair order
-        entries.append(jnp.transpose(kr, (0, 1, 3, 2, 4))
-                       .reshape(E * nn * nn, nd * nd))
-    ent = jnp.concatenate(entries, axis=0)
-    perm_j, seg_j = profile.device_maps()
-    ent_sorted = ent[perm_j]
-    blocks = jax.ops.segment_sum(ent_sorted, seg_j,
-                                 num_segments=profile.n_slots,
-                                 indices_are_sorted=True)
+        planes.append(jnp.transpose(kr, (2, 4, 1, 3, 0))
+                      .reshape(nd * nd, nn * nn * E))
+    ent = jnp.concatenate(planes, axis=1)                 # (nd*nd, P)
+    perm_j, seg_j = profile.perm, profile.seg_sorted
+    outs = []
+    for p in range(nd * nd):
+        sorted_p = ent[p][perm_j]
+        outs.append(jax.ops.segment_sum(sorted_p, seg_j,
+                                        num_segments=profile.n_slots,
+                                        indices_are_sorted=True))
+    blocks = jnp.stack(outs, axis=1)                      # (N*W, nd*nd)
     return blocks.reshape(profile.n_node, profile.W, nd, nd)
 
 
@@ -131,6 +156,10 @@ class ELLOperator:
 
     API-compatible with femop.FEOperator (matvec / apply_constrained /
     constrained_rhs / diag_blocks / block_jacobi / astype).
+
+    Registered pytree: pass it THROUGH jit boundaries as an argument;
+    closing a jitted function over a concrete operator inlines its
+    blocks/cols as module literals (payload blowup at scale).
     """
     blocks: jnp.ndarray          # (N, W, nd, nd)
     cols: jnp.ndarray            # (N, W) int32
@@ -194,6 +223,21 @@ class ELLOperator:
                            free_mask=self.free_mask.astype(dtype))
 
 
+jax.tree_util.register_dataclass(
+    ELLOperator,
+    data_fields=["blocks", "cols", "diag_slot", "free_mask"],
+    meta_fields=["n_node", "ndof"])
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("nns",))
+def _assemble_jit(profile: ELLProfile, kes, nns):
+    """Jitted numeric assembly; profile rides through as a pytree arg."""
+    return assemble_blocks(profile, list(kes), list(nns))
+
+
 _PROFILE_CACHE: dict = {}
 
 
@@ -236,7 +280,7 @@ def from_model(model, kes, dtype=None,
     nns = [b.conn.shape[1] for b in model.blocks] + list(ex_nns)
     if dtype is not None:
         all_kes = [k.astype(dtype) for k in all_kes]
-    blocks = assemble_blocks(profile, all_kes, nns)
+    blocks = _assemble_jit(profile.device(), tuple(all_kes), tuple(nns))
     free = old_ops.make_free_mask(model.n_dof_total, model.fixed_dofs)
     fm = jnp.asarray(free, blocks.dtype)
     return ELLOperator(blocks=blocks, cols=jnp.asarray(profile.cols),

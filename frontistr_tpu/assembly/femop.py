@@ -54,7 +54,10 @@ def build_incidence(conns: Sequence[np.ndarray], n_node: int):
 
 @dataclasses.dataclass
 class FEOperator:
-    """Constrained global stiffness operator over element-type blocks."""
+    """Constrained global stiffness operator over element-type blocks.
+
+    Registered pytree: pass through jit boundaries as an argument, never
+    as a closure (closure arrays are inlined as module literals)."""
     kes: List[jnp.ndarray]          # per block (E, m, m)
     dofs: List[jnp.ndarray]         # per block (E, m) int32
     nns: List[int]                  # nodes per element per block
@@ -64,6 +67,10 @@ class FEOperator:
     ndof: int
     free_mask: jnp.ndarray          # (n_dof,) 1.0 free / 0.0 fixed
     dtype: jnp.dtype = jnp.float64
+
+    def __post_init__(self):
+        # nns is pytree *metadata* (jit-cache key): must be hashable
+        self.nns = tuple(self.nns)
 
     @property
     def n_dof(self) -> int:
@@ -147,6 +154,12 @@ class FEOperator:
             nns=self.nns, inc=self.inc, total_en=self.total_en,
             n_node=self.n_node, ndof=self.ndof,
             free_mask=self.free_mask.astype(dtype), dtype=dtype)
+
+
+jax.tree_util.register_dataclass(
+    FEOperator,
+    data_fields=["kes", "dofs", "inc", "free_mask"],
+    meta_fields=["nns", "total_en", "n_node", "ndof", "dtype"])
 
 
 def from_model(model, kes, dtype=None) -> FEOperator:

@@ -206,3 +206,16 @@ def to_dof_major(v, n_node, ndof=3):
 
 def from_dof_major(v, n_node, ndof=3):
     return jnp.transpose(v.reshape(ndof, n_node)).reshape(-1)
+
+
+# pytrees: these operators cross jit boundaries as ARGUMENTS (closed-over
+# concrete arrays are inlined into the lowered module as dense literals,
+# which overflows the remote-compile payload at ~1M dof)
+jax.tree_util.register_dataclass(
+    StructuredHexOperator,
+    data_fields=["keT", "free_mask"],
+    meta_fields=["nx", "ny", "nz", "ndof"])
+jax.tree_util.register_dataclass(
+    StructuredHexOperatorD,
+    data_fields=["keT", "free_mask"],
+    meta_fields=["nx", "ny", "nz", "ndof"])

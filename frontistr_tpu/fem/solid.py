@@ -37,6 +37,12 @@ def _chunked(fn, *arrays, chunk: int = None):
     """Apply fn over the element axis in fixed-size chunks via lax.map.
 
     fn must map (chunk, ...) arrays -> a single (chunk, ...) array.
+
+    The per-chunk output is flattened to (chunk, prod(trailing)) inside the
+    scan: lax.map stacks chunk outputs with a dynamic-update-slice whose
+    layout tiles the LAST TWO dims to (8, 128) — for element matrices
+    (chunk, 12, 12) that is a 14x padding blowup (15.5 GB at 1M dof tet).
+    Flattening keeps the padding to <2x.
     """
     c = chunk or CHUNK
     E = arrays[0].shape[0]
@@ -46,8 +52,10 @@ def _chunked(fn, *arrays, chunk: int = None):
     padded = [jnp.concatenate([a, jnp.broadcast_to(
         a[:1], (pad,) + a.shape[1:])]) if pad else a for a in arrays]
     stacked = [a.reshape(-1, c, *a.shape[1:]) for a in padded]
-    out = jax.lax.map(lambda xs: fn(*xs), tuple(stacked))
-    return out.reshape(-1, *out.shape[2:])[:E]
+    out_sd = jax.eval_shape(fn, *(a[:c] for a in padded))
+    trail = out_sd.shape[1:]
+    out = jax.lax.map(lambda xs: fn(*xs).reshape(c, -1), tuple(stacked))
+    return out.reshape(-1, *trail)[:E]
 
 
 def stiffness_linear(table: ElementTable, coords_e: jnp.ndarray,

@@ -38,7 +38,12 @@ def _n_modes(nd: int) -> int:
 
 @dataclasses.dataclass
 class AMGMaps:
-    """Host-built static aggregation maps."""
+    """Static aggregation maps (registered pytree).
+
+    Built on host by build_maps; pass ``maps.device()`` THROUGH jit
+    boundaries as an argument.  Closed-over concrete arrays (np or
+    device) are inlined into the lowered module as dense literals and
+    overflow the remote-compile payload at ~1M dof."""
     nd: int
     nv: int                 # modes per aggregate
     S0: int
@@ -54,16 +59,27 @@ class AMGMaps:
     perm12: np.ndarray      # sorts Na*Wc slots by dense (a2, b2) id
     seg12: np.ndarray
 
-    def device_maps(self):
-        """Cached device copies of the big index maps — keeps them out of
-        the compiled program body (np constants would be inlined as HLO
-        literals, overflowing the remote-TPU compile payload)."""
+    def device(self) -> "AMGMaps":
+        """Device-resident copy (cached): zero-copy when passed as a jit
+        argument, unlike the host np version (re-upload per call)."""
         if not hasattr(self, "_dev"):
-            self._dev = (jnp.asarray(self.perm01), jnp.asarray(self.seg01),
-                         jnp.asarray(self.perm12), jnp.asarray(self.seg12),
-                         jnp.asarray(self.cols1),
-                         jnp.asarray(self.diag_slot1))
+            self._dev = AMGMaps(
+                nd=self.nd, nv=self.nv, S0=self.S0, S1=self.S1,
+                n_node=self.n_node, Na=self.Na, Na2=self.Na2, Wc=self.Wc,
+                cols1=jnp.asarray(self.cols1),
+                diag_slot1=jnp.asarray(self.diag_slot1),
+                perm01=jnp.asarray(self.perm01),
+                seg01=jnp.asarray(self.seg01),
+                perm12=jnp.asarray(self.perm12),
+                seg12=jnp.asarray(self.seg12))
         return self._dev
+
+
+jax.tree_util.register_dataclass(
+    AMGMaps,
+    data_fields=["cols1", "diag_slot1", "perm01", "seg01", "perm12",
+                 "seg12"],
+    meta_fields=["nd", "nv", "S0", "S1", "n_node", "Na", "Na2", "Wc"])
 
 
 def build_maps(cols: np.ndarray, n_node: int, nd: int,
@@ -107,7 +123,8 @@ def build_maps(cols: np.ndarray, n_node: int, nd: int,
     seg12 = did[perm12].astype(np.int32)
     return AMGMaps(nd=nd, nv=nv, S0=S0, S1=S1, n_node=n_node, Na=Na,
                    Na2=Na2, Wc=Wc, cols1=cols1, diag_slot1=diag_slot1,
-                   perm01=perm01, seg01=seg01, perm12=perm12, seg12=seg12)
+                   perm01=perm01.astype(np.int32), seg01=seg01,
+                   perm12=perm12.astype(np.int32), seg12=seg12)
 
 
 def _rigid_modes(maps: AMGMaps, coords: jnp.ndarray,
@@ -219,8 +236,9 @@ def setup_amg(maps: AMGMaps, blocks: jnp.ndarray, cols: jnp.ndarray,
                                       maps.S0, maps.S1, maps.Na2,
                                       maps.n_node)
     f32 = blocks.dtype
-    perm01_j, seg01_j, perm12_j, seg12_j, cols1, diag1_j = \
-        maps.device_maps()
+    perm01_j, seg01_j = maps.perm01, maps.seg01
+    perm12_j, seg12_j = maps.perm12, maps.seg12
+    cols1, diag1_j = maps.cols1, maps.diag_slot1
     Bo = _rigid_modes(maps, coords, free_mask, f32)       # (Na,S0,nd,nv)
     Bn = Bo.reshape(Na * S0, nd, nv)[:N]                  # per real node
     # Galerkin level-1 blocks: C[i,w] = B_i^T A[i,w] B_col(i,w)
@@ -283,9 +301,11 @@ def setup_amg(maps: AMGMaps, blocks: jnp.ndarray, cols: jnp.ndarray,
                        axis=0)[:Na]
         return y.reshape(-1)
 
-    rng = np.random.default_rng(11)
-    v0 = jnp.asarray(rng.standard_normal(N * nd), f32)
-    v1 = jnp.asarray(rng.standard_normal(Na * nv), f32)
+    # jax.random (not numpy) so the start vectors are ops, not multi-MB
+    # HLO literals, and so this is safe to trace inside a jitted solve
+    k0, k1 = jax.random.split(jax.random.PRNGKey(11))
+    v0 = jax.random.normal(k0, (N * nd,), f32)
+    v1 = jax.random.normal(k1, (Na * nv,), f32)
     v0 = v0.astype(jax.eval_shape(A0, v0).dtype)
     lmax0 = _lmax_jit(A0, Dinv0_apply, v0)
     lmax1 = _lmax_jit(A1, M1, v1)
@@ -307,3 +327,36 @@ def setup_amg(maps: AMGMaps, blocks: jnp.ndarray, cols: jnp.ndarray,
         return x0 * fm + r * (1.0 - fm)
 
     return M
+
+
+def eligible_maps(profile, n_dof_total: int,
+                  policy: Optional[str] = None) -> Optional[AMGMaps]:
+    """Device-resident AMG maps for an ELL profile if eligible, else None.
+
+    Eligibility: node-block dof count with rigid-body modes (1/2/3),
+    problem at least FRONTISTR_TPU_AMG_MIN dofs (default 30k; the V-cycle
+    setup costs ~10 matvecs, not worth it for small systems), and policy
+    not forcing jacobi.  Host maps are cached on the ELL profile; the
+    returned pytree is meant to be passed THROUGH a jitted solve (pass
+    None to get a block-Jacobi-only solve — the pytree structure is part
+    of the jit cache key, so both variants co-exist compiled).
+    """
+    import os
+    pol = policy or os.environ.get("FRONTISTR_TPU_PRECOND", "auto")
+    if pol in ("jacobi", "diag"):
+        return None
+    min_dof = int(os.environ.get("FRONTISTR_TPU_AMG_MIN", "30000"))
+    if pol != "amg" and n_dof_total < min_dof:
+        return None
+    if _n_modes(profile.ndof) == 0:
+        return None
+    maps = getattr(profile, "_amg_maps", None)
+    if maps is None:
+        maps = build_maps(profile.cols, profile.n_node, profile.ndof)
+        try:
+            object.__setattr__(profile, "_amg_maps", maps)
+        except Exception:
+            pass
+    if maps is None:
+        return None
+    return maps.device()

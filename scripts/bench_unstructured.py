@@ -29,7 +29,7 @@ def main():
     table = get_table(etype)
     nn = table.nn
     D1 = elastic_D(210e3, 0.3, D3)
-    D_e32 = jnp.asarray(np.broadcast_to(D1, (E, 6, 6)), jnp.float32)
+    D1_32 = jnp.asarray(D1, jnp.float32)
     coords32 = jnp.asarray(mesh.coords, jnp.float32)
     free = np.ones(n_node * 3, np.float32)
     free[(mesh.node_groups["X0"][:, None] * 3 + np.arange(3)).reshape(-1)] \
@@ -44,23 +44,31 @@ def main():
                           N=t.N.astype(np.float32),
                           weights=t.weights.astype(np.float32))
 
-    @jax.jit
-    def assemble_kes(c):
-        def chunk(ce, De):
-            return solid.stiffness_linear(t32(table), ce, De)
-        return solid._chunked(chunk, c[jnp.asarray(conn)], D_e32,
-                              chunk=65536)
+    conn_j = jnp.asarray(conn)    # passed as a jit ARG: closure/np
+                                  # constants are inlined as HLO literals
+                                  # (HTTP 413 on the remote-compile tunnel)
 
+    @jax.jit
+    def assemble_kes(c, cj, D1d):
+        De = jnp.broadcast_to(D1d, (cj.shape[0], 6, 6))
+
+        def chunk(ce, De_):
+            return solid.stiffness_linear(t32(table), ce, De_)
+        return solid._chunked(chunk, c[cj], De, chunk=65536)
+
+    # NO eager reshape here: an untraced reshape on (E, m, m) dispatches a
+    # standalone copy into dense row-major T(8,128) layout — 14.2x padded
+    # (15 GB at 1M-dof tet).  jnp.sum reduces any rank in place.
     _snorm = jax.jit(lambda x: jnp.sum(jnp.abs(x)))
 
     def sync(x):
-        return float(_snorm(x.reshape(-1)))
+        return float(_snorm(x))
 
     t0 = time.perf_counter()
-    ke = assemble_kes(coords32)
+    ke = assemble_kes(coords32, conn_j, D1_32)
     sync(ke)
     t0 = time.perf_counter()
-    ke = assemble_kes(coords32)
+    ke = assemble_kes(coords32, conn_j, D1_32)
     sync(ke)
     t_ke = time.perf_counter() - t0
     print(f"element stiffness: {t_ke*1e3:.1f} ms ({E/t_ke/1e6:.1f} Melem/s)")
@@ -72,17 +80,16 @@ def main():
     print(f"ELL profile (host): {t_prof:.2f} s, W={prof.W}, "
           f"pad fill={prof.cols.size/ (prof.seg_sorted.size and len(np.unique(prof.seg_sorted))):.2f}x")
 
-    # --- device assembly ---
-    perm_j = jnp.asarray(prof.perm)
-    seg_j = jnp.asarray(prof.seg_sorted)
+    # --- device assembly (profile rides through jit as a pytree arg) ---
+    prof_d = prof.device()
 
     @jax.jit
-    def assemble_ell(ke):
-        return ell.assemble_blocks(prof, [ke], [nn])
-    blocks = assemble_ell(ke)
+    def assemble_ell(p, ke):
+        return ell.assemble_blocks(p, [ke], [nn])
+    blocks = assemble_ell(prof_d, ke)
     sync(blocks)
     t0 = time.perf_counter()
-    blocks = assemble_ell(ke)
+    blocks = assemble_ell(prof_d, ke)
     sync(blocks)
     t_asm = time.perf_counter() - t0
     print(f"ELL assembly (device): {t_asm*1e3:.1f} ms")
@@ -102,30 +109,26 @@ def main():
     x = jnp.asarray(rng.standard_normal(n_node * 3), jnp.float32)
 
     @jax.jit
-    def mv20_ell(b, x):
-        op = dc.replace(eop, blocks=b)
-
+    def mv20_ell(op, x):
         def body(i, v):
             return op.matvec(v) / (1e3 * 27.0)
         return jax.lax.fori_loop(0, 20, body, x)
 
     @jax.jit
-    def mv20_fem(ke, x):
-        op = dc.replace(fop, kes=[ke])
-
+    def mv20_fem(op, x):
         def body(i, v):
             return op.matvec(v) / (1e6 * 27.0)
         return jax.lax.fori_loop(0, 20, body, x)
 
-    sync(mv20_ell(blocks, x))
+    sync(mv20_ell(eop, x))
     t0 = time.perf_counter()
-    sync(mv20_ell(blocks, x))
+    sync(mv20_ell(eop, x))
     t_ell = (time.perf_counter() - t0) / 20
     print(f"ELL matvec:   {t_ell*1e3:8.2f} ms")
 
-    sync(mv20_fem(ke, x))
+    sync(mv20_fem(fop, x))
     t0 = time.perf_counter()
-    sync(mv20_fem(ke, x))
+    sync(mv20_fem(fop, x))
     t_fem = (time.perf_counter() - t0) / 20
     print(f"femop matvec: {t_fem*1e3:8.2f} ms   (ELL speedup "
           f"{t_fem/t_ell:.1f}x)")
