@@ -102,9 +102,10 @@ def _amg_or_jacobi(eop, amaps, coords):
                             eop.block_jacobi())
 
 
-@partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter"))
+@partial(jax.jit,
+         static_argnames=("tol", "inner_tol", "maxiter", "hist_len"))
 def _mixed_ell_solve(op, eop32, amaps, coords, b_c, tol, inner_tol,
-                     maxiter):
+                     maxiter, hist_len=0):
     """f32 ELL-CG + f64 gather-op refinement.  All operators/maps are
     pytree ARGS — nothing big is closed over (closure arrays get inlined
     as module literals: HTTP 413 at 1M dof on the remote-compile path)."""
@@ -112,23 +113,52 @@ def _mixed_ell_solve(op, eop32, amaps, coords, b_c, tol, inner_tol,
     M32 = _amg_or_jacobi(eop32, amaps, coords)
     return refined_cg(op.apply_constrained, eop32.apply_constrained,
                       M32, b_c, tol=tol, inner_tol=inner_tol,
-                      maxiter=maxiter)
+                      maxiter=maxiter, hist_len=hist_len)
 
 
-@partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter"))
-def _mixed_structured_solve(sop, sop32, b_c, tol, inner_tol, maxiter):
+@partial(jax.jit,
+         static_argnames=("tol", "inner_tol", "maxiter", "hist_len"))
+def _mixed_structured_solve(sop, sop32, b_c, tol, inner_tol, maxiter,
+                            hist_len=0):
     from frontistr_tpu.solver.mixed import refined_cg
     return refined_cg(sop.apply_constrained, sop32.apply_constrained,
                       sop32.block_jacobi(), b_c, tol=tol,
-                      inner_tol=inner_tol, maxiter=maxiter)
+                      inner_tol=inner_tol, maxiter=maxiter,
+                      hist_len=hist_len)
 
 
-@partial(jax.jit, static_argnames=("method", "tol", "maxiter"))
-def _krylov_ell_solve(eop, amaps, coords, b_c, method, tol, maxiter):
+@partial(jax.jit, static_argnames=("method", "tol", "maxiter", "hist_len"))
+def _krylov_ell_solve(eop, amaps, coords, b_c, method, tol, maxiter,
+                      hist_len=0):
     M = _amg_or_jacobi(eop, amaps, coords) \
         if method.upper() in ("CG", "1") else eop.block_jacobi()
     return krylov.solve(method, eop.apply_constrained, b_c, M=M,
-                        tol=tol, maxiter=maxiter)
+                        tol=tol, maxiter=maxiter, hist_len=hist_len)
+
+
+def print_iterlog(res) -> None:
+    """Emit the reference's ITERLOG lines (hecmw_solver_CG.f90:245
+    ``write (*,'(i7, 1pe16.6)') ITER, RESID``) from the on-device
+    residual history recorded inside the jitted Krylov loop."""
+    hist = getattr(res, "hist", None)
+    if hist is None:
+        return
+    h = np.asarray(hist).reshape(-1)
+    it = 0
+    for r in h:
+        if r < 0:
+            continue
+        it += 1
+        print(f"{it:7d} {r:16.6E}")
+
+
+def print_timelog(t_setup: float, t_solve: float) -> None:
+    """Reference TIMELOG shape (hecmw_solver_CG.f90:131-145 prints
+    setup/iteration wall times; single-chip: no rank statistics)."""
+    print(" Time solver setup")
+    print(f"   Total   : {t_setup:.6f}")
+    print(" Time solver iterations")
+    print(f"   Total   : {t_solve:.6f}")
 
 
 def _solve_policy() -> str:
@@ -149,11 +179,24 @@ def solve_linear(model: StructModel, kes=None,
     t0 = time.perf_counter()
     if kes is None:
         kes = compute_element_stiffness(model)
-    op = femop.from_model(model, kes)
     n = model.n_dof_total
     u_fix = jnp.asarray(ops.full_fixed_vector(n, model.fixed_dofs,
                                               model.fixed_vals))
     f = jnp.asarray(model.f_ext if f_ext is None else f_ext)
+
+    # multi-chip path (FRONTISTR_TPU_SHARDS): GSPMD-sharded block-ELL CG
+    from frontistr_tpu.parallel import shard as shardmod
+    nsh = shardmod.requested_shards()
+    if nsh and model.cfg.solver.method.upper() in ("CG", "1") \
+            and not model.mesh.equations:
+        t1 = time.perf_counter()
+        x, iters, relres = shardmod.sharded_solve_linear(
+            model, kes, np.asarray(f), np.asarray(u_fix), nsh,
+            mixed=_solve_policy() == "mixed")
+        t2 = time.perf_counter()
+        return x, iters, relres, t1 - t0, t2 - t1
+
+    op = femop.from_model(model, kes)
     b_c = op.constrained_rhs(f, u_fix)
 
     from frontistr_tpu.assembly.extras import MPCEliminator
@@ -165,6 +208,7 @@ def solve_linear(model: StructModel, kes=None,
             (1.0 - mpc.dep_mask) * 0.0
 
     sv = model.cfg.solver
+    hl = 2000 if sv.iterlog else 0
     # gather-free stencil operator for structured hex boxes (TPU gathers
     # run ~0.6 GB/s; strided slices stream at HBM bandwidth)
     sop = None
@@ -207,7 +251,7 @@ def solve_linear(model: StructModel, kes=None,
                 free_mask=sop.free_mask.astype(jnp.float32))
             res = _mixed_structured_solve(sop, sop32, b_c, tol=sv.resid,
                                           inner_tol=1e-6,
-                                          maxiter=sv.nier)
+                                          maxiter=sv.nier, hist_len=hl)
         else:
             # assembled block-ELL f32 operator for the CG hot loop
             # (~12x the incidence-gather matvec); f64 true residuals
@@ -222,7 +266,7 @@ def solve_linear(model: StructModel, kes=None,
             res = _mixed_ell_solve(op, eop32, amaps,
                                    jnp.asarray(model.coords), b_c,
                                    tol=sv.resid, inner_tol=1e-6,
-                                   maxiter=sv.nier)
+                                   maxiter=sv.nier, hist_len=hl)
     else:
         if sop is None and not mpc.active:
             from frontistr_tpu.assembly import ell
@@ -234,7 +278,7 @@ def solve_linear(model: StructModel, kes=None,
             res = _krylov_ell_solve(eop, amaps,
                                     jnp.asarray(model.coords), b_c,
                                     method=sv.method, tol=sv.resid,
-                                    maxiter=sv.nier)
+                                    maxiter=sv.nier, hist_len=hl)
         else:
             Mj = (sop or op).block_jacobi()
             res = krylov.solve(sv.method,
@@ -245,6 +289,10 @@ def solve_linear(model: StructModel, kes=None,
     x_sol = mpc.recover(res.x) if mpc.active else res.x
     x = np.asarray(jax.block_until_ready(x_sol))
     t2 = time.perf_counter()
+    if sv.iterlog:
+        print_iterlog(res)
+    if sv.timelog:
+        print_timelog(t1 - t0, t2 - t1)
     if sv.estcond:
         # ESTCOND option (hecmw_solver_CG.f90:89): report the estimated
         # condition number of the preconditioned operator

@@ -44,6 +44,7 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
               f"{mesh.n_elem} elements")
     cfg = read_cnt(ctrl.path(ctrl.control()))
     out = {"mesh": mesh, "cfg": cfg, "ctrl": ctrl}
+    t_pre = time.time()
 
     sol = cfg.solution_type.upper()
     log_path = os.path.join(workdir, log_name)
@@ -135,7 +136,24 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
                              mesh.node_ids, eids,
                              [("DISPLACEMENT", phi[:, :3])], [])
     out["total_time"] = time.time() - t_start
+    _write_msg(workdir, t_pre - t_start, out["total_time"])
     return out
+
+
+def _write_msg(workdir: str, t_pre: float, t_total: float) -> None:
+    """FSTR.msg banner + timing block (fistr_main.f90:219-231, 100-104)."""
+    try:
+        with open(os.path.join(workdir, "FSTR.msg"), "w") as fh:
+            fh.write(" :========================================:\n")
+            fh.write(" :**   BEGIN FSTR Structural Analysis   **:\n")
+            fh.write(" :========================================:\n")
+            fh.write(" ====================================\n")
+            fh.write(f"     TOTAL TIME (sec) :{t_total:10.2f}\n")
+            fh.write(f"            pre (sec) :{t_pre:10.2f}\n")
+            fh.write(f"          solve (sec) :{t_total - t_pre:10.2f}\n")
+            fh.write(" ====================================\n")
+    except OSError:
+        pass
 
 
 def _needs_newton(model) -> bool:

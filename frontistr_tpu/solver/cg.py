@@ -24,6 +24,7 @@ class CGResult(NamedTuple):
     iters: jnp.ndarray
     relres: jnp.ndarray
     converged: jnp.ndarray
+    hist: Optional[jnp.ndarray] = None   # (hist_len,) per-iter relres
 
 
 def _identity(r):
@@ -32,9 +33,14 @@ def _identity(r):
 
 def pcg(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
         x0: Optional[jnp.ndarray] = None, tol: float = 1.0e-8,
-        maxiter: int = 10000) -> CGResult:
+        maxiter: int = 10000, hist_len: int = 0) -> CGResult:
     """Preconditioned conjugate gradients (left-precond, Fletcher–Reeves
-    rho update, same recurrences as hecmw_solve_CG)."""
+    rho update, same recurrences as hecmw_solve_CG).
+
+    hist_len > 0 records the per-iteration relative residual into a fixed
+    on-device buffer inside the while_loop (the TPU-native ITERLOG: no
+    host sync per iteration, printed after the solve; reference prints
+    live at hecmw_solver_CG.f90:245).  Unused slots hold -1."""
     M = M or _identity
     x0 = jnp.zeros_like(b) if x0 is None else x0
     bnrm2 = jnp.vdot(b, b)
@@ -43,13 +49,13 @@ def pcg(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
     r0 = b - A(x0)
     z0 = M(r0)
     rho0 = jnp.vdot(r0, z0)
+    hist0 = jnp.full(hist_len, -1.0, jnp.float32) if hist_len else None
 
     def cond(st):
-        x, r, p, rho, k, resid = st
-        return (resid > tol) & (k < maxiter)
+        return (st[5] > tol) & (st[4] < maxiter)
 
     def body(st):
-        x, r, p, rho, k, _ = st
+        x, r, p, rho, k, _, hist = st
         q = A(p)
         alpha = rho / jnp.vdot(p, q)
         x = x + alpha * p
@@ -59,12 +65,15 @@ def pcg(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
         beta = rho_new / rho
         p = z + beta * p
         resid = jnp.sqrt(jnp.vdot(r, r) / bnrm2)
-        return (x, r, p, rho_new, k + 1, resid)
+        if hist is not None:
+            hist = hist.at[jnp.minimum(k, hist_len - 1)].set(
+                resid.astype(jnp.float32))
+        return (x, r, p, rho_new, k + 1, resid, hist)
 
     resid0 = jnp.sqrt(jnp.vdot(r0, r0) / bnrm2)
-    st = (x0, r0, z0, rho0, jnp.asarray(0), resid0)
-    x, r, p, rho, k, resid = jax.lax.while_loop(cond, body, st)
-    return CGResult(x, k, resid, resid <= tol)
+    st = (x0, r0, z0, rho0, jnp.asarray(0), resid0, hist0)
+    x, r, p, rho, k, resid, hist = jax.lax.while_loop(cond, body, st)
+    return CGResult(x, k, resid, resid <= tol, hist)
 
 
 def bicgstab(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
@@ -245,7 +254,7 @@ SOLVERS = {
 
 
 def solve(method: str, A, b, M=None, x0=None, tol=1.0e-8, maxiter=10000,
-          **kw) -> CGResult:
+          hist_len: int = 0, **kw) -> CGResult:
     method = method.upper()
     if method in ("DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG"):
         # dense/direct path handled by caller (solver/direct.py)
@@ -253,4 +262,7 @@ def solve(method: str, A, b, M=None, x0=None, tol=1.0e-8, maxiter=10000,
     if method not in SOLVERS:
         raise ValueError(f"unknown solver METHOD={method!r}; "
                          f"expected one of {sorted(SOLVERS)}")
-    return SOLVERS[method](A, b, M=M, x0=x0, tol=tol, maxiter=maxiter, **kw)
+    fn = SOLVERS[method]
+    if fn is pcg:
+        kw["hist_len"] = hist_len         # ITERLOG buffer (CG only)
+    return fn(A, b, M=M, x0=x0, tol=tol, maxiter=maxiter, **kw)

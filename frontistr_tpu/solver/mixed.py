@@ -29,12 +29,13 @@ class RefinedResult(NamedTuple):
     relres: jnp.ndarray
     converged: jnp.ndarray
     passes: int
+    hist: Optional[jnp.ndarray] = None   # (passes, hist_len) inner relres
 
 
 def refined_cg(A64: Callable, A32: Callable, M32: Callable,
                b: jnp.ndarray, tol: float = 1e-10,
                inner_tol: float = 1e-6, maxiter: int = 10000,
-               max_passes: int = 4,
+               max_passes: int = 4, hist_len: int = 0,
                x0: Optional[jnp.ndarray] = None) -> RefinedResult:
     """Iteratively-refined CG.  b is f64; returns f64 solution with final
     TRUE residual ||b - A64 x|| / ||b|| <= tol (or max_passes reached)."""
@@ -44,14 +45,19 @@ def refined_cg(A64: Callable, A32: Callable, M32: Callable,
     total_iters = jnp.asarray(0)
     relres = jnp.asarray(jnp.inf, b.dtype)
     passes = 0
+    hists = []
     for p in range(max_passes):
         r = b - A64(x)
         relres = jnp.sqrt(jnp.vdot(r, r)) / bnrm
         r32 = r.astype(jnp.float32)
-        res = pcg(A32, r32, M=M32, tol=inner_tol, maxiter=maxiter)
+        res = pcg(A32, r32, M=M32, tol=inner_tol, maxiter=maxiter,
+                  hist_len=hist_len)
         x = x + res.x.astype(b.dtype)
         total_iters = total_iters + res.iters
+        if res.hist is not None:
+            hists.append(res.hist)
         passes = p + 1
     r = b - A64(x)
     relres = jnp.sqrt(jnp.vdot(r, r)) / bnrm
-    return RefinedResult(x, total_iters, relres, relres <= tol, passes)
+    return RefinedResult(x, total_iters, relres, relres <= tol, passes,
+                         jnp.stack(hists) if hists else None)

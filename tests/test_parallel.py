@@ -53,3 +53,32 @@ def test_graft_entry():
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_production_sharded_solve_matches(monkeypatch, tmp_path):
+    """run_linear_static via FRONTISTR_TPU_SHARDS: the production driver's
+    multi-chip path (GSPMD block-ELL CG) equals the single-device solve on
+    an unstructured tet mesh."""
+    from frontistr_tpu.meshgen import box_tet4
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.static import solve_linear
+
+    cnt = tmp_path / "t.cnt"
+    cnt.write_text(
+        "!VERSION\n 3\n!SOLUTION, TYPE=STATIC\n"
+        "!BOUNDARY\n X0, 1, 3, 0.0\n!CLOAD\n X1, 3, -1.0\n"
+        "!SOLVER, METHOD=CG\n 10000, 1\n 1.0e-10, 1.0, 0.0\n!END\n")
+    cfg = read_cnt(str(cnt))
+    mesh = box_tet4(5, 5, 5)
+    model = build_struct_model(mesh, cfg)
+
+    monkeypatch.delenv("FRONTISTR_TPU_SHARDS", raising=False)
+    x1, it1, rr1, *_ = solve_linear(model)
+
+    monkeypatch.setenv("FRONTISTR_TPU_SHARDS", "8")
+    x8, it8, rr8, *_ = solve_linear(model)
+
+    assert rr8 <= 1e-7
+    np.testing.assert_allclose(x8, x1, rtol=1e-7,
+                               atol=1e-10 * np.abs(x1).max())
