@@ -148,6 +148,10 @@ class BlockPrograms:
     def bbar(self):
         return self.block.etype == 361 and self.block.formulation == "BBAR"
 
+    @property
+    def fbar(self):
+        return self.block.etype == 361 and self.block.formulation == "FBAR"
+
     # ---------------- tangent (fstr_StiffMatrix / STF_C3) ----------------
     def _tangent_fn(self, u_e, ddu_e, state, time, dtime):
         table, flag = self.table, self.flag
@@ -156,6 +160,8 @@ class BlockPrograms:
             D = self._material_D(state, time, dtime)
             if self.block.etype == 361 and self.block.formulation == "IC":
                 return solid.stiffness_hex8ic(table, self.coords_e, D)
+            if self.fbar:
+                return solid.stiffness_hex8fbar(table, self.coords_e, D)
             if self.bbar:
                 return solid.stiffness_nlgeom(
                     table, self.coords_e, total, D, state["stress"],
@@ -170,11 +176,17 @@ class BlockPrograms:
             else:
                 D = D - _geomat(state["stress"], self.ns)
             stress = state["stress"]
+            if self.fbar:
+                return solid.stiffness_nlgeom_fbar(
+                    table, self.coords_e, total, D, stress, mat.UPDATELAG)
             return solid.stiffness_nlgeom(table, self.coords_e, total, D,
                                           stress, mat.UPDATELAG,
                                           thick=self.thick, bbar=self.bbar)
         # TOTALLAG
         stress = state["stress"]
+        if self.fbar:
+            return solid.stiffness_nlgeom_fbar(
+                table, self.coords_e, total, D, stress, mat.TOTALLAG)
         return solid.stiffness_nlgeom(table, self.coords_e, total, D,
                                       stress, mat.TOTALLAG, thick=self.thick,
                                       bbar=self.bbar)
@@ -233,9 +245,15 @@ class BlockPrograms:
         # small-strain part (UPDATE_C3:131-139)
         eps = jnp.einsum("kdj,eqdj->eqk", S, dudx)
         g0 = None
-        if self.bbar:
-            # volumetric centroid correction (Update_C3D8Bbar:70-94,151-156)
-            g0 = solid.centroid_gderiv(table, elem)
+        if self.bbar or (self.fbar and flag != mat.TOTALLAG):
+            # volumetric dilatation correction: centroid reference for
+            # B-bar (Update_C3D8Bbar:70-94,151-156), volume average for
+            # F-bar (Update_C3D8Fbar:532-541 INFINITE / :587-597 UL
+            # gderiv05_ave)
+            if self.bbar:
+                g0 = solid.centroid_gderiv(table, elem)
+            else:
+                g0, _, _ = solid.volavg_gderiv(table, elem)
             dudx0 = jnp.einsum("end,enj->edj", disp, g0)
             vol0 = jnp.trace(dudx0, axis1=-2, axis2=-1) / 3.0
             dvol = vol0[:, None] - jnp.trace(dudx, axis1=-2,
@@ -243,7 +261,35 @@ class BlockPrograms:
             eps = eps.at[..., :3].add(dvol[..., None])
 
         new_state = dict(state)
-        if flag == mat.TOTALLAG:
+        fb_ctx = None
+        if flag == mat.TOTALLAG and self.fbar:
+            # F-bar Green-Lagrange strain from Fbar = Jr (I + du/dX)
+            # (Update_C3D8Fbar:556-565)
+            eye = jnp.eye(3, dtype=dt)
+            F = eye[None, None] + dudx                    # (E, nq, 3, 3)
+            jacob = jnp.linalg.det(F)
+            elem1_t = self.coords_e + total
+            det1, g1 = jacobians(dN, elem1_t)
+            w = jnp.asarray(table.weights, dt)
+            wg0 = w[None, :] * det
+            jwg = wg0 * jacob
+            V0J = jwg.sum(axis=1)
+            g1_ave = jnp.einsum("eq,eqnd->end", jwg, g1) / \
+                V0J[:, None, None]
+            jacob_ave = V0J / wg0.sum(axis=1)
+            Jr = (jacob_ave ** (1.0 / 3.0))[:, None] * \
+                jacob ** (-1.0 / 3.0)                     # (E, nq)
+            Fb = Jr[:, :, None, None] * F
+            C = jnp.einsum("eqki,eqkj->eqij", Fb, Fb)
+            eps = jnp.stack([
+                0.5 * (C[..., 0, 0] - 1), 0.5 * (C[..., 1, 1] - 1),
+                0.5 * (C[..., 2, 2] - 1), C[..., 0, 1], C[..., 1, 2],
+                C[..., 2, 0]], axis=-1)                   # (E, nq, 6)
+            fb_ctx = (Jr, g1, g1_ave, eps)
+            new_state["strain"] = eps
+            sig = self._stress_total(eps, state, new_state, time, dtime)
+            new_state["stress"] = sig
+        elif flag == mat.TOTALLAG:
             # Green-Lagrange quadratic terms (UPDATE_C3:154-168)
             quad = jnp.einsum("kij,eqdi,eqdj->eqk", _glq(self.ns, dt),
                               dudx, dudx)
@@ -289,7 +335,26 @@ class BlockPrograms:
             new_state["back"] = back
 
         # internal force (UPDATE_C3 tail): B evaluated per flag
-        if flag == mat.TOTALLAG:
+        if flag == mat.TOTALLAG and self.fbar:
+            # qf = [Jr^2 (B0 + B1) + B2]^T sigma
+            # (Update_C3D8Fbar:663-733 TOTALLAG arm)
+            Jr, g1, g1_ave, eps_fb = fb_ctx
+            sig = new_state["stress"]
+            w = jnp.asarray(table.weights, dt)
+            wdet = w[None, :] * det
+            wdet2 = wdet * Jr ** 2
+            qf0 = jnp.einsum("kdj,eqnj,eqk,eq->end", S, gderiv, sig,
+                             wdet2)
+            qf1 = jnp.einsum("kij,eqdi,eqnj,eqk,eq->end", S, dudx,
+                             gderiv, sig, wdet2)
+            z1q = (g1_ave[:, None] - g1) / 3.0            # (E, nq, nn, 3)
+            fac = jnp.concatenate([2 * eps_fb[..., :3] + 1.0,
+                                   2 * eps_fb[..., 3:]], axis=-1)
+            sf = jnp.einsum("eqk,eqk->eq", sig, fac)
+            qf2 = jnp.einsum("eq,eqnd,eq->end", sf, z1q, wdet)
+            E_ = gderiv.shape[0]
+            qf = (qf0 + qf1 + qf2).reshape(E_, -1)
+        elif flag == mat.TOTALLAG:
             qf = _qf_totallag(table, S, gderiv, det, dudx,
                               new_state["stress"], self.thick, self.dim)
             if self.bbar:
@@ -297,14 +362,47 @@ class BlockPrograms:
                                          new_state["stress"], self.thick)
         elif flag == mat.UPDATELAG:
             det1, gderiv1 = jacobians(dN, elem1)
-            qf = solid.internal_force(table, elem1, new_state["stress"],
-                                      thick=self.thick)
-            if self.bbar:
-                g01 = solid.centroid_gderiv(table, elem1)
-                qf = qf + _qf_bbar_extra(table, gderiv1, g01, det1,
-                                         new_state["stress"], self.thick)
+            if self.fbar:
+                # qf = [B(elem1) + B2]^T sigma * Jr^3 w det1
+                # (Update_C3D8Fbar:735-766 UPDATELAG arm); Jr and the
+                # jacob-weighted g1_ave come from the TOTAL displacement
+                # on the reference config (:430-456)
+                eye = jnp.eye(3, dtype=dt)
+                det0, g0d = jacobians(dN, self.coords_e)
+                dudx_t = jnp.einsum("end,eqnj->eqdj", total, g0d)
+                jacob = jnp.linalg.det(eye[None, None] + dudx_t)
+                w = jnp.asarray(table.weights, dt)
+                wg0 = w[None, :] * det0
+                jwg = wg0 * jacob
+                V0J = jwg.sum(axis=1)
+                g1_ave = jnp.einsum("eq,eqnd->end", jwg, gderiv1) / \
+                    V0J[:, None, None]
+                jacob_ave = V0J / wg0.sum(axis=1)
+                Jr = (jacob_ave ** (1.0 / 3.0))[:, None] * \
+                    jacob ** (-1.0 / 3.0)
+                sig = new_state["stress"]
+                wdet = w[None, :] * det1 * Jr ** 3
+                qf0 = jnp.einsum("kdj,eqnj,eqk,eq->end", S, gderiv1,
+                                 sig, wdet)
+                z1q = (g1_ave[:, None] - gderiv1) / 3.0
+                tr_s = sig[..., 0] + sig[..., 1] + sig[..., 2]
+                qf2 = jnp.einsum("eq,eqnd,eq->end", tr_s, z1q, wdet)
+                E_ = gderiv1.shape[0]
+                qf = (qf0 + qf2).reshape(E_, -1)
+            else:
+                qf = solid.internal_force(table, elem1,
+                                          new_state["stress"],
+                                          thick=self.thick)
+                if self.bbar:
+                    g01 = solid.centroid_gderiv(table, elem1)
+                    qf = qf + _qf_bbar_extra(table, gderiv1, g01, det1,
+                                             new_state["stress"],
+                                             self.thick)
         else:
-            if self.bbar:
+            if self.bbar or self.fbar:
+                # F-bar INFINITE qf correction has the same (g0-g)/3 row
+                # shape as B-bar, with the volume-averaged reference
+                # (Update_C3D8Fbar:676-689)
                 qf = solid.internal_force(table, self.coords_e,
                                           new_state["stress"],
                                           thick=self.thick)
@@ -493,63 +591,72 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     ~1M dof)."""
     n_node, ndof = model.n_node, model.ndof
     sv = model.cfg.solver
+    from frontistr_tpu.assembly import bell as bellmod
     from frontistr_tpu.assembly import ell as ellmod
     from frontistr_tpu.solver import amg as amgmod
     prof = ellmod.profile_from_model(model)
     prof_d = prof.device()
     amaps = amgmod.eligible_maps(prof, model.n_dof_total)
+    cprof_d = bellmod.cluster_profile_from_model(model,
+                                                 scalar=prof).device()
     coords_j = jnp.asarray(model.coords)
     nns_t = tuple(nns)
 
-    def _ell_op(profile, kes, free_m, dtype):
-        blocks = ellmod.assemble_blocks(
-            profile, [k.astype(dtype) for k in kes], nns_t)
-        return ellmod.ELLOperator(blocks=blocks, cols=profile.cols,
-                                  diag_slot=profile.diag_slot,
-                                  n_node=n_node, ndof=ndof,
-                                  free_mask=free_m.astype(dtype))
+    def _cluster_op(cprofile, kes, free_m, dtype):
+        blocks, raw = bellmod.assemble_cluster(
+            cprofile, [k.astype(dtype) for k in kes], nns_t)
+        diag = bellmod.extract_diag(cprofile, raw)
+        cop = bellmod.ClusterOperator(
+            blocks=blocks, ccols=cprofile.ccols, diag=diag,
+            n_node=n_node, ndof=ndof, G=cprofile.G,
+            free_mask=free_m.astype(dtype))
+        return cop, raw
 
-    def _precond(eop, am, coords):
+    def _precond(cop, cprofile, raw, profile, am, coords):
         if am is None:
-            return eop.block_jacobi()
+            return cop.block_jacobi()
+        sb = bellmod.extract_scalar_blocks(cprofile, raw, profile)
         return amgmod.setup_amg(
-            am, eop.blocks, eop.cols, coords.astype(eop.blocks.dtype),
-            eop.free_mask, eop.apply_constrained, eop.block_jacobi())
+            am, sb, profile.cols, coords.astype(cop.blocks.dtype),
+            cop.free_mask, cop.apply_constrained, cop.block_jacobi())
 
     if mixed:
         @jax.jit
-        def _solve(profile, am, ctx, kes, B, dirichlet_inc):
+        def _solve(profile, cprofile, am, ctx, kes, B, dirichlet_inc):
             dofs, inc, free_m, coords = ctx
             op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
                                   n_node, ndof, free_m)
             b_c = (B - op.matvec(dirichlet_inc)) * free_m + \
                 dirichlet_inc * (1.0 - free_m)
-            # block-ELL f32 operator for the CG hot loop (~12x the
-            # incidence-gather matvec); f64 true residual via gather op
-            eop32 = _ell_op(profile, kes, free_m, jnp.float32)
-            res = refined_cg(op.apply_constrained, eop32.apply_constrained,
-                             _precond(eop32, am, coords), b_c,
+            # cluster-ELL f32 operator for the CG hot loop (~7 ms/matvec
+            # at 1M-dof tet); f64 true residual via gather op
+            cop32, raw = _cluster_op(cprofile, kes, free_m, jnp.float32)
+            res = refined_cg(op.apply_constrained,
+                             cop32.apply_constrained,
+                             _precond(cop32, cprofile, raw, profile, am,
+                                      coords), b_c,
                              tol=sv.resid, inner_tol=1e-6,
                              maxiter=sv.nier, max_passes=2)
             return res.x
     else:
         @jax.jit
-        def _solve(profile, am, ctx, kes, B, dirichlet_inc):
+        def _solve(profile, cprofile, am, ctx, kes, B, dirichlet_inc):
             dofs, inc, free_m, coords = ctx
             op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
                                   n_node, ndof, free_m)
             b_c = (B - op.matvec(dirichlet_inc)) * free_m + \
                 dirichlet_inc * (1.0 - free_m)
-            eop = _ell_op(profile, kes, free_m, b_c.dtype)
-            res = krylov.pcg(eop.apply_constrained, b_c,
-                             M=_precond(eop, am, coords), tol=sv.resid,
+            cop, raw = _cluster_op(cprofile, kes, free_m, b_c.dtype)
+            res = krylov.pcg(cop.apply_constrained, b_c,
+                             M=_precond(cop, cprofile, raw, profile, am,
+                                        coords), tol=sv.resid,
                              maxiter=sv.nier)
             return res.x
 
     ctx = (list(dofs_j), inc_j, free, coords_j)
 
     def solve(kes, B, dirichlet_inc):
-        return _solve(prof_d, amaps, ctx, kes, B, dirichlet_inc)
+        return _solve(prof_d, cprof_d, amaps, ctx, kes, B, dirichlet_inc)
 
     return solve
 

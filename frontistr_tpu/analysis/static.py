@@ -80,6 +80,9 @@ def compute_element_stiffness(model: StructModel):
         table = get_table(b.etype)
         if b.etype == 361 and b.formulation == "IC":
             ke = solid.stiffness_hex8ic(table, coords_e, jnp.asarray(b.D))
+        elif b.etype == 361 and b.formulation == "FBAR":
+            ke = solid.stiffness_hex8fbar(table, coords_e,
+                                          jnp.asarray(b.D))
         else:
             ke = solid.stiffness_linear(table, coords_e, jnp.asarray(b.D),
                                         thick=b.thick)
@@ -100,6 +103,40 @@ def _amg_or_jacobi(eop, amaps, coords):
                             coords.astype(eop.blocks.dtype),
                             eop.free_mask, eop.apply_constrained,
                             eop.block_jacobi())
+
+
+def _amg_or_jacobi_cluster(cop, sblocks, scols, amaps, coords):
+    """Same, for the cluster operator: Galerkin maps come from the
+    extracted scalar blocks; smoother matvecs use the fast cluster op."""
+    from frontistr_tpu.solver import amg as amgmod
+    if amaps is None:
+        return cop.block_jacobi()
+    return amgmod.setup_amg(amaps, sblocks, scols,
+                            coords.astype(cop.blocks.dtype),
+                            cop.free_mask, cop.apply_constrained,
+                            cop.block_jacobi())
+
+
+@partial(jax.jit,
+         static_argnames=("tol", "inner_tol", "maxiter", "hist_len"))
+def _mixed_cluster_solve(op, cop32, sb32, scols, amaps, coords, b_c,
+                         tol, inner_tol, maxiter, hist_len=0):
+    """f32 cluster-ELL CG + f64 gather-op refinement (the default
+    unstructured hot path: ~7 ms/matvec at 1M-dof tet vs 38 ms scalar
+    ELL).  All operators/maps are pytree ARGS."""
+    from frontistr_tpu.solver.mixed import refined_cg
+    M32 = _amg_or_jacobi_cluster(cop32, sb32, scols, amaps, coords)
+    return refined_cg(op.apply_constrained, cop32.apply_constrained,
+                      M32, b_c, tol=tol, inner_tol=inner_tol,
+                      maxiter=maxiter, hist_len=hist_len)
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter", "hist_len"))
+def _cg_cluster_solve(cop, sb, scols, amaps, coords, b_c, tol, maxiter,
+                      hist_len=0):
+    M = _amg_or_jacobi_cluster(cop, sb, scols, amaps, coords)
+    return krylov.pcg(cop.apply_constrained, b_c, M=M, tol=tol,
+                      maxiter=maxiter, hist_len=hist_len)
 
 
 @partial(jax.jit,
@@ -253,29 +290,51 @@ def solve_linear(model: StructModel, kes=None,
                                           inner_tol=1e-6,
                                           maxiter=sv.nier, hist_len=hl)
         else:
-            # assembled block-ELL f32 operator for the CG hot loop
-            # (~12x the incidence-gather matvec); f64 true residuals
-            # still go through the gather operator.  AMG V-cycle
-            # preconditioner when the problem is big enough.
-            from frontistr_tpu.assembly import ell
+            # assembled cluster-ELL f32 operator for the CG hot loop
+            # (~7 ms/matvec at 1M-dof tet vs 404 ms incidence-gather);
+            # f64 true residuals still go through the gather operator.
+            # AMG V-cycle preconditioner when the problem is big enough.
+            from frontistr_tpu.assembly import bell, ell
             from frontistr_tpu.solver import amg as amgmod
             prof = ell.profile_from_model(model)
-            eop32 = ell.from_model(model, kes, dtype=jnp.float32,
-                                   profile=prof)
             amaps = amgmod.eligible_maps(prof, model.n_dof_total)
-            res = _mixed_ell_solve(op, eop32, amaps,
-                                   jnp.asarray(model.coords), b_c,
-                                   tol=sv.resid, inner_tol=1e-6,
-                                   maxiter=sv.nier, hist_len=hl)
+            cprof = bell.cluster_profile_from_model(model, scalar=prof)
+            if amaps is not None:
+                cop32, sb32 = bell.from_model(
+                    model, kes, dtype=jnp.float32, profile=cprof,
+                    want_scalar=True, scalar=prof)
+            else:
+                cop32 = bell.from_model(model, kes, dtype=jnp.float32,
+                                        profile=cprof)
+                sb32 = None
+            res = _mixed_cluster_solve(op, cop32, sb32,
+                                       prof.device().cols, amaps,
+                                       jnp.asarray(model.coords), b_c,
+                                       tol=sv.resid, inner_tol=1e-6,
+                                       maxiter=sv.nier, hist_len=hl)
     else:
-        if sop is None and not mpc.active:
-            from frontistr_tpu.assembly import ell
+        if sop is None and not mpc.active \
+                and sv.method.upper() in ("CG", "1"):
+            from frontistr_tpu.assembly import bell, ell
             from frontistr_tpu.solver import amg as amgmod
+            prof = ell.profile_from_model(model)
+            amaps = amgmod.eligible_maps(prof, model.n_dof_total)
+            cprof = bell.cluster_profile_from_model(model, scalar=prof)
+            if amaps is not None:
+                cop, sb = bell.from_model(model, kes, profile=cprof,
+                                          want_scalar=True, scalar=prof)
+            else:
+                cop = bell.from_model(model, kes, profile=cprof)
+                sb = None
+            res = _cg_cluster_solve(cop, sb, prof.device().cols, amaps,
+                                    jnp.asarray(model.coords), b_c,
+                                    tol=sv.resid, maxiter=sv.nier,
+                                    hist_len=hl)
+        elif sop is None and not mpc.active:
+            from frontistr_tpu.assembly import ell
             prof = ell.profile_from_model(model)
             eop = ell.from_model(model, kes, profile=prof)
-            amaps = amgmod.eligible_maps(prof, model.n_dof_total) \
-                if sv.method.upper() in ("CG", "1") else None
-            res = _krylov_ell_solve(eop, amaps,
+            res = _krylov_ell_solve(eop, None,
                                     jnp.asarray(model.coords), b_c,
                                     method=sv.method, tol=sv.resid,
                                     maxiter=sv.nier, hist_len=hl)

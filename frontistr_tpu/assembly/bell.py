@@ -1,0 +1,338 @@
+"""Cluster-ELL operator: the fast general-mesh SpMV on TPU.
+
+TPU gathers are row-rate-limited (~200 Mrow/s regardless of row size up
+to ~1 KB), so the scalar block-ELL matvec — N*W rows of nd floats — is
+gather-bound (38 ms at 1M-dof tet).  Grouping G=8 consecutive nodes into
+clusters multiplies the bytes per gathered row by G and divides the row
+count by ~G*G/Wc ratio: the same matrix moves as C*Wc rows of G*nd
+floats (0.6M rows / 60 MB at 1M dof) and the multiply becomes a
+(G*nd, G*nd) x (G*nd,) batched GEMM that streams the blocks at HBM
+bandwidth.  Measured 7 ms/matvec at 1M-dof tet vs 38 ms scalar-ELL and
+404 ms incidence-gather (this file's ancestors), vs the reference's CSR
+SpMV (hecmw1/src/solver/las/hecmw_solver_las_33.f90:135-351).
+
+Storage is plane-major (G*nd, G*nd, Wc, C): the big C axis lands on TPU
+lanes, so the blocks stream without tile padding.  Cluster fill-in (node
+pairs stored as zero inside a touched cluster pair) costs ~5-7x the
+scalar-ELL bytes on tet meshes — HBM is the cheap resource; gather rows
+are the scarce one.
+
+Assembly reuses the scalar ELL entry planes (pair order (a, b, e)) with
+a cluster-layout destination map, so the segment-sum cost is identical
+to assembly/ell.py.  The diagonal nd x nd blocks ride along for the
+block-Jacobi / AMG preconditioners.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from frontistr_tpu.assembly import ell as ellmod
+
+
+@dataclasses.dataclass
+class ClusterProfile:
+    """Host-built cluster-ELL sparsity (registered pytree; pass
+    ``.device()`` through jit boundaries as an argument)."""
+    n_node: int
+    ndof: int
+    G: int                       # nodes per cluster
+    C: int                       # clusters
+    Wc: int                      # max neighbor clusters
+    ccols: np.ndarray            # (C, Wc) int32, padded with row cluster
+    diag_wc: np.ndarray          # (C,) int32: wc of the c->c slot
+    perm: np.ndarray             # (P,) int32 sorts pair entries by slot2
+    seg_sorted: np.ndarray       # (P,) int32 slot2, sorted
+    scal_src: np.ndarray         # (N, W) int32 slot2 of each scalar slot
+    pair_counts: tuple
+
+    @property
+    def n_slots(self) -> int:
+        return self.C * self.Wc * self.G * self.G
+
+    def device(self) -> "ClusterProfile":
+        if not hasattr(self, "_dev"):
+            object.__setattr__(self, "_dev", ClusterProfile(
+                n_node=self.n_node, ndof=self.ndof, G=self.G, C=self.C,
+                Wc=self.Wc, ccols=jnp.asarray(self.ccols),
+                diag_wc=jnp.asarray(self.diag_wc),
+                perm=jnp.asarray(self.perm),
+                seg_sorted=jnp.asarray(self.seg_sorted),
+                scal_src=jnp.asarray(self.scal_src),
+                pair_counts=tuple(self.pair_counts)))
+        return self._dev
+
+
+jax.tree_util.register_dataclass(
+    ClusterProfile,
+    data_fields=["ccols", "diag_wc", "perm", "seg_sorted", "scal_src"],
+    meta_fields=["n_node", "ndof", "G", "C", "Wc", "pair_counts"])
+
+
+def build_cluster_profile(conns: Sequence[np.ndarray], n_node: int,
+                          ndof: int, G: int = 8,
+                          scalar: Optional[ellmod.ELLProfile] = None
+                          ) -> ClusterProfile:
+    """Symbolic cluster assembly.  Nodes n belong to cluster n // G
+    (band-ordered meshes keep Wc small; reorder first for wild meshes)."""
+    C = (n_node + G - 1) // G
+    rows_l, cols_l, counts = [], [], []
+    for c in conns:
+        E, nn = c.shape
+        ct = c.T
+        rows_l.append(np.repeat(ct[:, None, :], nn, axis=1).reshape(-1))
+        cols_l.append(np.broadcast_to(ct[None, :, :],
+                                      (nn, nn, E)).reshape(-1))
+        counts.append(E * nn * nn)
+    rows = np.concatenate(rows_l).astype(np.int64)
+    colsv = np.concatenate(cols_l).astype(np.int64)
+    cr, cq = rows // G, colsv // G
+    key = cr * C + cq
+    uniq = np.unique(key)
+    ur, uc = uniq // C, (uniq % C).astype(np.int32)
+    cnt = np.bincount(ur, minlength=C)
+    Wc = max(int(cnt.max()) if len(cnt) else 1, 1)
+    ccols = np.repeat(np.arange(C, dtype=np.int32)[:, None], Wc, axis=1)
+    starts = np.zeros(C + 1, np.int64)
+    np.cumsum(cnt, out=starts[1:])
+    within = np.arange(len(uniq), dtype=np.int64) - starts[ur]
+    ccols[ur, within] = uc
+    # wc per unique cluster pair, then per raw entry
+    wc_of_pair = np.full(len(uniq), 0, np.int64)
+    wc_of_pair[:] = within
+    pair_idx = np.searchsorted(uniq, key)
+    wc = wc_of_pair[pair_idx]
+    slot2 = (((cr * Wc + wc) * G + rows % G) * G + colsv % G)
+    perm = np.argsort(slot2, kind="stable")
+    seg_sorted = slot2[perm].astype(np.int32)
+    diag_wc = np.zeros(C, np.int32)
+    isd = ur == uc
+    diag_wc[ur[isd]] = within[isd].astype(np.int32)
+    # scalar-slot -> slot2 map (for AMG / diag extraction)
+    if scalar is None:
+        scalar = ellmod.build_profile(conns, n_node, ndof)
+    N, W = scalar.cols.shape
+    n_idx = np.repeat(np.arange(N, dtype=np.int64), W)
+    m_idx = scalar.cols.reshape(-1).astype(np.int64)
+    scr, scq = n_idx // G, m_idx // G
+    skey = scr * C + scq
+    s_pair = np.searchsorted(uniq, skey)
+    swc = wc_of_pair[np.clip(s_pair, 0, len(uniq) - 1)]
+    scal_src = (((scr * Wc + swc) * G + n_idx % G) * G + m_idx % G) \
+        .astype(np.int32).reshape(N, W)
+    # scalar ELL pads each row's tail with (n, n): those slots would
+    # alias the REAL diagonal cluster entry — redirect them to the last
+    # raw slot + mark it zero via n_slots sentinel handled in extraction.
+    # Real slots are the first per_row positions (ell.build_profile fills
+    # real columns first, padding after).
+    nkey = rows * np.int64(n_node) + colsv
+    upairs = np.unique(nkey)
+    per_row_s = np.bincount((upairs // n_node).astype(np.int64),
+                            minlength=N)
+    pad_mask = (np.arange(W)[None, :] >= per_row_s[:, None])
+    scal_src[pad_mask] = -1
+    return ClusterProfile(
+        n_node=n_node, ndof=ndof, G=G, C=C, Wc=Wc, ccols=ccols,
+        diag_wc=diag_wc, perm=perm.astype(np.int32),
+        seg_sorted=seg_sorted, scal_src=scal_src,
+        pair_counts=tuple(counts))
+
+
+def assemble_cluster(profile: ClusterProfile, kes: Sequence[jnp.ndarray],
+                     nns: Sequence[int]) -> jnp.ndarray:
+    """Numeric assembly to plane-major cluster blocks
+    (G*nd, G*nd, Wc, C).  Same sorted 9-plane segment-sum as
+    ell.assemble_blocks, cluster-layout destinations."""
+    nd, G, C, Wc = (profile.ndof, profile.G, profile.C, profile.Wc)
+    planes = []
+    for ke, nn in zip(kes, nns):
+        E = ke.shape[0]
+        kr = ke.reshape(E, nn, nd, nn, nd)
+        planes.append(jnp.transpose(kr, (2, 4, 1, 3, 0))
+                      .reshape(nd * nd, nn * nn * E))
+    ent = jnp.concatenate(planes, axis=1)
+    outs = []
+    for p in range(nd * nd):
+        sp = ent[p][profile.perm]
+        outs.append(jax.ops.segment_sum(sp, profile.seg_sorted,
+                                        num_segments=profile.n_slots,
+                                        indices_are_sorted=True))
+    raw = jnp.stack(outs, axis=1)            # (C*Wc*G*G, nd*nd)
+    # (C, Wc, Ga, Gb, ndi, ndj) -> (Ga, ndi, Gb, ndj, Wc, C)
+    six = raw.reshape(C, Wc, G, G, nd, nd)
+    blocks = jnp.transpose(six, (2, 4, 3, 5, 1, 0)) \
+        .reshape(G * nd, G * nd, Wc, C)
+    return blocks, raw
+
+
+@dataclasses.dataclass
+class ClusterOperator:
+    """Constrained stiffness operator over cluster-ELL blocks (pytree).
+
+    API-compatible subset of ELLOperator: matvec / apply_constrained /
+    constrained_rhs / block_jacobi / astype."""
+    blocks: jnp.ndarray          # (G*nd, G*nd, Wc, C)
+    ccols: jnp.ndarray           # (C, Wc) int32
+    diag: jnp.ndarray            # (N, nd, nd) nodal diagonal blocks
+    n_node: int
+    ndof: int
+    G: int
+    free_mask: jnp.ndarray       # (N*nd,)
+
+    @property
+    def C(self) -> int:
+        return self.blocks.shape[3]
+
+    @property
+    def n_dof(self) -> int:
+        return self.n_node * self.ndof
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        nd, G, C = self.ndof, self.G, self.C
+        m = G * nd
+        xp = jnp.pad(x, (0, C * m - x.shape[0]))
+        xc = xp.reshape(C, m)
+        xg = xc[self.ccols]                      # (C, Wc, m) row gather
+        xgP = jnp.transpose(xg, (2, 1, 0))       # (m, Wc, C)
+        y = jnp.einsum("abwc,bwc->ac", self.blocks, xgP,
+                       precision=jax.lax.Precision.HIGHEST)
+        return jnp.transpose(y).reshape(-1)[:x.shape[0]]
+
+    def apply_constrained(self, x: jnp.ndarray) -> jnp.ndarray:
+        xm = x * self.free_mask
+        y = self.matvec(xm)
+        return y * self.free_mask + x * (1.0 - self.free_mask)
+
+    def constrained_rhs(self, f: jnp.ndarray, u_fix: jnp.ndarray):
+        y = self.matvec(u_fix)
+        return (f - y) * self.free_mask + u_fix * (1.0 - self.free_mask)
+
+    def block_jacobi(self):
+        from frontistr_tpu.fem.isoparam import det_inv_small
+        from frontistr_tpu.utils.linalg import gauss_jordan_inv
+        nd = self.ndof
+        fm = self.free_mask.reshape(self.n_node, nd)
+        D = self.diag * (fm[:, :, None] * fm[:, None, :])
+        dd = D[:, jnp.arange(nd), jnp.arange(nd)]
+        D = D.at[:, jnp.arange(nd), jnp.arange(nd)].add(
+            jnp.where(dd == 0.0, jnp.ones_like(dd), jnp.zeros_like(dd)))
+        if nd == 1:
+            Dinv = 1.0 / D
+        elif nd in (2, 3):
+            _, Dinv = det_inv_small(D)
+        else:
+            Dinv = gauss_jordan_inv(D)
+
+        def apply(r):
+            rn = r.reshape(self.n_node, nd)
+            return jnp.einsum("nij,nj->ni", Dinv, rn).reshape(-1)
+
+        return apply
+
+    def astype(self, dtype) -> "ClusterOperator":
+        return ClusterOperator(
+            blocks=self.blocks.astype(dtype), ccols=self.ccols,
+            diag=self.diag.astype(dtype), n_node=self.n_node,
+            ndof=self.ndof, G=self.G,
+            free_mask=self.free_mask.astype(dtype))
+
+
+jax.tree_util.register_dataclass(
+    ClusterOperator,
+    data_fields=["blocks", "ccols", "diag", "free_mask"],
+    meta_fields=["n_node", "ndof", "G"])
+
+
+def extract_scalar_blocks(cprof: ClusterProfile, raw: jnp.ndarray,
+                          scalar: ellmod.ELLProfile) -> jnp.ndarray:
+    """Scalar (N, W, nd, nd) blocks gathered out of the raw cluster slot
+    array — feeds the AMG Galerkin setup without a second assembly."""
+    nd = cprof.ndof
+    N, W = scalar.cols.shape
+    src = cprof.scal_src.reshape(-1)
+    rows = raw[jnp.maximum(src, 0)]             # (N*W, nd*nd) row gather
+    rows = rows * (src >= 0)[:, None].astype(rows.dtype)
+    return rows.reshape(N, W, nd, nd)
+
+
+def extract_diag(cprof: ClusterProfile, raw: jnp.ndarray) -> jnp.ndarray:
+    """Nodal diagonal nd x nd blocks from the raw cluster slots."""
+    nd, G, C, Wc = cprof.ndof, cprof.G, cprof.C, cprof.Wc
+    N = cprof.n_node
+    n = jnp.arange(N, dtype=jnp.int32)
+    c, off = n // G, n % G
+    src = ((c * Wc + cprof.diag_wc[c]) * G + off) * G + off
+    return raw[src].reshape(N, nd, nd)
+
+
+_CPROFILE_CACHE: dict = {}
+
+
+def cluster_profile_from_model(model,
+                               scalar: Optional[ellmod.ELLProfile] = None
+                               ) -> ClusterProfile:
+    ex_conns = getattr(model, "extras", ([], [], [], []))[0]
+    conns = [b.conn for b in model.blocks] + list(ex_conns)
+    key = ellmod._profile_key(conns, model.n_node, model.ndof) + "-bell"
+    prof = _CPROFILE_CACHE.get(key)
+    if prof is None:
+        prof = build_cluster_profile(conns, model.n_node, model.ndof,
+                                     scalar=scalar)
+        _CPROFILE_CACHE.clear()
+        _CPROFILE_CACHE[key] = prof
+    return prof
+
+
+def from_model(model, kes, dtype=None,
+               profile: Optional[ClusterProfile] = None,
+               want_scalar: bool = False,
+               scalar: Optional[ellmod.ELLProfile] = None):
+    """Assemble the cluster operator (and optionally scalar blocks for
+    AMG) from a StructModel + element matrices."""
+    from frontistr_tpu.assembly import operators as old_ops
+    ex = getattr(model, "extras", ([], [], [], []))
+    ex_conns, _, ex_kes, ex_nns = ex
+    if profile is None:
+        profile = cluster_profile_from_model(model, scalar=scalar)
+    all_kes = [jnp.asarray(k) for k in kes] + \
+        [jnp.asarray(k) for k in ex_kes]
+    nns = [b.conn.shape[1] for b in model.blocks] + list(ex_nns)
+    if dtype is not None:
+        all_kes = [k.astype(dtype) for k in all_kes]
+    prof_d = profile.device()
+    blocks, raw = _assemble_jit(prof_d, tuple(all_kes), tuple(nns))
+    diag = _diag_jit(prof_d, raw)
+    free = old_ops.make_free_mask(model.n_dof_total, model.fixed_dofs)
+    fm = jnp.asarray(free, blocks.dtype)
+    op = ClusterOperator(blocks=blocks, ccols=prof_d.ccols, diag=diag,
+                         n_node=model.n_node, ndof=model.ndof,
+                         G=profile.G, free_mask=fm)
+    if want_scalar:
+        sc = scalar if scalar is not None \
+            else ellmod.profile_from_model(model)
+        sb = _scal_jit(prof_d, raw, sc.device())
+        return op, sb
+    return op
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("nns",))
+def _assemble_jit(profile: ClusterProfile, kes, nns):
+    return assemble_cluster(profile, list(kes), list(nns))
+
+
+@jax.jit
+def _diag_jit(profile: ClusterProfile, raw):
+    return extract_diag(profile, raw)
+
+
+@jax.jit
+def _scal_jit(profile: ClusterProfile, raw, scalar: ellmod.ELLProfile):
+    return extract_scalar_blocks(profile, raw, scalar)

@@ -328,11 +328,22 @@ def build_struct_model(mesh: Mesh, cfg: AnalysisConfig) -> StructModel:
         form = "FI"
         if b.etype == 361:
             # default 361 formulation for STATIC/DYNAMIC/EIGEN
-            # (fstr_setup.f90:365-379); overridable via !ELEMOPT
+            # (fstr_setup.f90:365-379); overridable via !ELEMOPT or
+            # per-section '!SECTION, SECNUM=n, FORM361=FI|BBAR|IC|FBAR'
+            # (fstr_ctrl_common.f90:311-320)
             form = "BBAR" if cfg.nlgeom else "IC"
             if cfg.elemopt361:
                 form = {1: "FI", 2: "BBAR", 3: "IC", 4: "FBAR"}.get(
                     cfg.elemopt361, form)
+            for c in cfg.sections:
+                if c.iparam("SECNUM", 0) == b.section_id + 1:
+                    f361 = (c.param("FORM361") or "").upper()
+                    if f361 in ("FI", "BBAR", "IC", "FBAR"):
+                        form = f361
+            if cfg.nlgeom and form == "IC":
+                # IC unsupported under nlgeom -> B-bar
+                # (fstr_setup.f90:841-845)
+                form = "BBAR"
         blocks.append(KBlock(b.etype, b.elem_ids, b.conn,
                              dofs.astype(np.int32), D, thick, iset,
                              np.full(E, m.density), m, b.section_id,

@@ -134,6 +134,169 @@ def _bbar_correction(S_like, g, g0):
     return rows.reshape(E, 3, nn * dim)
 
 
+def volavg_gderiv(table: ElementTable, elem, jacob=None):
+    """Volume-averaged global derivs: the F-bar dilatation reference
+    (STF_C3D8Fbar gderiv1_ave, static_LIB_Fbar.f90:85-118).  With jacob
+    (per-gauss J = det F) given, weights are jacob*wg as in the
+    finite-strain arms; else jacob = 1 (INFINITE)."""
+    dN = jnp.asarray(table.dN, elem.dtype)
+    det, g = jacobians(dN, elem)
+    w = jnp.asarray(table.weights, elem.dtype)
+    wg = w[None, :] * det                                  # (E, nq)
+    jwg = wg if jacob is None else wg * jacob
+    denom = jwg.sum(axis=1)                                # (E,)
+    g_ave = jnp.einsum("eq,eqnd->end", jwg, g) / denom[:, None, None]
+    return g_ave, det, g
+
+
+def _fbar_correction(g, g_ave):
+    """Rows 1..3 of the F-bar B correction: +(g_ave - g)/3 on every
+    direction column (static_LIB_Fbar.f90:166-178 INFINITE arm)."""
+    E, nn, dim = g.shape
+    corr = (g_ave - g) / 3.0
+    rows = jnp.broadcast_to(corr[:, None, :, :], (E, 3, nn, dim))
+    return rows.reshape(E, 3, nn * dim)
+
+
+def stiffness_hex8fbar(table: ElementTable, coords_e, D_e):
+    """Small-strain F-bar hex8 stiffness (STF_C3D8Fbar INFINITE arm,
+    static_LIB_Fbar.f90:26-180): standard B with rows 1-3 corrected by the
+    volume-averaged dilatation  B̄ = B + (ḡ - g)/3 on direction columns.
+    Differs from B-bar only in using the volume average instead of the
+    centroid value as the dilatation reference."""
+    dt = coords_e.dtype
+    dN = jnp.asarray(table.dN, dt)
+    g_ave, det, gderiv = volavg_gderiv(table, coords_e)
+    S = jnp.asarray(_selector(3), dt)
+    w = jnp.asarray(table.weights, dt)
+    E, nn, dim = coords_e.shape
+    m = nn * dim
+    nq = table.nq
+    HI = jax.lax.Precision.HIGHEST
+    B = jnp.einsum("kdj,eqnj->eqknd", S, gderiv,
+                   precision=HI).reshape(E, nq, 6, m)
+    corr = _fbar_correction(
+        gderiv.reshape(E * nq, nn, dim),
+        jnp.broadcast_to(g_ave[:, None], (E, nq, nn, dim))
+        .reshape(E * nq, nn, dim)).reshape(E, nq, 3, m)
+    B = B.at[:, :, :3, :].add(corr)
+    if D_e.ndim == 4:
+        DB = jnp.einsum("eqkl,eqlm->eqkm", D_e, B, precision=HI)
+    else:
+        DB = jnp.einsum("ekl,eqlm->eqkm", D_e, B, precision=HI)
+    wdet = w[None, :] * det
+    return jnp.einsum("eqki,eqkj,eq->eij", B, DB, wdet, precision=HI)
+
+
+def stiffness_nlgeom_fbar(table: ElementTable, coords_e, u_e, D_e,
+                          stress_e, flag: int):
+    """F-bar tangent with geometric terms (STF_C3D8Fbar TOTALLAG/UPDATELAG
+    arms, static_LIB_Fbar.f90:120-334): material part with
+    B̄ = Jr²(B0+B1)+B2 (TL) / B+B2 (UL), initial-stress part BNᵀ S BN with
+    the F-bar-corrected BN, and the d(dFbar) second-variation block."""
+    from frontistr_tpu.fem.material import TOTALLAG, UPDATELAG
+    dt = coords_e.dtype
+    dN = jnp.asarray(table.dN, dt)
+    E, nn, dim = coords_e.shape
+    m = nn * dim
+    nq = table.nq
+    S = jnp.asarray(_selector(3), dt)
+    w = jnp.asarray(table.weights, dt)
+    HI = jax.lax.Precision.HIGHEST
+    eye = jnp.eye(3, dtype=dt)
+
+    elem0 = coords_e
+    elem1 = coords_e + u_e
+    elem = elem1 if flag == UPDATELAG else coords_e
+
+    # averages on the reference mesh (det0, gderiv0) with jacob weights
+    det0, g0 = jacobians(dN, elem0)
+    dudx0 = jnp.einsum("end,eqnj->eqdj", u_e, g0)          # du_d/dX_j
+    F = eye[None, None] + dudx0                            # (E, nq, 3, 3)
+    jacob = jnp.linalg.det(F)
+    Jratio = jacob ** (-1.0 / 3.0)                         # (E, nq)
+    det1, g1 = jacobians(dN, elem1)
+    wg0 = w[None, :] * det0
+    jwg = wg0 * jacob
+    V0J = jnp.einsum("eq->e", jwg)
+    g1_ave = jnp.einsum("eq,eqnd->end", jwg, g1) / V0J[:, None, None]
+    jacob_ave = V0J / wg0.sum(axis=1)
+    Jr = (jacob_ave ** (1.0 / 3.0))[:, None] * Jratio      # (E, nq)
+    # gderiv2_ave[(n,i),(m,j)] cross term (static_LIB_Fbar.f90:100-110):
+    # sum_q jwg * (g1[n,i] g1[m,j] - g1[m,i] g1[n,j]) / (V0 jacob_ave)
+    g2 = (jnp.einsum("eq,eqni,eqmj->enimj", jwg, g1, g1)
+          - jnp.einsum("eq,eqmi,eqnj->enimj", jwg, g1, g1)) \
+        / V0J[:, None, None, None, None]
+
+    det, gderiv = jacobians(dN, elem)
+    wgt = w[None, :] * det
+    k = jnp.zeros((E, m, m), dt)
+    for q in range(nq):
+        g = gderiv[:, q]
+        B = b_matrix(S, g)                                 # (E, 6, m)
+        if flag == TOTALLAG:
+            dudx = jnp.einsum("end,enj->edj", u_e, g)
+            B1 = jnp.einsum("kij,edi,enj->eknd", S, dudx, g) \
+                .reshape(E, 6, m)
+            Fb = Jr[:, q, None, None] * (eye[None] + dudx)  # (E,3,3)
+            C = jnp.einsum("eki,ekj->eij", Fb, Fb)
+            dstrain = jnp.stack([
+                0.5 * (C[:, 0, 0] - 1), 0.5 * (C[:, 1, 1] - 1),
+                0.5 * (C[:, 2, 2] - 1), C[:, 0, 1], C[:, 1, 2],
+                C[:, 2, 0]], axis=1)                       # (E, 6)
+            z1 = (g1_ave - g1[:, q]) / 3.0                 # (E, nn, 3)
+            fac = jnp.concatenate([2 * dstrain[:, :3] + 1.0,
+                                   2 * dstrain[:, 3:]], axis=1)
+            B2 = jnp.einsum("ek,end->eknd", fac, z1).reshape(E, 6, m)
+            Bbar = Jr[:, q, None, None] ** 2 * (B + B1) + B2
+            coeff = Jr[:, q]
+            sff = jnp.einsum("ek,ek->e", stress_e[:, q], dstrain)
+            gq1 = g1[:, q]
+            wg = wgt[:, q]
+        else:  # UPDATELAG
+            z1 = (g1_ave - g) / 3.0
+            B2rows = jnp.broadcast_to(z1[:, None], (E, 3, nn, 3)) \
+                .reshape(E, 3, m)
+            Bbar = B.at[:, :3, :].add(B2rows)
+            Fb = jnp.broadcast_to(eye[None], (E, 3, 3))
+            coeff = jnp.ones((E,), dt)
+            sig = stress_e[:, q]
+            sff = sig[:, 0] + sig[:, 1] + sig[:, 2]
+            dstrain = None
+            gq1 = g
+            wg = Jr[:, q] ** 3 * wgt[:, q]
+        Dq = D_e if D_e.ndim == 3 else D_e[:, q]
+        DB = jnp.einsum("ekl,elj->ekj", Dq, Bbar, precision=HI)
+        k = k + jnp.einsum("eki,ekj,e->eij", Bbar, DB, wg, precision=HI)
+
+        # initial stress (1): BN^T Smat BN with F-bar-corrected BN
+        # BN[(d,i),(n,p)] = coeff*delta_ip*g[n,d] + Fbar[i,d]*z1[n,p]
+        sig = stress_e[:, q]
+        Sm = _stress_tensor(sig, 3)                        # (E, 3, 3)
+        z1q = (g1_ave - gq1) / 3.0                         # (E, nn, 3)
+        # BN as (E, 3(d), 3(i), nn, 3(p))
+        BN = coeff[:, None, None, None, None] * \
+            jnp.einsum("ip,end->edinp", eye, g) + \
+            jnp.einsum("eid,enp->edinp", Fb, z1q)
+        # Smat[(d,i),(f,j)] = sigma_df delta_ij -> contract deriv index d
+        SBN = jnp.einsum("edf,efinp->edinp", Sm, BN, precision=HI)
+        kg = jnp.einsum("edinp,edimq->enpmq", BN, SBN, precision=HI)
+        k = k + (kg * wg[:, None, None, None, None]).reshape(E, m, m)
+
+        # initial stress (2): d(dFbar)*Stress (static_LIB_Fbar.f90:305-331)
+        FS = jnp.einsum("eid,edj->eij", Fb, Sm)            # F S (E,3,3)
+        GFS = coeff[:, None, None] * \
+            jnp.einsum("eij,enj->eni", FS, g)              # (E, nn, 3)
+        ddA = jnp.einsum("enp,emq->enpmq", z1q, z1q)
+        ddB = (g2 - jnp.einsum("enp,emq->enpmq", g1_ave, g1_ave)) / 3.0
+        ddC = jnp.einsum("enq,emp->enpmq", gq1, gq1) / 3.0
+        dd = sff[:, None, None, None, None] * (ddA + ddB + ddC) + \
+            jnp.einsum("enp,emq->enpmq", z1q, GFS) + \
+            jnp.einsum("emq,enp->enpmq", z1q, GFS)
+        k = k + (dd * wg[:, None, None, None, None]).reshape(E, m, m)
+    return k
+
+
 def stiffness_nlgeom(table: ElementTable, coords_e, u_e, D_e, stress_e,
                      flag: int, thick: float = 1.0, bbar: bool = False):
     """Tangent stiffness with geometric terms (STF_C3 TOTALLAG/UPDATELAG arms,

@@ -1,7 +1,8 @@
 """SpMV experiment round 2: decompose the matvec cost, cluster-ELL format,
 and fast assembly formulations.  1M-dof tet mesh on TPU.
 
-Run: python scripts/bench_spmv_variants2.py [n]
+Run: python -u scripts/bench_spmv_variants2.py [n] [stages]
+  stages: comma list from {mv, cluster, asm}; default all.
 """
 import os
 import sys
@@ -12,6 +13,12 @@ import numpy as np
 
 def main():
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from frontistr_tpu.meshgen import box_tet4
     from frontistr_tpu.elements.tables import get_table
@@ -20,19 +27,18 @@ def main():
     from frontistr_tpu.assembly import ell
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 69
+    stages = set((sys.argv[2] if len(sys.argv) > 2
+                  else "mv,cluster,asm").split(","))
     cache = f"/tmp/ellprof_tet_{n}.npz"
     mesh = box_tet4(n, n, n)
     conn = mesh.blocks[0].conn
     n_node = mesh.n_node
     E = conn.shape[0]
-    print(f"tet {E} elems, {n_node} nodes, {n_node*3/1e6:.2f}M dof")
+    print(f"tet {E} elems, {n_node} nodes, {n_node*3/1e6:.2f}M dof",
+          flush=True)
     if os.path.exists(cache):
         z = np.load(cache)
         prof = ell.ELLProfile(
-            n_node=n_node, ndof=3, W=int(z["W"]), cols=z["cols"],
-            diag_slot=z["diag"], perm=z["perm"], seg=None,
-            seg_sorted=z["seg"], pair_counts=(E * 16,)) \
-            if False else ell.ELLProfile(
             n_node=n_node, ndof=3, W=int(z["W"]), cols=z["cols"],
             diag_slot=z["diag"], perm=z["perm"], seg_sorted=z["seg"],
             pair_counts=(E * 16,))
@@ -83,8 +89,9 @@ def main():
     cols_j = jnp.asarray(prof.cols)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((n_node, 3)), jnp.float32)
+    y_ref = None
 
-    def loop20(fn, extra=()):
+    def loop20(fn):
         @jax.jit
         def go(a, b, x):
             def body(i, v):
@@ -92,169 +99,144 @@ def main():
             return jax.lax.fori_loop(0, 20, body, x)
         return go
 
-    # ---- m1: gather only ----
-    def m_gather(blocks, cols, x):
-        return x[cols].sum(axis=1)
-    t, _ = timeit(loop20(m_gather), blocks, cols_j, x, reps=1)
-    print(f"m1 gather only          : {t/20*1e3:8.2f} ms")
+    if "mv" in stages:
+        def m_gather(blocks, cols, x):
+            return x[cols].sum(axis=1)
+        t, _ = timeit(loop20(m_gather), blocks, cols_j, x, reps=1)
+        print(f"m1 gather only          : {t/20*1e3:8.2f} ms", flush=True)
 
-    # ---- m2: einsum only on pre-gathered xg ----
-    xg0 = x[cols_j]
+        blocksP = jnp.transpose(blocks, (2, 3, 1, 0))   # (3, 3, W, N)
 
-    @jax.jit
-    def m_einsum(blocks, xg):
-        def body(i, v):
-            y = jnp.einsum("nwij,nwj->ni", blocks, v,
-                           precision=jax.lax.Precision.HIGHEST)
-            return v * 0.99 + y[:, None, :] * 1e-9
-        return jax.lax.fori_loop(0, 20, body, xg)
-    t, _ = timeit(lambda a, b: m_einsum(a, b), blocks, xg0, reps=1)
-    print(f"m2 einsum only (N,W,3,3): {t/20*1e3:8.2f} ms")
-
-    # ---- m3: plane-major einsum only ----
-    blocksP = jnp.transpose(blocks, (2, 3, 1, 0))   # (3, 3, W, N)
-    xgP0 = jnp.transpose(xg0, (2, 1, 0))            # (3, W, N)
-
-    @jax.jit
-    def m_einsumP(blocksP, xgP):
-        def body(i, v):
-            y = jnp.einsum("ijwn,jwn->in", blocksP, v,
-                           precision=jax.lax.Precision.HIGHEST)
-            return v * 0.99 + y[:, None, :] * 1e-9
-        return jax.lax.fori_loop(0, 20, body, xgP)
-    t, _ = timeit(lambda a, b: m_einsumP(a, b), blocksP, xgP0, reps=1)
-    print(f"m3 einsum only planes   : {t/20*1e3:8.2f} ms")
-
-    # ---- m4: full: row-gather + transpose + plane einsum ----
-    def m_full_T(blocksP, cols, x):          # x (N,3)
-        xg = x[cols]                         # (N, W, 3)
-        xgP = jnp.transpose(xg, (2, 1, 0))
-        return jnp.einsum("ijwn,jwn->in", blocksP, xgP,
-                          precision=jax.lax.Precision.HIGHEST).T
-
-    t, _ = timeit(loop20(m_full_T), blocksP, cols_j, x, reps=1)
-    print(f"m4 gather+T+planes      : {t/20*1e3:8.2f} ms")
-
-    # ---- m5: 3 scalar gathers into planes ----
-    colsT = jnp.asarray(prof.cols.T.copy())          # (W, N)
-
-    def m_scalar3(blocksP, colsT, x):        # x (3, N) dof-major
-        xg = jnp.stack([x[j][colsT] for j in range(3)])   # (3, W, N)
-        return jnp.einsum("ijwn,jwn->in", blocksP, xg,
-                          precision=jax.lax.Precision.HIGHEST)
-
-    xT = jnp.transpose(x)
-
-    @jax.jit
-    def go5(blocksP, colsT, xT):
-        def body(i, v):
-            return m_scalar3(blocksP, colsT, v) / 27.0
-        return jax.lax.fori_loop(0, 20, body, xT)
-    t, _ = timeit(lambda a, b, c: go5(a, b, c), blocksP, colsT, xT, reps=1)
-    print(f"m5 3x scalar-gather     : {t/20*1e3:8.2f} ms")
-
-    # ---- m6: cluster-ELL (G-node clusters) ----
-    for G in (8, 16):
-        C = (n_node + G - 1) // G
-        cl_of = np.minimum(np.arange(n_node) // G, C - 1)
-        # cluster col lists
-        pairs = np.stack([np.repeat(cl_of, W),
-                          cl_of[prof.cols.reshape(-1)]], 1)
-        key = pairs[:, 0].astype(np.int64) * C + pairs[:, 1]
-        uk = np.unique(key)
-        ur = (uk // C).astype(np.int64)
-        uc = (uk % C).astype(np.int32)
-        cnt = np.bincount(ur, minlength=C)
-        Wc = int(cnt.max())
-        fill = len(uk) / (C * Wc)
-        ccols = np.repeat(np.arange(C, dtype=np.int32)[:, None], Wc, 1)
-        st = np.zeros(C + 1, np.int64)
-        np.cumsum(cnt, out=st[1:])
-        within = np.arange(len(uk)) - st[ur]
-        ccols[ur, within] = uc
-        print(f"   cluster G={G}: C={C}, Wc={Wc}, slot fill={fill:.2f}, "
-              f"mem={C*Wc*(3*G)**2*4/1e9:.2f} GB")
-        if C * Wc * (3 * G) ** 2 * 4 > 6e9:
-            print("   (skip: too much HBM)")
-            continue
-        # synthetic cluster blocks (timing only)
-        Bc = jnp.asarray(
-            rng.standard_normal((3 * G, 3 * G, Wc, C)).astype(np.float32)
-            / (3 * G))
-        ccols_j = jnp.asarray(ccols)
-        xc = jnp.asarray(rng.standard_normal((C, G * 3)), jnp.float32)
-
-        def m_cluster(Bc, ccols, xc):
-            xg = xc[ccols]                   # (C, Wc, G*3) row gather
+        def m_full_T(blocksP, cols, x):          # x (N,3)
+            xg = x[cols]                         # (N, W, 3)
             xgP = jnp.transpose(xg, (2, 1, 0))
-            return jnp.einsum("abwc,bwc->ac", Bc, xgP,
+            return jnp.einsum("ijwn,jwn->in", blocksP, xgP,
                               precision=jax.lax.Precision.HIGHEST).T
 
+        t, _ = timeit(loop20(m_full_T), blocksP, cols_j, x, reps=1)
+        print(f"m4 gather+T+planes      : {t/20*1e3:8.2f} ms", flush=True)
+
+        colsT = jnp.asarray(prof.cols.T.copy())          # (W, N)
+
+        def m_scalar3(blocksP, colsT, x):        # x (3, N) dof-major
+            xg = jnp.stack([x[j][colsT] for j in range(3)])   # (3, W, N)
+            return jnp.einsum("ijwn,jwn->in", blocksP, xg,
+                              precision=jax.lax.Precision.HIGHEST)
+
+        xT = jnp.transpose(x)
+
         @jax.jit
-        def goc(Bc, ccols, xc):
+        def go5(blocksP, colsT, xT):
             def body(i, v):
-                return m_cluster(Bc, ccols, v) / (3 * G * 27.0)
-            return jax.lax.fori_loop(0, 20, body, xc)
-        t, _ = timeit(lambda a, b, c: goc(a, b, c), Bc, ccols_j, xc,
+                return m_scalar3(blocksP, colsT, v) / 27.0
+            return jax.lax.fori_loop(0, 20, body, xT)
+        t, _ = timeit(lambda a, b, c: go5(a, b, c), blocksP, colsT, xT,
                       reps=1)
-        print(f"m6 cluster-ELL G={G:<3}    : {t/20*1e3:8.2f} ms")
+        print(f"m5 3x scalar-gather     : {t/20*1e3:8.2f} ms", flush=True)
 
-    # ---- assembly: a4 unsorted rows ----
-    S = prof.n_slots
-    slot_raw = np.empty_like(prof.seg_sorted)
-    slot_raw[prof.perm] = prof.seg_sorted
-    slot_raw_j = jnp.asarray(slot_raw)
+    if "cluster" in stages:
+        for G in (8, 16):
+            C = (n_node + G - 1) // G
+            cl_of = np.minimum(np.arange(n_node) // G, C - 1)
+            key = (np.repeat(cl_of, W).astype(np.int64) * C +
+                   cl_of[prof.cols.reshape(-1)])
+            uk = np.unique(key)
+            ur = uk // C
+            uc = (uk % C).astype(np.int32)
+            cnt = np.bincount(ur, minlength=C)
+            Wc = int(cnt.max())
+            mem = C * Wc * (3 * G) ** 2 * 4
+            print(f"   cluster G={G}: C={C}, Wc={Wc}, "
+                  f"fill={len(uk)/(C*Wc):.2f}, mem={mem/1e9:.2f} GB",
+                  flush=True)
+            if mem > 5e9:
+                print("   (skip: too much HBM)", flush=True)
+                continue
+            ccols = np.repeat(np.arange(C, dtype=np.int32)[:, None], Wc,
+                              1)
+            st = np.zeros(C + 1, np.int64)
+            np.cumsum(cnt, out=st[1:])
+            within = np.arange(len(uk)) - st[ur]
+            ccols[ur, within] = uc
+            # synthetic cluster blocks, generated ON DEVICE (timing only)
+            Bc = jax.random.normal(
+                jax.random.PRNGKey(1), (3 * G, 3 * G, Wc, C),
+                jnp.float32) / (3 * G)
+            ccols_j = jnp.asarray(ccols)
+            xc = jnp.asarray(
+                rng.standard_normal((C, G * 3)).astype(np.float32))
 
-    @jax.jit
-    def asm_rows_unsorted(slot_raw, ke):
-        Ee = ke.shape[0]
-        kr = ke.reshape(Ee, 4, 3, 4, 3)
-        ent = jnp.transpose(kr, (1, 3, 0, 2, 4)).reshape(16 * Ee, 9)
-        out = jax.ops.segment_sum(ent, slot_raw, num_segments=S)
-        return out.reshape(n_node, W, 3, 3)
+            def m_cluster(Bc, ccols, xc):
+                xg = xc[ccols]                   # (C, Wc, G*3) row gather
+                xgP = jnp.transpose(xg, (2, 1, 0))
+                return jnp.einsum("abwc,bwc->ac", Bc, xgP,
+                                  precision=jax.lax.Precision.HIGHEST).T
 
-    t, b4 = timeit(asm_rows_unsorted, slot_raw_j, ke)
-    print(f"a4 asm rows unsorted    : {t*1e3:8.1f} ms  "
-          f"err {float(jnp.abs(b4-blocks).max()):.2e}")
+            @jax.jit
+            def goc(Bc, ccols, xc):
+                def body(i, v):
+                    return m_cluster(Bc, ccols, v) / (3 * G * 27.0)
+                return jax.lax.fori_loop(0, 20, body, xc)
+            t, _ = timeit(lambda a, b, c: goc(a, b, c), Bc, ccols_j, xc,
+                          reps=1)
+            print(f"m6 cluster-ELL G={G:<3}    : {t/20*1e3:8.2f} ms",
+                  flush=True)
+            del Bc
 
-    # ---- a5: K-padded slot gather, bucketed ----
-    # position-within-segment for each sorted entry
-    seg = prof.seg_sorted.astype(np.int64)
-    first = np.r_[True, seg[1:] != seg[:-1]]
-    segstart = np.where(first)[0]
-    seg_of = np.cumsum(first) - 1
-    kpos = np.arange(len(seg)) - segstart[seg_of]
-    Kmax = int(kpos.max()) + 1
-    counts = np.bincount(kpos, minlength=Kmax)
-    print(f"   K distribution: Kmax={Kmax}, "
-          f"cov: K<=4 {counts[:4].sum()/len(seg):.2f}, "
-          f"K<=8 {counts[:8].sum()/len(seg):.2f}")
-    # G maps: for k in range(Kmax): Gk[slot] = sorted-entry idx or P (pad)
-    P = len(seg)
-    Gk = np.full((Kmax, S), P, np.int64)
-    uniq_slots = seg[segstart]
-    for k in range(Kmax):
-        sel = kpos == k
-        Gk[k, seg[sel]] = np.where(sel)[0]
-    Gk_j = jnp.asarray(Gk.astype(np.int32))
-    perm_j2 = jnp.asarray(prof.perm)
+    if "asm" in stages:
+        S = prof.n_slots
+        slot_raw = np.empty_like(prof.seg_sorted)
+        slot_raw[prof.perm] = prof.seg_sorted
+        slot_raw_j = jnp.asarray(slot_raw)
 
-    @jax.jit
-    def asm_kpad(Gk, perm, ke):
-        Ee = ke.shape[0]
-        kr = ke.reshape(Ee, 4, 3, 4, 3)
-        ent = jnp.transpose(kr, (1, 3, 0, 2, 4)).reshape(16 * Ee, 9)
-        ent_s = ent[perm]
-        ent_pad = jnp.concatenate([ent_s, jnp.zeros((1, 9), ent.dtype)])
-        out = jnp.zeros((S, 9), ent.dtype)
-        for k in range(Gk.shape[0]):
-            out = out + ent_pad[Gk[k]]
-        return out.reshape(n_node, W, 3, 3)
+        @jax.jit
+        def asm_rows_unsorted(slot_raw, ke):
+            Ee = ke.shape[0]
+            kr = ke.reshape(Ee, 4, 3, 4, 3)
+            ent = jnp.transpose(kr, (1, 3, 0, 2, 4)).reshape(16 * Ee, 9)
+            out = jax.ops.segment_sum(ent, slot_raw, num_segments=S)
+            return out.reshape(n_node, W, 3, 3)
 
-    if Kmax <= 40:
-        t, b5 = timeit(asm_kpad, Gk_j, perm_j2, ke)
-        print(f"a5 asm K-padded gather  : {t*1e3:8.1f} ms  "
-              f"err {float(jnp.abs(b5-blocks).max()):.2e}")
+        t, b4 = timeit(asm_rows_unsorted, slot_raw_j, ke)
+        print(f"a4 asm rows unsorted    : {t*1e3:8.1f} ms  "
+              f"err {float(jnp.abs(b4-blocks).max()):.2e}", flush=True)
+
+        # a5: K-padded slot gather
+        seg = prof.seg_sorted.astype(np.int64)
+        first = np.r_[True, seg[1:] != seg[:-1]]
+        segstart_idx = np.where(first)[0]
+        seg_of = np.cumsum(first) - 1
+        kpos = np.arange(len(seg)) - segstart_idx[seg_of]
+        Kmax = int(kpos.max()) + 1
+        cnts = np.bincount(kpos, minlength=Kmax)
+        print(f"   Kmax={Kmax}, cov K<=4: {cnts[:4].sum()/len(seg):.2f}, "
+              f"K<=8: {cnts[:8].sum()/len(seg):.2f}", flush=True)
+        P = len(seg)
+        order = np.argsort(kpos * np.int64(S) + seg, kind="stable")
+        # Gk[k, slot] = sorted-entry index with that (k, slot), else P
+        Gk = np.full((Kmax, S), P, np.int64)
+        Gk[kpos[order], seg[order]] = order
+        Gk_j = jnp.asarray(Gk.astype(np.int32))
+        perm_j2 = jnp.asarray(prof.perm)
+
+        @jax.jit
+        def asm_kpad(Gk, perm, ke):
+            Ee = ke.shape[0]
+            kr = ke.reshape(Ee, 4, 3, 4, 3)
+            ent = jnp.transpose(kr, (1, 3, 0, 2, 4)).reshape(16 * Ee, 9)
+            ent_s = ent[perm]
+            ent_pad = jnp.concatenate(
+                [ent_s, jnp.zeros((1, 9), ent.dtype)])
+            out = jnp.zeros((S, 9), ent.dtype)
+            for k in range(Gk.shape[0]):
+                out = out + ent_pad[Gk[k]]
+            return out.reshape(n_node, W, 3, 3)
+
+        if Kmax <= 40:
+            t, b5 = timeit(asm_kpad, Gk_j, perm_j2, ke)
+            print(f"a5 asm K-padded gather  : {t*1e3:8.1f} ms  "
+                  f"err {float(jnp.abs(b5-blocks).max()):.2e}",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -133,11 +133,46 @@ def main():
     print(f"femop matvec: {t_fem*1e3:8.2f} ms   (ELL speedup "
           f"{t_fem/t_ell:.1f}x)")
 
+    # --- cluster-ELL (the production unstructured hot path) ---
+    from frontistr_tpu.assembly import bell
+    t0 = time.perf_counter()
+    cprof = bell.build_cluster_profile([conn], n_node, ndof, scalar=prof)
+    print(f"cluster profile (host): {time.perf_counter()-t0:.2f} s, "
+          f"Wc={cprof.Wc}")
+    cprof_d = cprof.device()
+    cb, raw = bell._assemble_jit(cprof_d, (ke,), (nn,))
+    sync(cb)
+    t0 = time.perf_counter()
+    cb, raw = bell._assemble_jit(cprof_d, (ke,), (nn,))
+    sync(cb)
+    t_casm = time.perf_counter() - t0
+    print(f"cluster assembly (device): {t_casm*1e3:.1f} ms")
+    diag = bell._diag_jit(cprof_d, raw)
+    cop = bell.ClusterOperator(blocks=cb, ccols=cprof_d.ccols, diag=diag,
+                               n_node=n_node, ndof=ndof, G=cprof.G,
+                               free_mask=free_j)
+
+    @jax.jit
+    def mv20_cl(op, x):
+        def body(i, v):
+            return op.matvec(v) / (1e3 * 27.0)
+        return jax.lax.fori_loop(0, 20, body, x)
+
+    xf = x.reshape(-1)
+    sync(mv20_cl(cop, xf))
+    t0 = time.perf_counter()
+    sync(mv20_cl(cop, xf))
+    t_cl = (time.perf_counter() - t0) / 20
+    print(f"cluster matvec: {t_cl*1e3:6.2f} ms   "
+          f"({t_fem/t_cl:.1f}x femop, {t_ell/t_cl:.1f}x ELL)")
+
     # sanity: same result
     y1 = np.asarray(eop.matvec(x))
     y2 = np.asarray(fop.matvec(x))
+    y3 = np.asarray(cop.matvec(xf))
     err = np.abs(y1 - y2).max() / max(np.abs(y2).max(), 1e-30)
-    print(f"ELL vs femop rel err: {err:.2e}")
+    errc = np.abs(y3 - y2).max() / max(np.abs(y2).max(), 1e-30)
+    print(f"ELL vs femop rel err: {err:.2e}; cluster: {errc:.2e}")
 
 
 if __name__ == "__main__":
