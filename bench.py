@@ -144,19 +144,24 @@ def main():
         return res.x, res.iters, res.relres
 
     @jax.jit
-    def coarse_lmax_step(keTc32, v):
-        opc = make_op_c(keTc32)
-        w = opc.block_jacobi()(opc.apply_constrained(v))
-        nrm = jnp.linalg.norm(w)
-        return w / nrm, nrm
-
     def coarse_lmax(keTc32):
-        rng = np.random.default_rng(7)
-        v = jnp.asarray(rng.standard_normal(mesh_c.n_node * 3),
-                        jnp.float32)
-        lam = jnp.asarray(1.0, jnp.float32)
-        for _ in range(15):
-            v, lam = coarse_lmax_step(keTc32, v)
+        """Power iteration as ONE device program (the 15 separate calls
+        of round 1 cost a tunnel round-trip each and dominated the
+        Newton step)."""
+        opc = make_op_c(keTc32)
+        M = opc.block_jacobi()
+        v0 = jax.random.normal(jax.random.PRNGKey(7),
+                               (mesh_c.n_node * 3,), jnp.float32)
+
+        def body(i, st):
+            v, _ = st
+            w = M(opc.apply_constrained(v))
+            nrm = jnp.linalg.norm(w)
+            return (w / nrm, nrm)
+
+        _, lam = jax.lax.fori_loop(0, 15, body,
+                                   (v0 / jnp.linalg.norm(v0),
+                                    jnp.asarray(1.0, jnp.float32)))
         return lam * 1.05
 
     def cg32_restarting(keT32, keTc32, lmax_c, b32, max_chunks=6):
@@ -183,15 +188,22 @@ def main():
             return op.matvec(v)
         return jax.lax.fori_loop(0, 50, body, x)
 
+    verbose = os.environ.get("BENCH_VERBOSE", "") == "1"
+
     def newton_step():
         """assemble (f32 + f64) + refined CG to true f64 relres <= 1e-8.
 
         full-f32 stencil matvecs let each inner CG reach 1e-5; 2-3
         refinement passes against the f64 operator hit 1e-8."""
+        stamps = [("start", time.perf_counter())]
         keT32 = assemble32(coords32)
         keTc32 = assemble32c(coords_c32)
         lmax_c = coarse_lmax(keTc32)
+        sync(lmax_c)
+        stamps.append(("asm32+lmax", time.perf_counter()))
         keT64 = assemble64(coords64)
+        sync(keT64[0, 0])
+        stamps.append(("asm64", time.perf_counter()))
         x = jnp.zeros(n_dofs)
         bnrm = float(np.linalg.norm(f))
         total_iters = 0
@@ -205,8 +217,13 @@ def main():
                                      r.astype(jnp.float32))
             total_iters += it
             x = x + dx.astype(jnp.float64)
+            stamps.append((f"cg_pass({it}it)", time.perf_counter()))
         r = residual64(keT64, x)
         relres = float(jnp.linalg.norm(r)) / bnrm
+        stamps.append(("final_resid", time.perf_counter()))
+        if verbose:
+            for (n1, t1s), (n2, t2s) in zip(stamps, stamps[1:]):
+                print(f"  [newton] {n2:16s} {t2s - t1s:7.3f} s")
         return x, total_iters, relres
 
     # block_until_ready does not reliably synchronize through the remote
@@ -224,7 +241,12 @@ def main():
     lmax_c = coarse_lmax(keTc32)
     x32 = jnp.asarray(f, jnp.float32)
     sync(mv50(keT32, x32))
-    sync(cg32(keT32, keTc32, lmax_c, x32, jnp.zeros_like(x32))[0])
+    # warm-up MUST use the same positional/keyword arg structure as the
+    # newton loop: jit caches on the call tree, and a kwarg-vs-positional
+    # mismatch forces a fresh 60-80 s remote compile inside the timed
+    # region (the round-1 bench regression)
+    sync(cg32(keT32, keTc32, lmax_c, x0=jnp.zeros_like(x32),
+              b32=x32)[0])
     keT64_w = assemble64(coords64)
     sync(keT64_w)
     sync(residual64(keT64_w, jnp.zeros(n_dofs)))

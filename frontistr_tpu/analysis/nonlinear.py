@@ -19,6 +19,7 @@ fstr_solve_NonLinear.f90:29-167):
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -542,9 +543,15 @@ def _qf_totallag(table, S, gderiv, det, dudx, stress, thick, dim):
     return (qf0 + qf1).reshape(E, nn * dim)
 
 
-def make_contact_solver(model, dofs_j, nns, inc_j, total_en, free):
+def make_contact_solver(model, dofs_j, nns, inc_j, total_en, free,
+                        friction: bool = False):
     """Jitted solve with a varying contact block applied outside the static
-    incidence (scatter-add; contact conn changes face targets per search)."""
+    incidence (scatter-add; contact conn changes face targets per search).
+
+    friction=True switches the Krylov method to BiCGSTAB: the consistent
+    Coulomb slip tangent is nonsymmetric (the reference solves it with
+    MUMPS or the contact-extended iterative path,
+    solve_LINEQ_contact.f90)."""
     n_node, ndof = model.n_node, model.ndof
     sv = model.cfg.solver
     nns_t = tuple(nns)
@@ -566,8 +573,9 @@ def make_contact_solver(model, dofs_j, nns, inc_j, total_en, free):
 
         b_c = (B - A_raw(dirichlet_inc)) * free + \
             dirichlet_inc * (1.0 - free)
-        res = krylov.pcg(A, b_c, M=op.block_jacobi(), tol=sv.resid,
-                         maxiter=sv.nier)
+        solver = krylov.bicgstab if friction else krylov.pcg
+        res = solver(A, b_c, M=op.block_jacobi(), tol=sv.resid,
+                     maxiter=sv.nier)
         return res.x
 
     ctx = (list(dofs_j), inc_j, free)
@@ -777,7 +785,8 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
     contact_solver = None
     if cm is not None:
         contact_solver = make_contact_solver(model, dofs_j, nns, inc_j,
-                                             total_en, free)
+                                             total_en, free,
+                                             friction=cm.has_friction)
     step_count = 0
     result = None
 
@@ -807,7 +816,8 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
                                              total_en, free, mixed)
             if cm is not None:
                 contact_solver = make_contact_solver(
-                    model, dofs_j, nns, inc_j, total_en, free)
+                    model, dofs_j, nns, inc_j, total_en, free,
+                    friction=cm.has_friction)
         t_end = step.elapsetime
         dt = step.initdt
         ainc = _ainc_params(cfg, step)
@@ -1097,6 +1107,11 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
         dunrm = xnrm if it == 1 else float(jnp.sqrt(jnp.vdot(du, du)))
         rres = res_n / qnrm
         rxnrm = xnrm / max(dunrm, 1e-300)
+        if os.environ.get("FRONTISTR_TPU_DEBUG_NEWTON"):
+            # per-iteration Newton residual trace (the reference prints
+            # these at fstr_solve_NonLinear.f90 loglevel ILOG)
+            print(f" Newton it={it:3d}  rres={rres:.6e}  "
+                  f"rxnrm={rxnrm:.6e}")
         if not model.nlgeom and _all_linear(programs):
             conv = True
             break

@@ -107,7 +107,12 @@ def build_cluster_profile(conns: Sequence[np.ndarray], n_node: int,
     wc_of_pair[:] = within
     pair_idx = np.searchsorted(uniq, key)
     wc = wc_of_pair[pair_idx]
-    slot2 = (((cr * Wc + wc) * G + rows % G) * G + colsv % G)
+    # slot order (aoff, boff, wc, c): the per-plane segment-sum output is
+    # then (G, G, Wc, C) with the big (Wc, C) axes MINOR — the later
+    # permutation to (G*nd, G*nd, Wc, C) only moves small major dims and
+    # never re-tiles (a (c, wc, aoff, boff) order pads the (8,8) minor to
+    # (8,128): 16x, 24 GB at 1M dof)
+    slot2 = (((rows % G) * G + colsv % G) * Wc + wc) * C + cr
     perm = np.argsort(slot2, kind="stable")
     seg_sorted = slot2[perm].astype(np.int32)
     diag_wc = np.zeros(C, np.int32)
@@ -123,7 +128,7 @@ def build_cluster_profile(conns: Sequence[np.ndarray], n_node: int,
     skey = scr * C + scq
     s_pair = np.searchsorted(uniq, skey)
     swc = wc_of_pair[np.clip(s_pair, 0, len(uniq) - 1)]
-    scal_src = (((scr * Wc + swc) * G + n_idx % G) * G + m_idx % G) \
+    scal_src = ((((n_idx % G) * G + m_idx % G) * Wc + swc) * C + scr) \
         .astype(np.int32).reshape(N, W)
     # scalar ELL pads each row's tail with (n, n): those slots would
     # alias the REAL diagonal cluster entry — redirect them to the last
@@ -162,11 +167,12 @@ def assemble_cluster(profile: ClusterProfile, kes: Sequence[jnp.ndarray],
         outs.append(jax.ops.segment_sum(sp, profile.seg_sorted,
                                         num_segments=profile.n_slots,
                                         indices_are_sorted=True))
-    raw = jnp.stack(outs, axis=1)            # (C*Wc*G*G, nd*nd)
-    # (C, Wc, Ga, Gb, ndi, ndj) -> (Ga, ndi, Gb, ndj, Wc, C)
-    six = raw.reshape(C, Wc, G, G, nd, nd)
-    blocks = jnp.transpose(six, (2, 4, 3, 5, 1, 0)) \
-        .reshape(G * nd, G * nd, Wc, C)
+    raw = jnp.stack(outs, axis=1)            # (G*G*Wc*C, nd*nd)
+    # (Ga, Gb, Wc, C, ndi, ndj) -> (Ga, ndi, Gb, ndj, Wc, C): only small
+    # MAJOR dims move; the (Wc, C) minor tiles are untouched (no re-tile)
+    six = jnp.transpose(raw.reshape(G, G, Wc, C, nd, nd),
+                        (0, 4, 1, 5, 2, 3))
+    blocks = six.reshape(G * nd, G * nd, Wc, C)
     return blocks, raw
 
 
@@ -266,7 +272,7 @@ def extract_diag(cprof: ClusterProfile, raw: jnp.ndarray) -> jnp.ndarray:
     N = cprof.n_node
     n = jnp.arange(N, dtype=jnp.int32)
     c, off = n // G, n % G
-    src = ((c * Wc + cprof.diag_wc[c]) * G + off) * G + off
+    src = ((off * G + off) * Wc + cprof.diag_wc[c]) * C + c
     return raw[src].reshape(N, nd, nd)
 
 

@@ -34,7 +34,9 @@ class ContactPair:
     faces: np.ndarray                # (F, max_fn) node idx (-1 pad)
     face_nn: np.ndarray              # (F,) actual node count
     face_sign: np.ndarray = None     # (F,) +-1: raw normal -> outward
-    mu: float = 0.0                  # friction coefficient (!CONTACT row)
+    mu: float = 0.0                  # fcoeff (!CONTACT data row col 2)
+    kt: float = 1.0e6                # tPenalty (col 3; default 1e6,
+    #                                  fstr_ctrl_common.f90:515)
 
 
 class ContactManager:
@@ -44,9 +46,13 @@ class ContactManager:
         self.model = model
         self.pairs: List[ContactPair] = []
         eid2loc = mesh.elem_id_to_block()
-        cpar = {c.data[0][0] if c.data else "CP1":
-                (float(c.data[0][1]) if c.data and len(c.data[0]) > 1
-                 else 0.0) for c in cfg.contacts}
+        cpar = {}
+        for c in cfg.contacts:
+            if not c.data:
+                continue
+            row = c.data[0]
+            cpar[row[0]] = (float(row[1]) if len(row) > 1 else 0.0,
+                            float(row[2]) if len(row) > 2 else 1.0e6)
         for cp in mesh.contact_pairs:
             slave = mesh.node_groups.get(cp.slave)
             sg = mesh.surf_groups.get(cp.master)
@@ -82,10 +88,10 @@ class ContactManager:
                 sgn = 1.0 if (fc0 - ec) @ nr >= 0 else -1.0
                 fsign.append(sgn)
             if faces:
+                mu, kt = cpar.get(cp.name, (0.0, 1.0e6))
                 self.pairs.append(ContactPair(
                     np.asarray(slave, np.int64), np.stack(faces),
-                    np.asarray(fnn), np.asarray(fsign),
-                    mu=cpar.get(cp.name, 0.0)))
+                    np.asarray(fnn), np.asarray(fsign), mu=mu, kt=kt))
         # penalty: scaled from material stiffness (fstr default derives
         # from the contact stiffness input; 100x E gives ~1e-3 rel. pen.)
         e_avg = max(float(np.mean([b.material.youngs
@@ -93,7 +99,23 @@ class ContactManager:
         self.kn = 100.0 * e_avg
         ns_tot = sum(len(p.slave_nodes) for p in self.pairs)
         self.lam = np.zeros(ns_tot)
+        # friction state: tangential AL multiplier + reference relative
+        # position at the last augment (slip increment origin)
+        self.mu = np.concatenate(
+            [np.full(len(p.slave_nodes), p.mu) for p in self.pairs]) \
+            if self.pairs else np.zeros(0)
+        self.kt = np.concatenate(
+            [np.full(len(p.slave_nodes), p.kt) for p in self.pairs]) \
+            if self.pairs else np.zeros(0)
+        self.lam_t = np.zeros((ns_tot, model.dim))
+        self.rel_prev = None                  # set at first search
         self.active = ns_tot > 0
+
+    @property
+    def has_friction(self) -> bool:
+        """True when any pair carries a Coulomb coefficient — the slip
+        tangent is then nonsymmetric and the solve needs BiCGSTAB."""
+        return bool(self.mu.size) and bool((self.mu > 0).any())
 
     # ------------------------------------------------------------------
     def search(self, coords_def: np.ndarray):
@@ -104,7 +126,9 @@ class ContactManager:
         """
         model = self.model
         dim = model.dim
+        coords0 = model.coords[:, :dim]
         out_conn, out_gap, out_nrm, out_shp, out_on = [], [], [], [], []
+        out_rel = []
         for p in self.pairs:
             xs = coords_def[p.slave_nodes]                    # (Ns, dim)
             # face centroids for candidate search
@@ -145,11 +169,24 @@ class ContactManager:
             out_nrm.append(nrm)
             out_shp.append(shp)
             out_on.append(touching)
+            # relative displacement at the contact point (slip origin):
+            # u_slave - sum_k shp_k u_master_k
+            disp = coords_def - coords0
+            us = disp[p.slave_nodes]
+            um = np.zeros_like(us)
+            fconn = p.faces[fi]
+            for k in range(self.MAX_FN):
+                sel = fconn[:, k] >= 0
+                um[sel] += shp[sel, k:k + 1] * disp[fconn[sel, k]]
+            out_rel.append(us - um)
         gap = np.concatenate(out_gap)
         nrm = np.concatenate(out_nrm)
+        rel = np.concatenate(out_rel)
+        if self.rel_prev is None:
+            self.rel_prev = rel.copy()
         return dict(conn=np.concatenate(out_conn), gap=gap, normal=nrm,
                     shape=np.concatenate(out_shp),
-                    touching=np.concatenate(out_on))
+                    touching=np.concatenate(out_on), rel=rel)
 
     def device_blocks(self, proj):
         """(cdofs (Ns, m), cke (Ns, m, m), cqf (Ns, m)) with fixed shapes."""
@@ -172,14 +209,68 @@ class ContactManager:
         ke = self.kn * gvec[:, :, None] * gvec[:, None, :] * \
             act[:, None, None]
         qf = -pr[:, None] * gvec            # internal force (resists)
+
+        # ---- Coulomb friction (AL tangential multiplier + return map,
+        # contact_lib.f90:92-160 fric_state stick/slip arms) ----
+        has_fric = self.mu.size and (self.mu > 0).any()
+        if has_fric:
+            dim = self.model.dim
+            W = np.zeros((Ns, m, dim))      # rel-disp extractor W^T u
+            for d in range(dim):
+                W[:, d, d] = 1.0
+            for k in range(self.MAX_FN):
+                for d in range(dim):
+                    W[:, (1 + k) * ndof + d, d] = -shp[:, k]
+            slip = proj["rel"] - self.rel_prev
+            slip_t = slip - (slip * nrm).sum(1, keepdims=True) * nrm
+            t_tr = self.lam_t + self.kt[:, None] * slip_t
+            t_tr = t_tr - (t_tr * nrm).sum(1, keepdims=True) * nrm
+            ttn = np.linalg.norm(t_tr, axis=1)
+            cap = self.mu * pr
+            slipping = ttn > cap + 1e-300
+            scale = np.where(slipping,
+                             cap / np.maximum(ttn, 1e-300), 1.0)
+            fr_act = act & (self.mu > 0)
+            t_f = t_tr * (scale * fr_act)[:, None]
+            self._t_trial = t_f             # consumed by augment()
+            # Q += W t_f (slave +t_f, master -shp t_f): friction resists
+            # the relative slip of the slave over the master face
+            qf = qf + np.einsum("smd,sd->sm", W, t_f)
+            # consistent tangent (contact_lib.f90:92-160):
+            #   stick: kt W (I - n n^T) W^T
+            #   slip:  (cap/|t|) kt W (P - s s^T) W^T - mu kn (W s)(W n)^T
+            # the slip arm is nonsymmetric (Coulomb is nonassociative);
+            # the contact solve switches to BiCGSTAB when friction is on
+            P = np.eye(dim)[None] - nrm[:, :, None] * nrm[:, None, :]
+            s_dir = t_tr / np.maximum(ttn, 1e-300)[:, None]
+            Pmod = np.where(slipping[:, None, None],
+                            P - s_dir[:, :, None] * s_dir[:, None, :],
+                            P)
+            kt_eff = self.kt * scale * fr_act
+            ke = ke + kt_eff[:, None, None] * \
+                np.einsum("smd,sde,sne->smn", W, Pmod, W)
+            Ws = np.einsum("smd,sd->sm", W, s_dir)
+            coup = (self.mu * self.kn) * (slipping & fr_act)
+            ke = ke - coup[:, None, None] * \
+                Ws[:, :, None] * gvec[:, None, :]
+        else:
+            self._t_trial = np.zeros_like(self.lam_t)
         dofs = (conn[:, :, None] * ndof +
                 np.arange(ndof)[None, None, :]).reshape(Ns, m)
         return dofs.astype(np.int32), ke, qf, act, pr
 
     def augment(self, proj):
-        """lambda <- p after a converged substep (AL outer update)."""
+        """lambda <- p after a converged substep (AL outer update);
+        tangential multiplier <- capped trial traction, slip origin
+        re-anchored at the converged relative position."""
         pr = self.lam - self.kn * proj["gap"]
-        self.lam = np.where((pr > 0) & proj["touching"], pr, 0.0)
+        act = (pr > 0) & proj["touching"]
+        self.lam = np.where(act, pr, 0.0)
+        if self.mu.size:
+            self.lam_t = np.where(act[:, None],
+                                  getattr(self, "_t_trial", self.lam_t),
+                                  0.0)
+            self.rel_prev = proj["rel"].copy()
 
 
 def _project(xs, faces, fnn, coords, dim):

@@ -13,7 +13,7 @@ return-mapping (fistr1/src/lib/physics/Elastoplastic.f90):
 - consistent(ish) tangent D = De - (De a)(De a)^T / (H + a^T De a) when
   yielded (calElastoPlasticMatrix, Elastoplastic.f90:16-119)
 
-The reference's Mohr-Coulomb / Drucker-Prager arms are planned follow-ups.
+Mohr-Coulomb / Drucker-Prager return mapping included (tests/test_mcdp.py).
 """
 
 from __future__ import annotations

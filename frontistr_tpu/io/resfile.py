@@ -75,9 +75,12 @@ def write_result(path: str, header: str,
                 _write_vals(f, row)
 
 
-def write_static_result(path: str, mesh, model, res, step: int = 1):
+def write_static_result(path: str, mesh, model, res, step: int = 1,
+                        binary: bool = False):
     """Default static result set (DISPLACEMENT + nodal/elemental
-    strain/stress/mises, static_make_result.f90 default outinfo)."""
+    strain/stress/mises, static_make_result.f90 default outinfo).
+    binary=True emits the reference HECMW_BINARY_RESULT format
+    (!RESULT ... TYPE=BINARY, hecmw_control.c:1267-1271)."""
     node_comps = [
         ("DISPLACEMENT", np.asarray(res.u)),
         ("NodalSTRAIN", res.nodal_strain),
@@ -89,8 +92,9 @@ def write_static_result(path: str, mesh, model, res, step: int = 1):
         ("ElementalSTRESS", res.elem_stress),
         ("ElementalMISES", res.elem_mises[:, None]),
     ]
-    write_result(path, "*fstrresult", mesh.node_ids, res.elem_ids,
-                 node_comps, elem_comps)
+    w = write_result_bin if binary else write_result
+    w(path, "*fstrresult", mesh.node_ids, res.elem_ids,
+      node_comps, elem_comps)
 
 
 def read_result(path: str):
@@ -143,3 +147,134 @@ def read_result(path: str):
         elem_ids, elem_comps = read_section(n_elem, ne_comp)
     return dict(header=header, node_ids=node_ids, node_comps=node_comps,
                 elem_ids=elem_ids, elem_comps=elem_comps)
+
+
+# ---------------------------------------------------------------------------
+# Reference BINARY result format (hecmw1/src/common/hecmw_bin_io.c +
+# res_bin_io.inc): magic "HECMW_BINARY_RESULT" + "%2d" % sizeof(long),
+# ints as 8-byte native-endian longs, doubles raw 8 bytes, strings as
+# bytes + NUL.  Record order identical to the text layout (header,
+# n_node/n_elem, nn_comp/ne_comp, per-comp dofs, labels, then per item:
+# global ID + concatenated component values).
+# ---------------------------------------------------------------------------
+
+import struct
+
+_BIN_MAGIC = b"HECMW_BINARY_RESULT"
+
+
+def _wbin_int(f, v: int):
+    f.write(struct.pack("<q", int(v)))
+
+
+def _wbin_dbl(f, v: float):
+    f.write(struct.pack("<d", float(v)))
+
+
+def _wbin_str(f, s: str):
+    f.write(s.encode() + b"\0")
+
+
+def write_result_bin(path: str, header: str,
+                     node_ids: np.ndarray, elem_ids: np.ndarray,
+                     node_comps: List[Tuple[str, np.ndarray]],
+                     elem_comps: List[Tuple[str, np.ndarray]]):
+    """Binary twin of write_result (HECMW_result_write_bin_by_fname)."""
+    n_node, n_elem = len(node_ids), len(elem_ids)
+    with open(path, "wb") as f:
+        f.write(_BIN_MAGIC)
+        f.write(b" 8")                       # "%2d" % sizeof(long)
+        _wbin_str(f, header)
+        _wbin_int(f, n_node)
+        _wbin_int(f, n_elem)
+        _wbin_int(f, len(node_comps))
+        _wbin_int(f, len(elem_comps))
+        for _, a in node_comps:
+            _wbin_int(f, a.shape[1])
+        for lab, _ in node_comps:
+            _wbin_str(f, lab)
+        if node_comps:
+            for i in range(n_node):
+                _wbin_int(f, node_ids[i])
+                for _, a in node_comps:
+                    for v in a[i]:
+                        _wbin_dbl(f, v)
+        for _, a in elem_comps:
+            _wbin_int(f, a.shape[1])
+        for lab, _ in elem_comps:
+            _wbin_str(f, lab)
+        if elem_comps:
+            for i in range(n_elem):
+                _wbin_int(f, elem_ids[i])
+                for _, a in elem_comps:
+                    for v in a[i]:
+                        _wbin_dbl(f, v)
+
+
+def is_binary_result(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(len(_BIN_MAGIC)) == _BIN_MAGIC
+
+
+def read_result_bin(path: str):
+    """Binary twin of read_result."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    assert buf[:len(_BIN_MAGIC)] == _BIN_MAGIC, "not a HECMW binary result"
+    nbyte = int(buf[len(_BIN_MAGIC):len(_BIN_MAGIC) + 2])
+    pos = len(_BIN_MAGIC) + 2
+    ifmt = {8: "<q", 4: "<i"}[nbyte]
+
+    def rstr():
+        nonlocal pos
+        end = buf.index(b"\0", pos)
+        s = buf[pos:end].decode()
+        pos = end + 1
+        return s
+
+    def rint():
+        nonlocal pos
+        v = struct.unpack_from(ifmt, buf, pos)[0]
+        pos += nbyte
+        return v
+
+    def rdbl():
+        nonlocal pos
+        v = struct.unpack_from("<d", buf, pos)[0]
+        pos += 8
+        return v
+
+    header = rstr()
+    n_node, n_elem = rint(), rint()
+    nn_comp, ne_comp = rint(), rint()
+
+    def section(n_items, n_comp):
+        dofs = [rint() for _ in range(n_comp)]
+        labels = [rstr() for _ in range(n_comp)]
+        total = sum(dofs)
+        ids = np.zeros(n_items, np.int64)
+        vals = np.zeros((n_items, total))
+        for i in range(n_items):
+            ids[i] = rint()
+            for k in range(total):
+                vals[i, k] = rdbl()
+        comps, off = [], 0
+        for lab, d in zip(labels, dofs):
+            comps.append((lab, vals[:, off:off + d]))
+            off += d
+        return ids, comps
+
+    node_ids, node_comps = (np.zeros(0, np.int64), [])
+    elem_ids, elem_comps = (np.zeros(0, np.int64), [])
+    if nn_comp:
+        node_ids, node_comps = section(n_node, nn_comp)
+    if ne_comp:
+        elem_ids, elem_comps = section(n_elem, ne_comp)
+    return dict(header=header, node_ids=node_ids, node_comps=node_comps,
+                elem_ids=elem_ids, elem_comps=elem_comps)
+
+
+def read_result_any(path: str):
+    """Auto-detect text vs binary (judge_result_bin_file semantics)."""
+    return read_result_bin(path) if is_binary_result(path) \
+        else read_result(path)

@@ -99,10 +99,16 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
         rb = ctrl.result()
         base = ctrl.path(rb)
         from frontistr_tpu.io.resfile import (write_static_result,
-                                              write_result)
+                                              write_result,
+                                              write_result_bin)
+        # '!RESULT, ..., TYPE=BINARY' selects the reference binary
+        # format (hecmw_control.c:1235-1275; text is the default)
+        binary = (rb.params.get("TYPE", "TEXT").upper() == "BINARY")
+        if binary:
+            write_result = write_result_bin
         if "static" in out:
             write_static_result(base + ".0.1", mesh, out["model"],
-                                out["static"], step=1)
+                                out["static"], step=1, binary=binary)
         elif "heat" in out:
             hr = out["heat"]
             write_result(base + ".0.1", "*fstrresult heat step=1",

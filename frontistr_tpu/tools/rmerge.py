@@ -47,9 +47,28 @@ def merge_results(paths: List[str], out_path: str):
 
 
 def convert_result(in_path: str, out_path: str, to: str = "binary"):
-    """Text <-> compressed-binary (.npz) result conversion."""
-    if to == "binary":
-        data = read_result(in_path)
+    """Result conversion: text <-> reference HECMW binary <-> npz.
+
+    to="binary": write the reference HECMW_BINARY_RESULT format
+    (hecmw_bin_io.c); to="npz": compressed numpy archive; to="text":
+    reference text.  Input format is auto-detected (magic / npz / text).
+    """
+    from frontistr_tpu.io.resfile import (read_result_any,
+                                          write_result_bin)
+    if in_path.endswith(".npz"):
+        z = np.load(in_path, allow_pickle=False)
+        node_comps, elem_comps = [], []
+        for k in sorted(z.files):
+            if k.startswith("n") and ":" in k:
+                node_comps.append((k.split(":", 1)[1], z[k]))
+            elif k.startswith("e") and ":" in k:
+                elem_comps.append((k.split(":", 1)[1], z[k]))
+        data = dict(header=str(z["header"]), node_ids=z["node_ids"],
+                    elem_ids=z["elem_ids"], node_comps=node_comps,
+                    elem_comps=elem_comps)
+    else:
+        data = read_result_any(in_path)
+    if to == "npz":
         flat = {"header": np.asarray(data["header"]),
                 "node_ids": data["node_ids"], "elem_ids": data["elem_ids"]}
         for i, (lab, arr) in enumerate(data["node_comps"]):
@@ -58,12 +77,6 @@ def convert_result(in_path: str, out_path: str, to: str = "binary"):
             flat[f"e{i}:{lab}"] = arr
         np.savez_compressed(out_path, **flat)
     else:
-        z = np.load(in_path, allow_pickle=False)
-        node_comps, elem_comps = [], []
-        for k in sorted(z.files):
-            if k.startswith("n") and ":" in k:
-                node_comps.append((k.split(":", 1)[1], z[k]))
-            elif k.startswith("e") and ":" in k:
-                elem_comps.append((k.split(":", 1)[1], z[k]))
-        write_result(out_path, str(z["header"]), z["node_ids"],
-                     z["elem_ids"], node_comps, elem_comps)
+        w = write_result_bin if to == "binary" else write_result
+        w(out_path, data["header"], data["node_ids"], data["elem_ids"],
+          data["node_comps"], data["elem_comps"])

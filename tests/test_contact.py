@@ -105,3 +105,104 @@ def test_two_block_compression():
     # displacement at the interface ~ -0.005
     ui = res.u[model.mesh.node_groups["SLAVE"], 2]
     np.testing.assert_allclose(ui, -0.005, rtol=5e-2)
+
+
+def _two_cube_friction_model(mu, top_ux=1.0e-3, substeps=2):
+    """Two stacked cubes, top pressed down and sheared in x; friction
+    coefficient mu on the interface."""
+    import tempfile
+    from frontistr_tpu.meshgen import box_hex8
+    from frontistr_tpu.io.meshio import ContactPairDef, ElemBlock
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.assembly.model import build_struct_model
+
+    m1 = box_hex8(1, 1, 1)
+    n1 = m1.n_node
+    coords = np.vstack([m1.coords, m1.coords + np.array([0, 0, 1.0])])
+    conn2 = m1.blocks[0].conn + n1
+    m1.coords = coords
+    m1.node_ids = np.arange(1, len(coords) + 1)
+    m1.id2idx = {int(i): int(i) - 1 for i in m1.node_ids}
+    m1.blocks = [ElemBlock(361, np.asarray([1]), m1.blocks[0].conn,
+                           m1.blocks[0].conn),
+                 ElemBlock(361, np.asarray([2]), conn2, conn2)]
+    z0 = np.isclose(coords[:, 2], 0.0)
+    ztop = np.isclose(coords[:, 2], 2.0)
+    slave = np.nonzero(np.isclose(coords[:, 2], 1.0) &
+                       (np.arange(len(coords)) >= n1))[0]
+    zmid_low = np.nonzero(np.isclose(coords[:, 2], 1.0) &
+                          (np.arange(len(coords)) < n1))[0]
+    m1.node_groups = {
+        "ALL": np.arange(len(coords)),
+        "BOT": np.nonzero(z0)[0], "TOP": np.nonzero(ztop)[0],
+        "SLAVE": slave, "MIDLOW": zmid_low}
+    m1.surf_groups = {"MAST": np.asarray([[1, 2]])}
+    m1.elem_groups = {"ALL": np.asarray([1, 2])}
+    m1.contact_pairs = [ContactPairDef("CP1", "NODE-SURF", "SLAVE",
+                                       "MAST")]
+    cnt = f"""!VERSION
+ 3
+!SOLUTION, TYPE=NLSTATIC
+!BOUNDARY, GRPID=1
+ BOT, 1, 3, 0.0
+ TOP, 3, 3, -0.01
+ TOP, 1, 1, {top_ux}
+ TOP, 2, 2, 0.0
+!CONTACT_ALGO, TYPE=ALAGRANGE
+!CONTACT, GRPID=1
+ CP1, {mu}
+!STEP, SUBSTEPS={substeps}, CONVERG=1.0e-6
+ BOUNDARY, 1
+ CONTACT, 1
+!MATERIAL, NAME=M1
+!ELASTIC
+ 1000.0, 0.0
+!SOLVER,METHOD=CG,PRECOND=1
+ 10000, 1
+ 1.0e-10, 1.0, 0.0
+!END
+"""
+    with tempfile.NamedTemporaryFile("w", suffix=".cnt",
+                                     delete=False) as f:
+        f.write(cnt)
+        p = f.name
+    cfg = read_cnt(p)
+    os.unlink(p)
+    return build_struct_model(m1, cfg)
+
+
+def test_contact_friction_stick_transmits_shear():
+    """High-mu interface sticks: the applied shear transmits through the
+    joint (series shear springs -> lower cube top moves ~half the slide).
+    A frictionless comparison would be singular (the upper block keeps a
+    free lateral rigid mode), so stick vs slip is the well-posed pair."""
+    from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
+
+    model1 = _two_cube_friction_model(mu=100.0)
+    res1 = run_nonlinear_static(model1)
+    ux1 = res1.u[model1.mesh.node_groups["MIDLOW"], 0].mean()
+    # stick: tau = G*gamma with gamma = 0.5e-3 each -> lower top ~5e-4
+    assert 2.5e-4 < ux1 < 7.5e-4, ux1
+    sxz = abs(res1.elem_stress[0, 5])
+    assert 0.1 < sxz < 0.5, sxz             # ~G*5e-4 = 0.25
+
+
+def test_contact_friction_slip_capped():
+    """Intermediate mu: transmitted shear is capped at the Coulomb cone
+    radius mu*N (stress order 11,22,33,12,23,13 -> xz is index 5)."""
+    from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
+
+    mu = 0.01
+    model = _two_cube_friction_model(mu=mu, top_ux=1.0e-3, substeps=5)
+    res = run_nonlinear_static(model)
+    # normal: eps_z = -0.01/2 per cube -> sigma_z = -5; cap = mu*5
+    # (stick transmits ~0.11 through the single-element shear chain)
+    sxz = abs(res.elem_stress[0, 5])
+    assert sxz <= mu * 5.0 * 1.3, sxz
+    assert sxz >= mu * 5.0 * 0.3, sxz
+    # and strictly less shear than the same model would transmit sticking
+    model_s = _two_cube_friction_model(mu=100.0, top_ux=1.0e-3,
+                                       substeps=5)
+    res_s = run_nonlinear_static(model_s)
+    sxz_stick = abs(res_s.elem_stress[0, 5])
+    assert sxz < 0.75 * sxz_stick, (sxz, sxz_stick)

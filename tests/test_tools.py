@@ -65,14 +65,24 @@ def test_rmerge_roundtrip():
         m = read_result(out)
         assert list(m["node_ids"]) == [1, 2, 3, 4, 5, 6]
         assert list(m["elem_ids"]) == [1, 2, 3]
-        # binary round trip
-        bz = os.path.join(d, "res.npz")
+        # reference-binary round trip (HECMW_BINARY_RESULT)
+        bz = os.path.join(d, "res.bin")
         convert_result(out, bz, to="binary")
+        from frontistr_tpu.io.resfile import is_binary_result
+        assert is_binary_result(bz)
         back = os.path.join(d, "back")
         convert_result(bz, back, to="text")
         b = read_result(back)
         np.testing.assert_allclose(b["node_comps"][0][1],
                                    m["node_comps"][0][1])
+        # npz round trip
+        nz = os.path.join(d, "res.npz")
+        convert_result(out, nz, to="npz")
+        back2 = os.path.join(d, "back2")
+        convert_result(nz, back2, to="text")
+        b2 = read_result(back2)
+        np.testing.assert_allclose(b2["elem_comps"][0][1],
+                                   m["elem_comps"][0][1])
 
 
 def test_chebyshev_precond_solves_same():
