@@ -112,12 +112,23 @@ def main():
         ke = solid.stiffness_linear(t32(table), c[conn_j], D32)
         return soa_from_blocks(ke)
 
+    # f64 operator for the TRUE residual.  Measured alternatives at 1M
+    # dof: re-integrated element residual (matrix-free f64) costs
+    # 1.9 s/call (f64 emulation is per-op-overhead-bound, not
+    # flop-bound); the assembled route pays 5.3 s ONCE and then
+    # 0.09 s/matvec — wins for >=2 refinement passes.
     @jax.jit
     def assemble64(c):
         def chunk(ce, De):
             return solid.stiffness_linear(table, ce, De)
         ke = solid._chunked(chunk, c[conn_j], D64, chunk=32768)
         return soa_from_blocks(ke)
+
+    @jax.jit
+    def residual64(keT64, x):
+        op = make_op(keT64, free64)
+        y = op.matvec(x * free64) * free64
+        return f64 * free64 - y
 
     # NOTE: one monolithic multi-thousand-iteration CG program runs 30s+
     # on device and trips the remote-TPU execution watchdog; chunk the
@@ -174,11 +185,6 @@ def main():
                 break
         return x, total
 
-    @jax.jit
-    def residual64(keT64, x):
-        op = make_op(keT64, free64)
-        y = op.matvec(x * free64) * free64
-        return f64 * free64 - y
 
     @jax.jit
     def mv50(keT32, x):

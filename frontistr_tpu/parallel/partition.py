@@ -104,3 +104,18 @@ def halo_exchange_reference(subs, local_vecs):
             exp_loc = subs[nb].export_to[s.rank]
             out[s.rank][imp_loc] = local_vecs[nb][exp_loc]
     return out
+
+
+def partition_to_files(mesh, n_parts: int, out_base: str,
+                       method: str = "RCB"):
+    """File-based partitioner (the hecmw_part1 tool surface): write one
+    HECMW-DIST file per rank as '<out_base>.<rank>'."""
+    from frontistr_tpu.io.distio import dist_from_subdomain, write_dist
+    part, subs = partition_mesh(mesh, n_parts, method)
+    paths = []
+    for r in range(n_parts):
+        dm = dist_from_subdomain(mesh, subs, r, part=part)
+        p = f"{out_base}.{r}"
+        write_dist(dm, p)
+        paths.append(p)
+    return paths

@@ -32,6 +32,14 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
     elif mtype == "NASTRAN":
         from frontistr_tpu.io.nastranio import read_nastran
         mesh = read_nastran(ctrl.path(mb))
+    elif mtype == "HECMW-DIST":
+        # per-rank distributed mesh ('<base>.<rank>'; single-process run
+        # loads rank 0 — multi-rank runs shard in-memory instead)
+        from frontistr_tpu.io.distio import read_dist, mesh_from_dist
+        p = ctrl.path(mb)
+        if not os.path.exists(p) and os.path.exists(p + ".0"):
+            p = p + ".0"
+        mesh = mesh_from_dist(read_dist(p))
     elif mtype in ("HECMW-ENTIRE", ""):
         mesh = read_mesh(ctrl.path(mb))
     else:
