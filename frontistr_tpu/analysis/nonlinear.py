@@ -59,6 +59,8 @@ def init_block_state(block, table):
               pstrain=zs, pstrain_new=zs,
               yielded=jnp.zeros((E, nq), bool), back=z)
     m = block.material
+    if m.mtype == mat.USERMATERIAL:
+        st["fstat"] = jnp.zeros((E, nq, max(m.user_nstatus, 1)))
     if m.mtype == mat.VISCOELASTIC and m.visco_consts is not None:
         nterms = len(np.asarray(m.visco_consts).reshape(-1, 2))
         st["vq"] = jnp.zeros((E, nq, nterms, ns))
@@ -136,6 +138,18 @@ class BlockPrograms:
                 tq = jnp.einsum("qn,en->eq",
                                 jnp.asarray(self.table.N), T_e)
                 self.v_tshift = trs_shift(tq, m.trs_consts, m.trs_def)
+        if self.mtype == mat.USERMATERIAL:
+            from frontistr_tpu import user as fuser
+            fn = fuser.get_umat(m.name)
+            if fn is None:
+                raise ValueError(
+                    f"!USER_MATERIAL '{m.name}': no umat registered — "
+                    "register one via frontistr_tpu.user.register_umat "
+                    "or set FRONTISTR_TPU_USER_MODULE")
+            self.user_fn = fn
+            self.user_matl = jnp.asarray(
+                m.user_consts if m.user_consts is not None
+                else np.zeros(0))
         if self.mtype == mat.CREEP:
             cc = np.asarray(m.creep_consts).reshape(-1)
             self.c_A, self.c_n = float(cc[0]), float(cc[1])
@@ -216,6 +230,13 @@ class BlockPrograms:
             D1 = visco_D(dtime, self.v_G, self.v_K, self.v_mus,
                          self.v_taus)
             return jnp.broadcast_to(D1, self.D_e.shape)
+        if self.mtype == mat.USERMATERIAL:
+            def one(eps, sig, fs):
+                D, _, _ = self.user_fn(self.user_matl, eps, sig, fs,
+                                       dtime, time)
+                return D
+            return jax.vmap(jax.vmap(one))(
+                state["strain"], state["stress"], state["fstat"])
         if self.mtype == mat.CREEP:
             from frontistr_tpu.fem.visco import creep_tangent
             De = self.D_e[:, None, :, :] * jnp.ones(
@@ -425,6 +446,16 @@ class BlockPrograms:
 
     def _stress_total(self, eps, state, new_state, time, dtime):
         """Stress from total strain (INFINITE / TOTALLAG arms)."""
+        if self.mtype == mat.USERMATERIAL:
+            # uUpdate plug point (umat.f90:30-41), vmapped over gauss pts
+            def one(e, s, fs):
+                _, sig, fs2 = self.user_fn(self.user_matl, e, s, fs,
+                                           dtime, time)
+                return sig, fs2
+            sig, fs2 = jax.vmap(jax.vmap(one))(
+                eps, state["stress"], state["fstat"])
+            new_state["fstat"] = fs2
+            return sig
         if self.mtype in (mat.HYPERELASTIC_NEOHOOKE,
                           mat.HYPERELASTIC_MOONEYRIVLIN,
                           mat.HYPERELASTIC_ARRUDABOYCE):
@@ -789,6 +820,7 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
                                              friction=cm.has_friction)
     step_count = 0
     result = None
+    Q_last = None
 
     multi = len(cfg.steps) > 1
     f_held = None
@@ -843,7 +875,8 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
             tincr = dt if step.solution == "VISCO" else 0.0
             max_cont = step.max_contiter if cm is not None else 1
             for cont_it in range(max_cont):
-                converged, du, new_states, iters = _newton_substep(
+                converged, du, new_states, iters, Q_last = \
+                    _newton_substep(
                     model, programs, states, u, f_ramp, free, u_fix_total,
                     lam1, lam2, step, inc_j, dofs_j, nns, total_en, mixed,
                     solve=solver, ctime=t + dt, tincr=tincr,
@@ -906,7 +939,8 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
                     states=[{k: np.asarray(v) for k, v in s.items()}
                             for s in states]))
             if log_path is not None:
-                result = _postprocess(model, programs, states, u)
+                result = _postprocess(model, programs, states, u,
+                                      Q=Q_last)
                 _append_log(log_path, model, result, step_count)
             if step.inc_type == "AUTO":
                 # !AUTOINC_PARAM heuristics (fstr_Ctrl_TimeInc.f90:168-210):
@@ -926,7 +960,7 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
                     dt = max(dt * ainc["Rs"], step.mindt)
 
     if result is None:
-        result = _postprocess(model, programs, states, u)
+        result = _postprocess(model, programs, states, u, Q=Q_last)
         if log_path is not None:
             _append_log(log_path, model, result, max(step_count, 1))
     if sta_path:
@@ -1119,10 +1153,10 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
             conv = True
             break
         if rres > step.maxres:
-            return False, du, states_cur, iters
+            return False, du, states_cur, iters, Q_cur
     if not conv:
-        return False, du, states_cur, iters
-    return True, du, states_cur, iters
+        return False, du, states_cur, iters, Q_cur
+    return True, du, states_cur, iters, Q_cur
 
 
 def _all_linear(programs):
@@ -1149,8 +1183,17 @@ def _qforce(model, programs, states, u, du, inc_j, dofs_j, nns, total_en,
     return flat[idx].sum(axis=1).reshape(-1)
 
 
-def _postprocess(model, programs, states, u):
+def _postprocess(model, programs, states, u, Q=None):
     un = np.asarray(u).reshape(model.n_node, model.ndof)
+    # REACTION = internal force at the converged state minus applied
+    # load (fstrSOLID%REACTION, static_make_result.f90:97-102).  Q is
+    # the CONVERGED internal force from the Newton loop — recomputing it
+    # here would re-apply the constitutive update (wrong for
+    # path-dependent visco/plastic states).
+    reaction = None
+    if Q is not None:
+        reaction = np.asarray(Q).reshape(model.n_node, model.ndof) - \
+            np.asarray(model.f_ext).reshape(model.n_node, model.ndof)
     if any(b.kind == "shell" for b in model.blocks):
         from frontistr_tpu.post.shellpost import shell_recover
         sm = shell_recover(model, un)
@@ -1161,7 +1204,8 @@ def _postprocess(model, programs, states, u):
             elem_strain=np.concatenate(sm["estrain"]),
             elem_stress=np.concatenate(sm["estress"]),
             elem_mises=np.concatenate(sm["emises"]),
-            elem_ids=elem_ids, iters=0, relres=0.0)
+            elem_ids=elem_ids, iters=0, relres=0.0,
+            reaction=reaction)
     ns_out = 6 if model.dim == 3 else 3
     block_data = []
     for p, s in zip(programs, states):
@@ -1183,7 +1227,7 @@ def _postprocess(model, programs, states, u):
         elem_strain=np.concatenate(sm["estrain"]),
         elem_stress=np.concatenate(sm["estress"]),
         elem_mises=np.concatenate(sm["emises"]),
-        elem_ids=elem_ids, iters=0, relres=0.0)
+        elem_ids=elem_ids, iters=0, relres=0.0, reaction=reaction)
 
 
 def _append_log(log_path, model, result, step_no):

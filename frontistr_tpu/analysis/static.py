@@ -38,6 +38,9 @@ class StaticResult:
     solve_time: float = 0.0
     assemble_time: float = 0.0
     node_count: np.ndarray = None      # elements touching each node
+    reaction: np.ndarray = None        # (n_node, ndof) internal force
+    #   at the converged state (fstrSOLID%REACTION,
+    #   static_make_result.f90:97-102)
 
 
 def compute_element_stiffness(model: StructModel):
@@ -369,15 +372,54 @@ def recover_stress(model: StructModel, u_flat: np.ndarray):
         return u, shell_recover(model, u), []
     if all(b.kind in ("beam", "beam341", "sshell")
            for b in model.blocks):
-        # beam stress resultants (NQM) not yet recovered -> zeros
+        # beam fiber strain/stress at the 6 section positions
+        # (NodalStress_Beam_641, static_LIB_beam.f90:646-980)
         n, ns = model.n_node, 6
-        zed = lambda b: np.zeros((len(b.elem_ids), ns))
-        sm = dict(strain=np.zeros((n, ns)), stress=np.zeros((n, ns)),
-                  mises=np.zeros(n), count=np.ones(n),
-                  estrain=[zed(b) for b in model.blocks],
-                  estress=[zed(b) for b in model.blocks],
-                  emises=[np.zeros(len(b.elem_ids))
-                          for b in model.blocks])
+        nd_strain = np.zeros((n, ns))
+        nd_stress = np.zeros((n, ns))
+        count = np.zeros(n)
+        estrain, estress, emises = [], [], []
+        for b in model.blocks:
+            Eb = len(b.elem_ids)
+            if b.kind != "beam341" or b.etype != 641:
+                estrain.append(np.zeros((Eb, ns)))
+                estress.append(np.zeros((Eb, ns)))
+                emises.append(np.zeros(Eb))
+                continue
+            from frontistr_tpu.fem import beam as beammod
+            sec = model.mesh.sections[b.sect_id] \
+                if model.mesh.sections else None
+            sect = sec.values if sec and len(sec.values) >= 7 else \
+                [0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 1.0]
+            # radius + 6 angles from the extended !MATERIAL ELASTIC row
+            # (fstr_get_prop.f90:91-99)
+            radius, angles = 0.0, None
+            try:
+                row = model.mesh.materials[sec.material].items[1][0]
+                if len(row) >= 9:
+                    radius = float(row[2])
+                    angles = [float(v) for v in row[3:9]]
+            except Exception:
+                pass
+            de = jnp.asarray(u[b.conn])
+            nds, ndt, es, et = beammod.nqm_beam_641(
+                jnp.asarray(model.coords[b.conn]), sect,
+                b.material.youngs, de, radius=radius, angles=angles)
+            estrain.append(es)
+            estress.append(et)
+            emises.append(np.abs(et).max(axis=1))
+            # nodal average over the two end nodes
+            for ln in range(2):
+                np.add.at(nd_strain, b.conn[:, ln], nds[:, ln])
+                np.add.at(nd_stress, b.conn[:, ln], ndt[:, ln])
+                np.add.at(count, b.conn[:, ln], 1.0)
+        nz = count > 0
+        nd_strain[nz] /= count[nz, None]
+        nd_stress[nz] /= count[nz, None]
+        sm = dict(strain=nd_strain, stress=nd_stress,
+                  mises=np.abs(nd_stress).max(axis=1),
+                  count=np.maximum(count, 1.0),
+                  estrain=estrain, estress=estress, emises=emises)
         return u, sm, []
     block_data = []
     for b in model.blocks:
@@ -414,9 +456,15 @@ def recover_stress(model: StructModel, u_flat: np.ndarray):
 
 
 def run_linear_static(model: StructModel) -> StaticResult:
-    u_flat, iters, relres, t_asm, t_slv = solve_linear(model)
+    from frontistr_tpu.assembly import femop
+    kes = compute_element_stiffness(model)
+    u_flat, iters, relres, t_asm, t_slv = solve_linear(model, kes=kes)
     u, sm, _ = recover_stress(model, u_flat)
     elem_ids = np.concatenate([b.elem_ids for b in model.blocks])
+    op = femop.from_model(model, kes)
+    reaction = np.asarray(op.matvec(jnp.asarray(u_flat))).reshape(
+        model.n_node, model.ndof) - np.asarray(
+        model.f_ext).reshape(model.n_node, model.ndof)
     return StaticResult(
         u=u,
         nodal_strain=sm["strain"], nodal_stress=sm["stress"],
@@ -425,4 +473,4 @@ def run_linear_static(model: StructModel) -> StaticResult:
         elem_stress=np.concatenate(sm["estress"]),
         elem_mises=np.concatenate(sm["emises"]),
         elem_ids=elem_ids, iters=iters, relres=relres,
-        assemble_time=t_asm, solve_time=t_slv)
+        assemble_time=t_asm, solve_time=t_slv, reaction=reaction)

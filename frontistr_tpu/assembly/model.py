@@ -109,6 +109,17 @@ def _resolve_material(mesh: Mesh, cnt_mats: Dict[str, CntMaterial],
             m.mtype = mat.CREEP
             m.creep_consts = np.asarray(cm.creep.rows_f()[0])
             m.nlgeom = _flag(cm.creep, mat.UPDATELAG)
+        if cm.user_material is not None:
+            # '!USER_MATERIAL, NSTATUS=n' + constants rows
+            # (fstr_ctrl_get_USERMATERIAL, fstr_ctrl_material.f90:31-51);
+            # the update itself comes from the frontistr_tpu.user registry
+            m.mtype = mat.USERMATERIAL
+            m.user_nstatus = cm.user_material.iparam("NSTATUS", 1)
+            rows = cm.user_material.rows_f()
+            m.user_consts = np.asarray(
+                [v for row in rows for v in row]) if rows else \
+                np.zeros(0)
+            m.nlgeom = _flag(cm.user_material, mat.INFINITESIMAL)
     return m
 
 
@@ -388,6 +399,14 @@ def build_struct_model(mesh: Mesh, cfg: AnalysisConfig) -> StructModel:
             model.f_ext = model.f_ext + tl
             if model.f_base is not None:
                 model.f_base = model.f_base + tl
+    # uload plug point (uload.f90 'uloading'): user-registered extra
+    # external force
+    from frontistr_tpu import user as fuser
+    fu = fuser.uload_total(model.coords, ndof)
+    if fu is not None:
+        model.f_ext = model.f_ext + np.asarray(fu).reshape(-1)
+        if model.f_base is not None:
+            model.f_base = model.f_base + np.asarray(fu).reshape(-1)
     return model
 
 

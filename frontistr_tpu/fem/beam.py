@@ -84,3 +84,59 @@ def stiffness_beam(coords, section, ee, pp, etype=611):
         P = _P641
         kg = kg[:, P[:, None], P[None, :]]
     return kg
+
+
+def nqm_beam_641(coords, section, ee, disp_e, radius=0.0, angles=None,
+                 thermal=0.0):
+    """Fiber strain/stress at 6 angular section positions for 641 beams
+    (NodalStress_Beam_641 / ElementalStress_Beam_641,
+    static_LIB_beam.f90:646-980).
+
+    disp_e: (E, 4, 3) nodal values in the 641 packing (nodes 1-2 =
+    translations, nodes 3-4 = rotations).  radius/angles come from the
+    extended !MATERIAL ELASTIC row (E, nu, radius, angle1..6 —
+    fstr_get_prop.f90:91-99; radius 0 = pure axial fiber).
+    Returns (nd_strain (E, 4, 6), nd_stress (E, 4, 6),
+             el_strain (E, 6), el_stress (E, 6)): components k = fiber k,
+    zeros on the rotation rows, matching the reference layout.
+    """
+    if angles is None:
+        angles = np.zeros(6)
+    ang = np.deg2rad(np.asarray(angles, float))
+    x2h = radius * np.cos(ang)                   # (6,)
+    x3h = radius * np.sin(ang)
+    le, T = _frame(coords[:, :2, :], np.asarray(section[:3], float))
+    l2 = le * le
+    l3 = l2 * le
+    # rotate nodal values into the local frame: (E, 4, 3)
+    dh = jnp.einsum("eij,enj->eni", T, disp_e)
+    du_ax = (dh[:, 1, 0] - dh[:, 0, 0]) / le     # axial strain (E,)
+
+    def fiber_stress(x1h):
+        # Hermite curvature terms (static_LIB_beam.f90:824-838)
+        c1 = -6.0 / l2 + 12.0 * x1h / l3
+        c2 = -4.0 / le + 6.0 * x1h / l2
+        c3 = 6.0 / l2 - 12.0 * x1h / l3
+        c4 = -2.0 / le + 6.0 * x1h / l2
+        bend2 = (c1 * dh[:, 0, 1] + c2 * dh[:, 2, 2]
+                 + c3 * dh[:, 1, 1] + c4 * dh[:, 3, 2])
+        bend3 = (c1 * dh[:, 0, 2] - c2 * dh[:, 2, 1]
+                 + c3 * dh[:, 1, 2] - c4 * dh[:, 3, 1])
+        # (E, 6): sigma_k = E(eps_ax - x2h_k bend2 - x3h_k bend3) - Eath
+        sig = ee * (du_ax[:, None]
+                    - jnp.asarray(x2h)[None, :] * bend2[:, None]
+                    - jnp.asarray(x3h)[None, :] * bend3[:, None]) \
+            - ee * thermal
+        return sig
+
+    Ee = coords.shape[0]
+    eps = jnp.broadcast_to(du_ax[:, None], (Ee, 6))
+    sig_mid = fiber_stress(0.5 * le)
+    sig_n1 = fiber_stress(jnp.zeros_like(le))
+    sig_n2 = fiber_stress(le)
+    nd_strain = jnp.zeros((Ee, 4, 6)).at[:, 0, :].set(eps) \
+        .at[:, 1, :].set(eps)
+    nd_stress = jnp.zeros((Ee, 4, 6)).at[:, 0, :].set(sig_n1) \
+        .at[:, 1, :].set(sig_n2)
+    return (np.asarray(nd_strain), np.asarray(nd_stress),
+            np.asarray(eps), np.asarray(sig_mid))

@@ -29,6 +29,7 @@ HYPERELASTIC_MOONEYRIVLIN = "MOONEY-RIVLIN"
 HYPERELASTIC_ARRUDABOYCE = "ARRUDA-BOYCE"
 VISCOELASTIC = "VISCOELASTIC"
 CREEP = "NORTON"
+USERMATERIAL = "USERMATERIAL"
 
 # nlgeom flags (mMaterial kINFINITE/kTOTALLAG/kUPDATELAG semantics)
 INFINITESIMAL = 0
@@ -63,6 +64,9 @@ class Material:
     elastic_table: Optional[np.ndarray] = None
     # orthotropic constants (E1,E2,E3,nu12,nu13,nu23,G12,G13,G23)
     ortho_consts: Optional[np.ndarray] = None
+    # !USER_MATERIAL constants + state count (uMatlMatrix/uUpdate matl)
+    user_consts: Optional[np.ndarray] = None
+    user_nstatus: int = 0
     # heat: rows of (value..., temp) tables
     heat_density: Optional[np.ndarray] = None
     heat_capacity: Optional[np.ndarray] = None

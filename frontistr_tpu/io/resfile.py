@@ -87,6 +87,9 @@ def write_static_result(path: str, mesh, model, res, step: int = 1,
         ("NodalSTRESS", res.nodal_stress),
         ("NodalMISES", res.nodal_mises[:, None]),
     ]
+    if getattr(res, "reaction", None) is not None:
+        node_comps.insert(1, ("REACTION_FORCE",
+                              np.asarray(res.reaction)))
     elem_comps = [
         ("ElementalSTRAIN", res.elem_strain),
         ("ElementalSTRESS", res.elem_stress),

@@ -52,6 +52,10 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
               f"{mesh.n_elem} elements")
     cfg = read_cnt(ctrl.path(ctrl.control()))
     out = {"mesh": mesh, "cfg": cfg, "ctrl": ctrl}
+    # user plug-in module (uelastic/umat/uload equivalents):
+    # FRONTISTR_TPU_USER_MODULE=<path.py> registers hooks before dispatch
+    from frontistr_tpu import user as fuser
+    fuser.load_user_module()
     t_pre = time.time()
 
     sol = cfg.solution_type.upper()

@@ -106,3 +106,66 @@ def test_beam611_axial_and_torsion():
     np.testing.assert_allclose(res.u[1, 0], 0.05, rtol=1e-8)
     G = 1000.0 / (2.0 * 1.3)
     np.testing.assert_allclose(res.u[1, 3], 2.0 * 10.0 / G, rtol=1e-8)
+
+
+def test_beam_641_fiber_stress_cantilever():
+    """Tip-loaded cantilever: the 641 fiber stress at radius r must match
+    M*r/I at the wall (Euler-Bernoulli bending stress)."""
+    import tempfile
+    import numpy as np
+    from frontistr_tpu.io.meshio import Mesh, ElemBlock, Section, \
+        MaterialDef
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.static import run_linear_static
+
+    # 4 elements along x; 641 packing: nodes 1-2 translations,
+    # nodes 3-4 rotation carriers (duplicated nodes)
+    ne = 4
+    L = 1.0
+    xs = np.linspace(0, L, ne + 1)
+    coords = np.zeros((2 * (ne + 1), 3))
+    coords[:ne + 1, 0] = xs
+    coords[ne + 1:, 0] = xs            # rotation-carrier twins
+    conn = np.asarray([[i, i + 1, ne + 1 + i, ne + 2 + i]
+                       for i in range(ne)])
+    r = 0.05
+    area = np.pi * r * r
+    iy = np.pi * r ** 4 / 4.0
+    mesh = Mesh(
+        header="", coords=coords,
+        node_ids=np.arange(1, len(coords) + 1),
+        id2idx={i + 1: i for i in range(len(coords))},
+        blocks=[ElemBlock(641, np.arange(1, ne + 1), conn, conn)],
+        sections=[Section("BEAM", "ALL", "M1",
+                          [0.0, 0.0, 1.0, area, iy, iy, 2 * iy])],
+        materials={"M1": MaterialDef(
+            "M1", items={1: [[210e9, 0.3, r, 0.0, 90.0, 180.0, 270.0,
+                              45.0, 135.0]]},)},
+        node_groups={"FIX": np.asarray([0, ne + 1]),
+                     "TIP": np.asarray([ne])},
+        elem_groups={}, surf_groups={}, amplitudes={}, equations=[],
+        contact_pairs=[], initial_conditions={})
+    cnt = ("!VERSION\n 3\n!SOLUTION, TYPE=STATIC\n"
+           "!BOUNDARY\n FIX, 1, 3, 0.0\n!CLOAD\n TIP, 2, -100.0\n"
+           "!SOLVER, METHOD=CG\n 4000, 1\n 1.0e-12, 1.0, 0.0\n!END\n")
+    with tempfile.NamedTemporaryFile("w", suffix=".cnt",
+                                     delete=False) as f:
+        f.write(cnt)
+        p = f.name
+    cfg = read_cnt(p)
+    os.unlink(p)
+    model = build_struct_model(mesh, cfg)
+    res = run_linear_static(model)
+    P = 100.0
+    M = P * L                          # wall moment
+    sig_wall = M * r / iy              # bending fiber stress
+    # fiber at angle 90 deg (k=1) lies in the bending plane (local x3
+    # direction for load along global -y with refv z): pick the max
+    # fiber stress at the wall element's node 1
+    s_wall = np.abs(res.elem_stress[0]).max()
+    assert abs(s_wall - sig_wall) < 0.15 * sig_wall, (s_wall, sig_wall)
+    # tip deflection check: PL^3/3EI
+    d_tip = np.abs(res.u[:, 1]).max()
+    d_ref = P * L ** 3 / (3 * 210e9 * iy)
+    assert abs(d_tip - d_ref) < 0.02 * d_ref
