@@ -249,6 +249,15 @@ def solve_linear(model: StructModel, kes=None,
 
     sv = model.cfg.solver
     hl = 2000 if sv.iterlog else 0
+    if (sv.dumptype or "NONE").upper() not in ("NONE", "", "0"):
+        # !SOLVER DUMPTYPE=MM|CSR (hecmw_matrix_dump.f90)
+        from frontistr_tpu.assembly import ell as _ell
+        from frontistr_tpu.solver.dump import dump_operator
+        _eop = _ell.from_model(model, kes)
+        p = dump_operator(np.asarray(_eop.blocks),
+                          np.asarray(_eop.cols), model.ndof,
+                          sv.dumptype)
+        print(f"### matrix dumped: {p}")
     # gather-free stencil operator for structured hex boxes (TPU gathers
     # run ~0.6 GB/s; strided slices stream at HBM bandwidth)
     sop = None

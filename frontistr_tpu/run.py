@@ -61,6 +61,16 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
     sol = cfg.solution_type.upper()
     log_path = os.path.join(workdir, log_name)
 
+    # profiler wiring (the TPU answer to the reference's TIMELOG=2 +
+    # fapp hooks): FRONTISTR_TPU_PROFILE=<dir> captures a jax.profiler
+    # trace of the whole analysis for xprof/tensorboard
+    prof_dir = os.environ.get("FRONTISTR_TPU_PROFILE")
+    _prof_cm = None
+    if prof_dir:
+        import jax
+        _prof_cm = jax.profiler.trace(prof_dir)
+        _prof_cm.__enter__()
+
     if sol in ("STATIC", "NLSTATIC"):
         from frontistr_tpu.assembly.model import build_struct_model
         model = build_struct_model(mesh, cfg)
@@ -153,6 +163,9 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
                              f"freq={er.freq[k]:.6e}",
                              mesh.node_ids, eids,
                              [("DISPLACEMENT", phi[:, :3])], [])
+    if _prof_cm is not None:
+        _prof_cm.__exit__(None, None, None)
+        print(f"### jax profiler trace written to {prof_dir}")
     out["total_time"] = time.time() - t_start
     _write_msg(workdir, t_pre - t_start, out["total_time"])
     return out
