@@ -617,6 +617,40 @@ def make_contact_solver(model, dofs_j, nns, inc_j, total_en, free,
     return solve
 
 
+def make_slag_contact_solver(model, dofs_j, nns, inc_j, total_en,
+                             free):
+    """Exact-Lagrange contact solve: slave-dof elimination T K T^t
+    (solve_LINEQ_iter_contact.f90:115-500) with fixed-shape constraint
+    slots so the active set never recompiles.  Returns
+    (solve(kes, B, dirichlet_inc, cn), eliminator)."""
+    from frontistr_tpu.contact.slag import ContactEliminator
+    n_node, ndof = model.n_node, model.ndof
+    sv = model.cfg.solver
+    nns_t = tuple(nns)
+    elim = ContactEliminator(model.n_dof_total, ndof)
+
+    @jax.jit
+    def _solve(ctx, cn, kes, B, dirichlet_inc):
+        dofs, inc, free = ctx
+        op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
+                              n_node, ndof, free)
+        b_c = (B - op.matvec(dirichlet_inc)) * free + \
+            dirichlet_inc * (1.0 - free)
+        A0 = op.apply_constrained
+        A = elim.wrap(cn, A0)
+        b_r = elim.reduce_rhs(cn, A0, b_c)
+        res = krylov.pcg(A, b_r, M=op.block_jacobi(), tol=sv.resid,
+                         maxiter=sv.nier)
+        return elim.recover(cn, res.x)
+
+    ctx = (list(dofs_j), inc_j, free)
+
+    def solve(kes, B, dirichlet_inc, cn):
+        return _solve(ctx, cn, kes, B, dirichlet_inc)
+
+    return solve, elim
+
+
 def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                             mixed: bool):
     """One jitted constrained-solve(kes, b_c) for the whole analysis —
@@ -814,10 +848,15 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
         if not cm.active:
             cm = None
     contact_solver = None
+    slag = None
     if cm is not None:
-        contact_solver = make_contact_solver(model, dofs_j, nns, inc_j,
-                                             total_en, free,
-                                             friction=cm.has_friction)
+        if cm.algo == "SLAGRANGE" and not cm.has_friction:
+            contact_solver, slag = make_slag_contact_solver(
+                model, dofs_j, nns, inc_j, total_en, free)
+        else:
+            contact_solver = make_contact_solver(
+                model, dofs_j, nns, inc_j, total_en, free,
+                friction=cm.has_friction)
     step_count = 0
     result = None
     Q_last = None
@@ -847,9 +886,13 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
             solver = make_constrained_solver(model, dofs_j, nns, inc_j,
                                              total_en, free, mixed)
             if cm is not None:
-                contact_solver = make_contact_solver(
-                    model, dofs_j, nns, inc_j, total_en, free,
-                    friction=cm.has_friction)
+                if cm.algo == "SLAGRANGE" and not cm.has_friction:
+                    contact_solver, slag = make_slag_contact_solver(
+                        model, dofs_j, nns, inc_j, total_en, free)
+                else:
+                    contact_solver = make_contact_solver(
+                        model, dofs_j, nns, inc_j, total_en, free,
+                        friction=cm.has_friction)
         t_end = step.elapsetime
         dt = step.initdt
         ainc = _ainc_params(cfg, step)
@@ -882,7 +925,7 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
                     solve=solver, ctime=t + dt, tincr=tincr,
                     ex_kes=ex_kes_j,
                     ex_dofs=[jnp.asarray(d) for d in ex_dofs],
-                    cm=cm, contact_solve=contact_solver,
+                    cm=cm, contact_solve=contact_solver, slag=slag,
                     f_held=f_held, follow_sel=follow_sel)
                 if cm is None or not converged:
                     break
@@ -1039,7 +1082,7 @@ def _commit_state(s):
 def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
                     lam1, lam2, step, inc_j, dofs_j, nns, total_en, mixed,
                     solve=None, ctime=0.0, tincr=0.0, ex_kes=(),
-                    ex_dofs=(), cm=None, contact_solve=None,
+                    ex_dofs=(), cm=None, contact_solve=None, slag=None,
                     f_held=None, follow_sel=None):
     n = model.n_dof_total
     ndof = model.ndof
@@ -1087,7 +1130,18 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
         # residual with current state
         B = gl - Q_cur
         dirichlet_inc = dufix if it == 1 else jnp.zeros_like(dufix)
-        if cm is not None:
+        if cm is not None and slag is not None:
+            # SLAGRANGE: exact gap closure by slave-dof elimination;
+            # active set = touching & closed/penetrating minus released
+            coords_def = model.coords + np.asarray(
+                u + du).reshape(model.n_node, model.ndof)
+            proj = cm.search(coords_def)
+            g_tol = 1e-8 * max(float(np.abs(model.coords).max()), 1.0)
+            cact = proj["touching"] & (proj["gap"] <= g_tol) & \
+                ~cm.slag_released
+            cn = slag.build(proj, cm.all_slaves, cact)
+            dx = contact_solve(tuple(kes), B, dirichlet_inc, cn)
+        elif cm is not None:
             coords_def = model.coords + np.asarray(
                 u + du).reshape(model.n_node, model.ndof)
             proj = cm.search(coords_def)
@@ -1124,7 +1178,20 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
         Q = flat[idx].sum(axis=1).reshape(-1)
         Q_cur = Q
         Bres = (gl - Q) * free
-        if cm is not None:
+        if cm is not None and slag is not None:
+            # reduced-space residual: slave rows carry -lambda c0 by
+            # construction; lambda < 0 (tension) releases the slot
+            coords_def = model.coords + np.asarray(
+                u + du).reshape(model.n_node, model.ndof)
+            proj_n = cm.search(coords_def)
+            lam_c = np.asarray(slag.lagrange(cn, gl - Q))
+            scale = max(float(np.abs(lam_c).max()), 1.0)
+            cm.slag_released |= lam_c < -1e-8 * scale
+            # re-activate released slots that penetrate again
+            cm.slag_released &= ~(proj_n["gap"] < -1e-10)
+            Bres = np.asarray(slag.Tt(cn, gl - Q)) * np.asarray(free)
+            Bres = jnp.asarray(Bres)
+        elif cm is not None:
             coords_def = model.coords + np.asarray(
                 u + du).reshape(model.n_node, model.ndof)
             proj_n = cm.search(coords_def)

@@ -110,6 +110,13 @@ class ContactManager:
         self.lam_t = np.zeros((ns_tot, model.dim))
         self.rel_prev = None                  # set at first search
         self.active = ns_tot > 0
+        # algorithm (!CONTACT_ALGO TYPE=SLAGRANGE|ALAGRANGE,
+        # fstr_ctrl_get_CONTACTALGO): exact elimination vs AL penalty
+        self.algo = (getattr(cfg, "contact_algo", "SLAGRANGE")
+                     or "SLAGRANGE").upper()
+        self.all_slaves = np.concatenate(
+            [p.slave_nodes for p in self.pairs]) if self.pairs             else np.zeros(0, np.int64)
+        self.slag_released = np.zeros(ns_tot, bool)
 
     @property
     def has_friction(self) -> bool:

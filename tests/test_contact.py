@@ -206,3 +206,81 @@ def test_contact_friction_slip_capped():
     res_s = run_nonlinear_static(model_s)
     sxz_stick = abs(res_s.elem_stress[0, 5])
     assert sxz < 0.75 * sxz_stick, (sxz, sxz_stick)
+
+
+def test_slagrange_exact_gap_closure():
+    """SLAGRANGE elimination closes the interface gap to machine
+    precision (vs the AL penalty's ~1e-4), with the same transmitted
+    stress."""
+    import tempfile
+    from frontistr_tpu.meshgen import box_hex8
+    from frontistr_tpu.io.meshio import ContactPairDef, ElemBlock
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
+    from frontistr_tpu.contact.ntos import ContactManager
+
+    m1 = box_hex8(1, 1, 1)
+    n1 = m1.n_node
+    coords = np.vstack([m1.coords, m1.coords + np.array([0, 0, 1.0])])
+    conn2 = m1.blocks[0].conn + n1
+    m1.coords = coords
+    m1.node_ids = np.arange(1, len(coords) + 1)
+    m1.id2idx = {int(i): int(i) - 1 for i in m1.node_ids}
+    m1.blocks = [ElemBlock(361, np.asarray([1]), m1.blocks[0].conn,
+                           m1.blocks[0].conn),
+                 ElemBlock(361, np.asarray([2]), conn2, conn2)]
+    z0 = np.isclose(coords[:, 2], 0.0)
+    ztop = np.isclose(coords[:, 2], 2.0)
+    slave = np.nonzero(np.isclose(coords[:, 2], 1.0) &
+                       (np.arange(len(coords)) >= n1))[0]
+    m1.node_groups = {
+        "ALL": np.arange(len(coords)),
+        "BOT": np.nonzero(z0)[0], "TOP": np.nonzero(ztop)[0],
+        "SLAVE": slave,
+        "XA": np.nonzero(np.isclose(coords[:, 0], 0))[0],
+        "YA": np.nonzero(np.isclose(coords[:, 1], 0))[0]}
+    m1.surf_groups = {"MAST": np.asarray([[1, 2]])}
+    m1.elem_groups = {"ALL": np.asarray([1, 2])}
+    m1.contact_pairs = [ContactPairDef("CP1", "NODE-SURF", "SLAVE",
+                                       "MAST")]
+    cnt = """!VERSION
+ 3
+!SOLUTION, TYPE=NLSTATIC
+!BOUNDARY, GRPID=1
+ BOT, 3, 3, 0.0
+ XA, 1, 1, 0.0
+ YA, 2, 2, 0.0
+ TOP, 3, 3, -0.01
+!CONTACT_ALGO, TYPE=SLAGRANGE
+!CONTACT, GRPID=1
+ CP1, 0.0
+!STEP, SUBSTEPS=2, CONVERG=1.0e-7
+ BOUNDARY, 1
+ CONTACT, 1
+!MATERIAL, NAME=M1
+!ELASTIC
+ 1000.0, 0.0
+!SOLVER,METHOD=CG,PRECOND=1
+ 10000, 1
+ 1.0e-12, 1.0, 0.0
+!END
+"""
+    import tempfile as tf
+    with tf.NamedTemporaryFile("w", suffix=".cnt", delete=False) as f:
+        f.write(cnt)
+        p = f.name
+    cfg = read_cnt(p)
+    os.unlink(p)
+    assert cfg.contact_algo.upper() == "SLAGRANGE"
+    model = build_struct_model(m1, cfg)
+    res = run_nonlinear_static(model)
+    sz = res.elem_stress[:, 2]
+    np.testing.assert_allclose(sz, -5.0, rtol=2e-2)
+    # exact closure: penetration at the interface ~ machine precision
+    cm = ContactManager(m1, model, cfg)
+    proj = cm.search(model.coords + res.u)
+    pen = np.abs(proj["gap"])[proj["touching"]]
+    assert pen.max() < 1e-9, pen.max()
+    ui = res.u[m1.node_groups["SLAVE"], 2]
+    np.testing.assert_allclose(ui, -0.005, rtol=1e-6)
