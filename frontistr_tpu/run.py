@@ -32,6 +32,9 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
     elif mtype == "NASTRAN":
         from frontistr_tpu.io.nastranio import read_nastran
         mesh = read_nastran(ctrl.path(mb))
+    elif mtype == "GEOFEM":
+        from frontistr_tpu.io.geofemio import read_geofem
+        mesh = read_geofem(ctrl.path(mb))
     elif mtype == "HECMW-DIST":
         # per-rank distributed mesh ('<base>.<rank>'; single-process run
         # loads rank 0 — multi-rank runs shard in-memory instead)
