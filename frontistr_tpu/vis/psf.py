@@ -216,6 +216,12 @@ def visualize(mesh, model, result, workdir, cfg, basename="result"):
     else:
         vals = np.linalg.norm(u[:, :3], axis=1)
     out = os.path.join(workdir, basename + ".bmp")
+    if (vis.get("method") or "PSR").upper() == "PVR":
+        # volume rendering arm (hecmw_vis_pvr_main.c equivalent)
+        from frontistr_tpu.vis.pvr import render_pvr
+        return render_pvr(coords, np.asarray(vals, float), out,
+                          width=width, height=height,
+                          viewpoint=viewpoint)
     render_surface(coords, tris, vals, out, width=width, height=height,
                    viewpoint=viewpoint)
     return out

@@ -40,3 +40,39 @@ def test_render_writes_valid_bmp():
     nonwhite = (img != 255).any(-1).mean()
     assert nonwhite > 0.2
     assert len(np.unique(img.reshape(-1, 3), axis=0)) > 10
+
+
+def test_pvr_volume_render(tmp_path):
+    """PVR: a hot-centered spherical field renders with warm colors in
+    the image center and background at the edges."""
+    import numpy as np
+    from frontistr_tpu.meshgen import box_hex8
+    from frontistr_tpu.vis.pvr import render_pvr
+
+    mesh = box_hex8(6, 6, 6)
+    c = mesh.coords - 0.5
+    vals = np.exp(-8.0 * (c ** 2).sum(axis=1))   # hot center
+    out = str(tmp_path / "vol.bmp")
+    p = render_pvr(mesh.coords, vals, out, width=120, height=120,
+                   res=48, n_steps=96)
+    assert p == out and os.path.exists(out)
+    # decode BMP: 54-byte header, rows bottom-up, BGR
+    raw = open(out, "rb").read()
+    assert raw[:2] == b"BM"
+    import struct
+    w = struct.unpack("<i", raw[18:22])[0]
+    h = struct.unpack("<i", raw[22:26])[0]
+    assert (w, h) == (120, 120)
+    row = (w * 3 + 3) // 4 * 4
+    img = np.zeros((h, w, 3), np.uint8)
+    off = struct.unpack("<I", raw[10:14])[0]
+    for y in range(h):
+        r = raw[off + y * row: off + y * row + w * 3]
+        img[h - 1 - y] = np.frombuffer(r, np.uint8).reshape(w, 3)[:, ::-1]
+    center = img[50:70, 50:70].astype(float)
+    corner = img[:10, :10].astype(float)
+    # center shows the volume (not the white background)
+    assert center.mean() < 250.0
+    assert corner.mean() > 250.0                  # background
+    # center is warmer (red channel dominates blue) than the rim
+    assert center[..., 0].mean() >= center[..., 2].mean() - 5.0
