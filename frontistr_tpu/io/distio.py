@@ -726,7 +726,8 @@ def mesh_from_dist(dm: DistMesh):
             rows.append(dm.elem_node_item[eni[e]:eni[e + 1]] - 1)
         conn_h = np.asarray(rows, np.int64)
         perm = HECMW2FSTR_ORDER.get(etype)
-        conn = conn_h[:, perm] if perm is not None else conn_h
+        conn = conn_h[:, np.asarray(perm) - 1] \
+            if perm is not None else conn_h
         blocks.append(ElemBlock(
             etype, np.asarray(dm.global_elem_ID[lo:hi], np.int64),
             conn, conn_h,

@@ -88,7 +88,8 @@ def read_geofem(path: str) -> Mesh:
     for het, rows in order.items():
         conn_h = np.stack([conns[i] for i in rows])
         perm = HECMW2FSTR_ORDER.get(het)
-        conn = conn_h[:, perm] if perm is not None else conn_h
+        conn = conn_h[:, np.asarray(perm) - 1] \
+            if perm is not None else conn_h
         blocks.append(ElemBlock(het, eids[rows], conn, conn_h))
     # import/export: nothing for single PE (the reference just expects
     # blank lines); group sections follow
