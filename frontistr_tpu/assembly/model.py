@@ -249,7 +249,7 @@ def _iset_from_section(sec) -> int:
             2: mat.AXISYMMETRIC}.get(sec.opt, mat.PLANE_STRESS)
 
 
-SHELL_ETYPES = (731, 741)
+SHELL_ETYPES = (731, 741, 743)
 SSHELL_ETYPES = (761, 781)   # solid-shell packing, 3 dof/node
 BEAM6_ETYPES = (611,)          # 2-node beam, 6 dof/node
 BEAM3_ETYPES = (641,)          # 3x4-dof beam packing (NDOF=3 system)

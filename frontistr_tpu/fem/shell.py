@@ -65,6 +65,28 @@ def _quad4_dN(p):
         [-(1 + e), +(1 - x)]]) * 0.25
 
 
+def _quad9_N(p):
+    x, e = p
+    lx = np.array([0.5 * x * (x - 1), 0.5 * x * (x + 1), 1 - x * x])
+    le = np.array([0.5 * e * (e - 1), 0.5 * e * (e + 1), 1 - e * e])
+    # node order: corners (-,-),(+,-),(+,+),(-,+), edges (0,-),(+,0),
+    # (0,+),(-,0), center (getShapeFunc fe_mitc9_shell)
+    ij = [(0, 0), (1, 0), (1, 1), (0, 1),
+          (2, 0), (1, 2), (2, 1), (0, 2), (2, 2)]
+    return np.array([lx[i] * le[j] for i, j in ij])
+
+
+def _quad9_dN(p):
+    x, e = p
+    lx = np.array([0.5 * x * (x - 1), 0.5 * x * (x + 1), 1 - x * x])
+    le = np.array([0.5 * e * (e - 1), 0.5 * e * (e + 1), 1 - e * e])
+    dlx = np.array([x - 0.5, x + 0.5, -2 * x])
+    dle = np.array([e - 0.5, e + 0.5, -2 * e])
+    ij = [(0, 0), (1, 0), (1, 1), (0, 1),
+          (2, 0), (1, 2), (2, 1), (0, 2), (2, 2)]
+    return np.array([[dlx[i] * le[j], lx[i] * dle[j]] for i, j in ij])
+
+
 def _tri3_N(p):
     x, e = p
     return np.array([x, e, 1.0 - x - e])
@@ -96,8 +118,56 @@ class ShellTable:
             self.gw = np.full(3, 1.0 / 6.0)
             self.tying = np.array([[0.5, 0.], [0., 0.5], [0.5, 0.5]])
             self.N, self.dN = _tri3_N, _tri3_dN
+        elif etype == 743:
+            # MITC9 (static_LIB_shell.f90:145-258): 9-node Lagrange,
+            # 3x3 Gauss, three tying families over ALL five strain rows
+            self.nn = 9
+            self.nodal = np.array(
+                [[-1., -1.], [1., -1.], [1., 1.], [-1., 1.],
+                 [0., -1.], [1., 0.], [0., 1.], [-1., 0.], [0., 0.]])
+            g = np.sqrt(0.6)
+            pts = [-g, 0.0, g]
+            wts = [5. / 9., 8. / 9., 5. / 9.]
+            self.gauss = np.array([[a, b] for b in pts for a in pts])
+            self.gw = np.array([wa * wb for wb in wts for wa in wts])
+            s3 = SQ3I
+            s35 = np.sqrt(0.6)
+            # family 1: rows (e11, e13); family 2: (e22, e23);
+            # family 3: (e12) (tpcoord, static_LIB_shell.f90:218-262)
+            self.ty1 = np.array([[-s3, -s35], [s3, -s35], [s3, s35],
+                                 [-s3, s35], [s3, 0.], [-s3, 0.]])
+            self.ty2 = np.array([[-s35, -s3], [0., -s3], [s35, -s3],
+                                 [s35, s3], [0., s3], [-s35, s3]])
+            self.ty3 = np.array([[-s3, -s3], [s3, -s3], [s3, s3],
+                                 [-s3, s3]])
+            self.tying = self.ty1      # director build needs an attr
+            self.N, self.dN = _quad9_N, _quad9_dN
         else:
             raise ValueError(f"unsupported shell etype {etype}")
+
+    def mitc9_h(self, p):
+        """(h1 (6,), h2 (6,), h3 (4,)) tying interpolations at gauss p
+        (static_LIB_shell.f90:915-956)."""
+        x, e = p
+        s3 = SQ3I
+        s35 = np.sqrt(0.6)
+        xi1 = np.array([-1., 1., 1., -1., 1., -1.])
+        et1 = np.array([-1., -1., 1., 1., 0., 0.])
+        xh, eh = x / s3, e / s35
+        h1 = (0.5 * (1 + xi1 * xh)
+              * (0.5 * et1 * eh * (1 + et1 * eh)
+                 + (1 - et1 * et1) * (1 - eh * eh)))
+        xi2 = np.array([-1., 0., 1., 1., 0., -1.])
+        et2 = np.array([-1., -1., -1., 1., 1., 1.])
+        xh, eh = x / s35, e / s3
+        h2 = ((0.5 * xi2 * xh * (1 + xi2 * xh)
+               + (1 - xi2 * xi2) * (1 - xh * xh))
+              * 0.5 * (1 + et2 * eh))
+        xi3 = np.array([-1., 1., 1., -1.])
+        et3 = np.array([-1., -1., 1., 1.])
+        xh, eh = x / s3, e / s3
+        h3 = 0.25 * (1 + xi3 * xh) * (1 + et3 * eh)
+        return h1, h2, h3
 
     def tying_coeffs(self, p):
         """(c44, c45, c54, c55) each (ntying,): row4/5 of the assumed-
@@ -263,30 +333,63 @@ def stiffness_shell(elem, thick, ee, pp, alpha_over_mu=1.0e-3, etype=741):
     chat = _chat(ee, pp)
     mu = 0.5 * ee / (1.0 + pp)
     alpha = alpha_over_mu * mu
-    nt = table.tying.shape[0]
-    # assumed-strain rows sampled at zeta = 0 (zeta-independent)
-    Bt4, Bt5 = [], []
-    for p in range(nt):
-        Bp, _, _, _ = _bmat(elem, s, table.N(table.tying[p]),
-                            table.dN(table.tying[p]), 0.0)
-        Bt4.append(Bp[:, 3])
-        Bt5.append(Bp[:, 4])
-    Bt4 = jnp.stack(Bt4, axis=1)                       # (E,nt,nn6)
-    Bt5 = jnp.stack(Bt5, axis=1)
+    mitc9 = etype == 743
+    if not mitc9:
+        nt = table.tying.shape[0]
+        # assumed-strain rows sampled at zeta = 0 (zeta-independent)
+        Bt4, Bt5 = [], []
+        for p in range(nt):
+            Bp, _, _, _ = _bmat(elem, s, table.N(table.tying[p]),
+                                table.dN(table.tying[p]), 0.0)
+            Bt4.append(Bp[:, 3])
+            Bt5.append(Bp[:, 4])
+        Bt4 = jnp.stack(Bt4, axis=1)                   # (E,nt,nn6)
+        Bt5 = jnp.stack(Bt5, axis=1)
 
     K = jnp.zeros((E, nn * 6, nn * 6), dt)
     for zeta in (-SQ3I, SQ3I):
+        if mitc9:
+            # MITC9 ties ALL five rows, sampled at the CURRENT layer
+            # zeta (static_LIB_shell.f90:473-476)
+            Bty = []
+            for tp in (table.ty1, table.ty2, table.ty3):
+                rows = []
+                for p in tp:
+                    Bp, _, _, _ = _bmat(elem, s, table.N(p),
+                                        table.dN(p), zeta)
+                    rows.append(Bp)
+                Bty.append(jnp.stack(rows, axis=1))    # (E,np,5,nn6)
         for q in range(table.gauss.shape[0]):
             p = table.gauss[q]
             w = float(table.gw[q])
             Nq, dNq = table.N(p), table.dN(p)
             B, g1, g2, g3 = _bmat(elem, s, Nq, dNq, zeta)
-            c44, c45, c54, c55 = table.tying_coeffs(p)
-            row4 = (jnp.einsum("t,etj->ej", jnp.asarray(c44, dt), Bt4)
-                    + jnp.einsum("t,etj->ej", jnp.asarray(c45, dt), Bt5))
-            row5 = (jnp.einsum("t,etj->ej", jnp.asarray(c54, dt), Bt4)
-                    + jnp.einsum("t,etj->ej", jnp.asarray(c55, dt), Bt5))
-            B = B.at[:, 3].set(row4).at[:, 4].set(row5)
+            if mitc9:
+                h1, h2, h3 = table.mitc9_h(p)
+                h1 = jnp.asarray(h1, dt)
+                h2 = jnp.asarray(h2, dt)
+                h3 = jnp.asarray(h3, dt)
+                B = (B.at[:, 0].set(jnp.einsum(
+                        "t,etj->ej", h1, Bty[0][:, :, 0]))
+                     .at[:, 4].set(jnp.einsum(
+                        "t,etj->ej", h1, Bty[0][:, :, 4]))
+                     .at[:, 1].set(jnp.einsum(
+                        "t,etj->ej", h2, Bty[1][:, :, 1]))
+                     .at[:, 3].set(jnp.einsum(
+                        "t,etj->ej", h2, Bty[1][:, :, 3]))
+                     .at[:, 2].set(jnp.einsum(
+                        "t,etj->ej", h3, Bty[2][:, :, 2])))
+            else:
+                c44, c45, c54, c55 = table.tying_coeffs(p)
+                row4 = (jnp.einsum("t,etj->ej", jnp.asarray(c44, dt),
+                                   Bt4)
+                        + jnp.einsum("t,etj->ej", jnp.asarray(c45, dt),
+                                     Bt5))
+                row5 = (jnp.einsum("t,etj->ej", jnp.asarray(c54, dt),
+                                   Bt4)
+                        + jnp.einsum("t,etj->ej", jnp.asarray(c55, dt),
+                                     Bt5))
+                B = B.at[:, 3].set(row4).at[:, 4].set(row5)
             cg1, cg2, cg3, det = _contravariant(g1, g2, g3)
             D = _dmat(chat, g1, g2, g3, cg1, cg2, cg3)
             DB = jnp.einsum("ers,esj->erj", D, B)

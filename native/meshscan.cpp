@@ -41,7 +41,7 @@ int nodes_per_elem(int etype) {
     case 341: return 4; case 342: return 10;
     case 351: return 6; case 352: return 15;
     case 361: return 8; case 362: return 20;
-    case 731: return 3; case 741: return 4; case 743: return 6;
+    case 731: return 3; case 741: return 4; case 743: return 9;
     case 761: return 6; case 781: return 8;
     case 641: return 4;
     case 3414: return 4;
