@@ -670,14 +670,26 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     prof = ellmod.profile_from_model(model)
     prof_d = prof.device()
     amaps = amgmod.eligible_maps(prof, model.n_dof_total)
-    cprof_d = bellmod.cluster_profile_from_model(model,
-                                                 scalar=prof).device()
+    cprof = bellmod.cluster_profile_from_model(model, scalar=prof)
+    cprof_d = cprof.device()
     coords_j = jnp.asarray(model.coords)
     nns_t = tuple(nns)
+    # MXU segment-sum assembly (f32): ~6x the XLA scatter per Newton
+    # iteration at 1M dof.  Aux arrays ride through _solve as args.
+    use_pal = ellmod._use_pallas_asm(
+        cprof.perm.size, [jnp.zeros((1,), jnp.float32)])
+    pal = cprof.pallas_assemble(nns_t) if use_pal else None
+    pal_fn = pal.fn if pal is not None else None
+    pal_args = pal.args if pal is not None else None
 
-    def _cluster_op(cprofile, kes, free_m, dtype):
-        blocks, raw = bellmod.assemble_cluster(
-            cprofile, [k.astype(dtype) for k in kes], nns_t)
+    def _cluster_op(cprofile, kes, free_m, dtype, pal_a=None):
+        if pal_fn is not None and pal_a is not None \
+                and dtype == jnp.float32:
+            blocks, raw = pal_fn(*pal_a,
+                                 *[k.astype(dtype) for k in kes])
+        else:
+            blocks, raw = bellmod.assemble_cluster(
+                cprofile, [k.astype(dtype) for k in kes], nns_t)
         diag = bellmod.extract_diag(cprofile, raw)
         cop = bellmod.ClusterOperator(
             blocks=blocks, ccols=cprofile.ccols, diag=diag,
@@ -695,7 +707,8 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
 
     if mixed:
         @jax.jit
-        def _solve(profile, cprofile, am, ctx, kes, B, dirichlet_inc):
+        def _solve(profile, cprofile, am, ctx, kes, B, dirichlet_inc,
+                   pal_a):
             dofs, inc, free_m, coords = ctx
             op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
                                   n_node, ndof, free_m)
@@ -703,7 +716,8 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                 dirichlet_inc * (1.0 - free_m)
             # cluster-ELL f32 operator for the CG hot loop (~7 ms/matvec
             # at 1M-dof tet); f64 true residual via gather op
-            cop32, raw = _cluster_op(cprofile, kes, free_m, jnp.float32)
+            cop32, raw = _cluster_op(cprofile, kes, free_m, jnp.float32,
+                                     pal_a)
             res = refined_cg(op.apply_constrained,
                              cop32.apply_constrained,
                              _precond(cop32, cprofile, raw, profile, am,
@@ -713,13 +727,15 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
             return res.x
     else:
         @jax.jit
-        def _solve(profile, cprofile, am, ctx, kes, B, dirichlet_inc):
+        def _solve(profile, cprofile, am, ctx, kes, B, dirichlet_inc,
+                   pal_a):
             dofs, inc, free_m, coords = ctx
             op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
                                   n_node, ndof, free_m)
             b_c = (B - op.matvec(dirichlet_inc)) * free_m + \
                 dirichlet_inc * (1.0 - free_m)
-            cop, raw = _cluster_op(cprofile, kes, free_m, b_c.dtype)
+            cop, raw = _cluster_op(cprofile, kes, free_m, b_c.dtype,
+                                   pal_a)
             res = krylov.pcg(cop.apply_constrained, b_c,
                              M=_precond(cop, cprofile, raw, profile, am,
                                         coords), tol=sv.resid,
@@ -729,7 +745,8 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     ctx = (list(dofs_j), inc_j, free, coords_j)
 
     def solve(kes, B, dirichlet_inc):
-        return _solve(prof_d, cprof_d, amaps, ctx, kes, B, dirichlet_inc)
+        return _solve(prof_d, cprof_d, amaps, ctx, kes, B, dirichlet_inc,
+                      pal_args)
 
     return solve
 

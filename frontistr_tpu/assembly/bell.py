@@ -55,6 +55,28 @@ class ClusterProfile:
     def n_slots(self) -> int:
         return self.C * self.Wc * self.G * self.G
 
+    def pallas_assemble(self, nns):
+        """Cached MXU segment-sum assembly (blocks, raw) for this
+        profile (see ellmod.ELLProfile.pallas_assemble)."""
+        cache = getattr(self, "_pal", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_pal", cache)
+        key = tuple(int(n) for n in nns)
+        fn = cache.get(key)
+        if fn is None:
+            from frontistr_tpu.assembly import segsum_pallas as sp
+            nd, G, C, Wc = self.ndof, self.G, self.C, self.Wc
+
+            def post(raw):
+                six = jnp.transpose(raw.reshape(G, G, Wc, C, nd, nd),
+                                    (0, 4, 1, 5, 2, 3))
+                return six.reshape(G * nd, G * nd, Wc, C), raw
+            fn = sp.make_planes_segsum(self.seg_sorted, self.n_slots,
+                                       self.perm, nd, key, post)
+            cache[key] = fn
+        return fn
+
     def device(self) -> "ClusterProfile":
         if not hasattr(self, "_dev"):
             object.__setattr__(self, "_dev", ClusterProfile(
@@ -311,7 +333,10 @@ def from_model(model, kes, dtype=None,
     if dtype is not None:
         all_kes = [k.astype(dtype) for k in all_kes]
     prof_d = profile.device()
-    blocks, raw = _assemble_jit(prof_d, tuple(all_kes), tuple(nns))
+    if ellmod._use_pallas_asm(profile.perm.size, all_kes):
+        blocks, raw = profile.pallas_assemble(tuple(nns))(tuple(all_kes))
+    else:
+        blocks, raw = _assemble_jit(prof_d, tuple(all_kes), tuple(nns))
     diag = _diag_jit(prof_d, raw)
     free = old_ops.make_free_mask(model.n_dof_total, model.fixed_dofs)
     fm = jnp.asarray(free, blocks.dtype)

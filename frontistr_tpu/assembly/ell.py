@@ -23,6 +23,7 @@ Dirichlet handling matches femop.FEOperator (projection form).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, List, Optional, Sequence
 
 import jax
@@ -56,6 +57,26 @@ class ELLProfile:
     @property
     def n_slots(self) -> int:
         return self.n_node * self.W
+
+    def pallas_assemble(self, nns):
+        """Cached MXU segment-sum assembly fn (segsum_pallas) for this
+        profile; ~6x faster than the XLA scatter path at 1M dof."""
+        cache = getattr(self, "_pal", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_pal", cache)
+        key = tuple(int(n) for n in nns)
+        fn = cache.get(key)
+        if fn is None:
+            from frontistr_tpu.assembly import segsum_pallas as sp
+            N, W, nd = self.n_node, self.W, self.ndof
+
+            def post(raw):
+                return raw.reshape(N, W, nd, nd)
+            fn = sp.make_planes_segsum(self.seg_sorted, self.n_slots,
+                                       self.perm, nd, key, post)
+            cache[key] = fn
+        return fn
 
     def device(self) -> "ELLProfile":
         """Device-resident copy (cached).  Pass THIS through jit args —
@@ -232,6 +253,20 @@ jax.tree_util.register_dataclass(
 from functools import partial as _partial
 
 
+def _use_pallas_asm(n_pairs: int, kes) -> bool:
+    """MXU segment-sum assembly pays off once the one-time host chunking
+    (~0.3 s / 1e7 pairs) amortizes; f32 only (the kernel matmul is f32)."""
+    flag = os.environ.get("FRONTISTR_TPU_PALLAS_ASM", "auto")
+    if flag == "0":
+        return False
+    import jax as _jax
+    if _jax.default_backend() != "tpu" and flag != "force":
+        return False
+    if any(k.dtype != jnp.float32 for k in kes):
+        return False
+    return flag in ("1", "force") or n_pairs >= (1 << 21)
+
+
 @_partial(jax.jit, static_argnames=("nns",))
 def _assemble_jit(profile: ELLProfile, kes, nns):
     """Jitted numeric assembly; profile rides through as a pytree arg."""
@@ -280,7 +315,11 @@ def from_model(model, kes, dtype=None,
     nns = [b.conn.shape[1] for b in model.blocks] + list(ex_nns)
     if dtype is not None:
         all_kes = [k.astype(dtype) for k in all_kes]
-    blocks = _assemble_jit(profile.device(), tuple(all_kes), tuple(nns))
+    if _use_pallas_asm(profile.perm.size, all_kes):
+        blocks = profile.pallas_assemble(tuple(nns))(tuple(all_kes))
+    else:
+        blocks = _assemble_jit(profile.device(), tuple(all_kes),
+                               tuple(nns))
     free = old_ops.make_free_mask(model.n_dof_total, model.fixed_dofs)
     fm = jnp.asarray(free, blocks.dtype)
     return ELLOperator(blocks=blocks, cols=jnp.asarray(profile.cols),

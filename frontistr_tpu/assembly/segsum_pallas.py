@@ -1,0 +1,215 @@
+"""Pallas sorted-segment-sum: the TPU kernel behind fast assembly.
+
+XLA's segment_sum lowers to scatter, which runs ~90M elements/s on TPU
+(3.3 s for the 283M scattered entries of a 1M-dof tet assembly).  This
+kernel exploits the SORTED segment ids instead: entries are cut into
+fixed-size chunks aligned to segment boundaries (host), so each chunk
+covers a bounded, disjoint slot window; inside the kernel the chunk's
+partial sums are ONE one-hot matmul on the MXU:
+
+    partial (R, V) = onehot(R, C) @ ent (C, V)
+    onehot[r, c]   = (seg[c] - s_lo == r)
+
+The per-chunk windows land in a (nc*R, V) scratch layout; a final row
+gather maps window rows to true slots.  No scatter anywhere.
+
+Cost model at 1M-dof tet (P = 31.5M entries, V = 16):
+  one-hot generation  P*R      = 16e9 VPU compares  ~  4 ms
+  matmuls             2*P*R*V  = 0.5 TFLOP f32      ~ 10 ms
+  combine gather      S rows of 64 B               ~ 25 ms
+vs 3.3 s for the XLA scatter path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+C_ENT = 1024          # entries per chunk
+V_PAD = 16            # value lanes (nd*nd=9 padded to 16)
+
+
+def build_chunks(seg_sorted: np.ndarray, n_slots: int,
+                 c_ent: int = C_ENT):
+    """Host: slot-aligned entry chunks.
+
+    Returns (cuts (nc+1,), s_lo (nc,), R, slot_src (n_slots,)) where
+    chunk k holds sorted entries [cuts[k], cuts[k+1]) covering slots
+    [s_lo[k], s_lo[k] + R) disjointly, and slot_src maps each true slot
+    to its row in the (nc*R) window layout."""
+    P = len(seg_sorted)
+    # candidate cut every c_ent entries, moved LEFT to a segment start
+    starts = np.flatnonzero(np.r_[True, seg_sorted[1:] != seg_sorted[:-1]])
+    cuts = [0]
+    pos = c_ent
+    while pos < P:
+        i = np.searchsorted(starts, pos, side="right") - 1
+        cut = int(starts[i])
+        if cut <= cuts[-1]:
+            # one segment longer than c_ent: cut mid-segment is illegal;
+            # advance to the next segment start
+            j = np.searchsorted(starts, cuts[-1], side="right")
+            cut = int(starts[j]) if j < len(starts) else P
+        cuts.append(cut)
+        pos = cut + c_ent
+    if cuts[-1] != P:
+        cuts.append(P)
+    cuts = np.asarray(cuts, np.int64)
+    nc = len(cuts) - 1
+    s_lo = seg_sorted[cuts[:-1]].astype(np.int32)
+    s_hi = seg_sorted[cuts[1:] - 1].astype(np.int64)
+    R = int((s_hi - s_lo + 1).max())
+    R = max(int(-(-R // 128) * 128), 128)            # lane multiple
+    # max entries per chunk after alignment (can exceed c_ent when a
+    # single segment is huge)
+    cmax = int((cuts[1:] - cuts[:-1]).max())
+    cmax = max(int(-(-cmax // c_ent) * c_ent), c_ent)
+    # slots with NO entries (e.g. padded ELL columns) must read ZERO:
+    # point them at a window row past some chunk's slot span, where the
+    # one-hot never matches.  If every chunk's span fills R exactly,
+    # widen R by one lane tile to guarantee such a row exists.
+    span = (s_hi - s_lo + 1).astype(np.int64)
+    if int(span.min()) >= R:
+        R += 128
+    k0 = int(np.argmin(span))
+    zero_row = k0 * R + R - 1
+    # true-slot -> window-row map
+    slot_src = np.full(n_slots, zero_row, np.int64)
+    for k in range(nc):
+        lo = int(s_lo[k])
+        hi = int(s_hi[k])
+        slot_src[lo:hi + 1] = k * R + np.arange(lo, hi + 1) - lo
+    return cuts, s_lo, R, cmax, slot_src
+
+
+def _imap(c):
+    # under jax_enable_x64 a literal 0 traces as i64 while the program id
+    # is i32; Mosaic rejects the mixed-type func.return
+    return (jnp.zeros((), jnp.int32), c)
+
+
+def _kernel(ent_ref, out_ref, *, R, VP):
+    # V-major layout: entries ride LANES (a (P,16) layout would be tile-
+    # padded 16->128 lanes = 8x HBM).  Chunk-local slot ids ride sublane
+    # VP-1 as exact small-int f32 (host-normalized; < R <= 2048), so
+    # the only inputs are plain (VP, cmax) tiles — no rank-1/SMEM specs,
+    # which this Mosaic version cannot lower.
+    blk = ent_ref[:, :]                              # (VP, C)
+    ids = blk[VP - 1:VP, :].astype(jnp.int32)        # (1, C)
+    # onehot in (R, C) orientation — ids broadcast over SUBLANES (cheap);
+    # contract the C axis of both (no lane->sublane relayout, which the
+    # (C,)->(C,1) formulation needs and this Mosaic version miscompiles)
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (R, ids.shape[1]), 0)
+              == ids).astype(jnp.float32)
+    out_ref[:, :] = jax.lax.dot_general(
+        blk, onehot, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def make_segsum(seg_sorted: np.ndarray, n_slots: int,
+                c_ent: int = C_ENT, v_pad: int = V_PAD):
+    """Host setup; returns (fn, aux) with fn(entT_pad, seg_pad, slot_src)
+    -> (v_pad, n_slots) and aux holding the padded static arrays."""
+    cuts, s_lo, R, cmax, slot_src = build_chunks(seg_sorted, n_slots,
+                                                 c_ent)
+    nc = len(s_lo)
+    P = len(seg_sorted)
+    # pad chunks to fixed cmax entries: entry k of chunk c sits at
+    # row c*cmax + k; padding rows carry value 0 and seg = s_lo (adds 0)
+    ent_map = np.full(nc * cmax, P, np.int64)        # P -> zero pad row
+    # chunk-LOCAL slot ids (seg - s_lo[chunk]), pre-normalized so the
+    # kernel needs no per-chunk scalars
+    seg_pad = np.zeros(nc * cmax, np.int32)
+    for k in range(nc):
+        n = int(cuts[k + 1] - cuts[k])
+        ent_map[k * cmax:k * cmax + n] = np.arange(cuts[k], cuts[k + 1])
+        seg_pad[k * cmax:k * cmax + n] = \
+            seg_sorted[cuts[k]:cuts[k + 1]] - s_lo[k]
+
+    grid = nc
+    kernel = partial(_kernel, R=R, VP=v_pad)
+
+    @partial(jax.jit, static_argnames=())
+    def run(entT_sorted_pad, seg_pad_j, slot_src_j):
+        """entT_sorted_pad: (v_pad, nc*cmax) f32 (pad cols zero)."""
+        interp = jax.default_backend() != "tpu"
+        ent_aug = entT_sorted_pad.at[v_pad - 1, :].set(seg_pad_j)
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            interpret=interp,
+            in_specs=[
+                pl.BlockSpec((v_pad, cmax), _imap),
+            ],
+            out_specs=pl.BlockSpec((v_pad, R), _imap),
+            out_shape=jax.ShapeDtypeStruct((v_pad, nc * R),
+                                           jnp.float32),
+        )(ent_aug)
+        # sublane V_PAD-1 of the output holds onehot-row sums of the id
+        # lane — callers only read [:nd*nd]
+        return out[:, slot_src_j]                    # (V_PAD, n_slots)
+
+    aux = dict(ent_map=jnp.asarray(ent_map),
+               seg_pad=jnp.asarray(seg_pad.astype(np.float32)),
+               s_lo=jnp.asarray(s_lo), slot_src=jnp.asarray(slot_src),
+               nc=nc, cmax=cmax, R=R)
+    return run, aux
+
+
+def make_planes_segsum(seg_sorted: np.ndarray, n_slots: int,
+                       perm: np.ndarray, nd: int, nns, post=None,
+                       c_ent: int = C_ENT):
+    """Assembly-shaped wrapper used by ell/bell: returns a jitted
+    ``assemble(kes) -> post(raw (n_slots, nd*nd))`` running the sorted
+    segment-sum on the MXU instead of XLA scatter (f32 only).
+
+    ``perm`` (raw pair entry -> slot order) is fused into the chunk pad
+    map on the host, so the device does ONE lane-gather of the plane-
+    major entries.  All big arrays ride through jit as arguments (the
+    closure-inlining rule; see ELLProfile docstring)."""
+    nsq = nd * nd
+    vp = max(int(-(-(nsq + 1) // 8) * 8), 8)
+    run, aux = make_segsum(seg_sorted, n_slots, c_ent=c_ent, v_pad=vp)
+    P = int(perm.size)
+    ent_map = np.asarray(aux["ent_map"])
+    full_map = np.where(
+        ent_map < P,
+        np.asarray(perm, np.int64)[np.minimum(ent_map, P - 1)], P)
+    fm_j = jnp.asarray(full_map.astype(np.int32))
+    sg_j, ss_j = aux["seg_pad"], aux["slot_src"]
+    nns = tuple(int(n) for n in nns)
+
+    @jax.jit
+    def _asm(fm, sg, ss, *kes):
+        planes = []
+        for ke, nn in zip(kes, nns):
+            E = ke.shape[0]
+            kr = ke.reshape(E, nn, nd, nn, nd)
+            # plane-major (d1,d2) x (a,b,e): matches the pair enumeration
+            # order of ell/bell build_profile
+            planes.append(jnp.transpose(kr, (2, 4, 1, 3, 0))
+                          .reshape(nsq, nn * nn * E))
+        ent = jnp.concatenate(planes, axis=1).astype(jnp.float32)
+        entp = jnp.pad(ent, ((0, vp - nsq), (0, 1)))   # pad col P -> 0
+        raw = run(entp[:, fm], sg, ss)                 # (vp, n_slots)
+        out = raw[:nsq].T                              # (n_slots, nd*nd)
+        return post(out) if post is not None else out
+
+    class _Planes:
+        """fn(fm, sg, ss, *kes) jitted; args = the device aux arrays.
+        Exposed separately so outer jits (e.g. the Newton-loop solver)
+        can thread the aux through their own boundary as ARGUMENTS
+        instead of closing over them (closure-inlining rule)."""
+        fn = staticmethod(_asm)
+        args = (fm_j, sg_j, ss_j)
+
+        def __call__(self, kes):
+            return _asm(fm_j, sg_j, ss_j, *kes)
+
+    return _Planes()
