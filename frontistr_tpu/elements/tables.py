@@ -299,6 +299,9 @@ ETYPE_INFO = {
     242: (2, 8, _sf_quad8, _qp_quad9),
     301: (1, 2, _sf_line2, _qp_line1),
     341: (3, 4, _sf_tet4, _qp_tet1),
+    # u-p flow tet: tet4 shapes on the tet10 4-pt rule
+    # (element.f90:429 fe_tet4n_pipi shares gauss3d5)
+    3414: (3, 4, _sf_tet4, _qp_tet4),
     342: (3, 10, _sf_tet10, _qp_tet4),
     351: (3, 6, _sf_prism6, _qp_prism2),
     352: (3, 15, _sf_prism15, _qp_prism9),

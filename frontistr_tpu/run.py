@@ -101,11 +101,18 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
         out["eigen"] = run_eigen(model, log_path=log_path)
         out["model"] = model
     elif sol == "DYNAMIC":
-        from frontistr_tpu.assembly.model import build_struct_model
-        from frontistr_tpu.analysis.dynamic import run_dynamic
-        model = build_struct_model(mesh, cfg)
-        out["dynamic"] = run_dynamic(model, log_path=log_path)
-        out["model"] = model
+        if any(b.etype == 3414 for b in mesh.blocks):
+            # u-p flow meshes route to the SUPG/PSPG stepper
+            # (fstr_dynamic_nlimplicit + dynamic_mat_ass_load 3414 arm)
+            from frontistr_tpu.analysis.flow import run_flow
+            out["flow"] = run_flow(mesh, cfg, workdir,
+                                   log_path=log_path)
+        else:
+            from frontistr_tpu.assembly.model import build_struct_model
+            from frontistr_tpu.analysis.dynamic import run_dynamic
+            model = build_struct_model(mesh, cfg)
+            out["dynamic"] = run_dynamic(model, log_path=log_path)
+            out["model"] = model
     else:
         raise NotImplementedError(f"solution type {sol}")
 
@@ -155,6 +162,11 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
                          [("DISPLACEMENT", nd[:, :3]),
                           ("VELOCITY", nv[:, :3]),
                           ("ACCELERATION", na[:, :3])], [])
+        elif "flow" in out:
+            from frontistr_tpu.analysis.flow import write_flow_result
+            fr = out["flow"]
+            write_flow_result(base + f".0.{fr.steps}", mesh, fr,
+                              step=fr.steps)
         elif "eigen" in out:
             er = out["eigen"]
             eids = np.concatenate([b.elem_ids for b in mesh.blocks])
