@@ -74,10 +74,13 @@ def box_tet4(nx: int, ny: int, nz: int, **kw) -> Mesh:
     """Box meshed with 6 tets per hex cell."""
     m = box_hex8(nx, ny, nz, **{k: v for k, v in kw.items()})
     hx = m.blocks[0].conn
-    # 6-tet decomposition of each hex (corner-consistent)
+    # Kuhn/Freudenthal 6-tet split around the 0-6 main diagonal: every
+    # cube face gets the diagonal through its 0-nearest/6-nearest
+    # corners, so diagonals MATCH across neighboring cubes (the mesh is
+    # face-conforming, which adaptation's red/green closure relies on)
     t = []
-    for tet in ([0, 1, 3, 7], [0, 1, 7, 5], [0, 5, 7, 4],
-                [1, 2, 3, 7], [1, 6, 7, 5], [1, 2, 7, 6]):
+    for tet in ([0, 1, 2, 6], [0, 2, 3, 6], [0, 1, 6, 5],
+                [0, 4, 5, 6], [0, 4, 6, 7], [0, 3, 7, 6]):
         t.append(hx[:, tet])
     conn = np.concatenate(t, axis=0).astype(np.int32)
     E = conn.shape[0]

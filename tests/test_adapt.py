@@ -1,0 +1,120 @@
+"""Adaptive refinement (frontistr_tpu/adapt.py): ZZ marking +
+red/green tet closure vs the reference adaptation subsystem
+(hecmw_adapt_proc.f90 pipeline)."""
+import dataclasses
+from itertools import combinations
+
+import numpy as np
+import pytest
+
+from frontistr_tpu.meshgen import box_tet4
+from frontistr_tpu.adapt import (adapt_mesh, adapt_by_error, zz_error,
+                                 mark_fraction)
+
+
+def _vol(coords, conn):
+    return np.abs(np.linalg.det(coords[conn[:, 1:]]
+                                - coords[conn[:, :1]])) / 6.0
+
+
+def _check_conforming(coords, conn):
+    """Every interior face shared by exactly 2 tets, positive volumes,
+    total volume preserved by construction checks elsewhere."""
+    det = np.linalg.det(coords[conn[:, 1:]] - coords[conn[:, :1]])
+    assert det.min() > 1e-14, "degenerate or inverted child"
+    faces = {}
+    for row in conn:
+        for tri in combinations(sorted(map(int, row)), 3):
+            faces[tri] = faces.get(tri, 0) + 1
+    counts = np.asarray(list(faces.values()))
+    assert counts.max() <= 2, "face shared by >2 tets (non-conforming)"
+    # hanging-node check: no node lies strictly inside another face
+    # (approximated: every face of count 1 must be on the domain hull)
+    on_hull = 0
+    for tri, cnt in faces.items():
+        if cnt == 1:
+            p = coords[list(tri)]
+            hull = [np.allclose(p[:, d], p[0, d]) and
+                    (abs(p[0, d]) < 1e-12 or abs(p[0, d] - 1) < 1e-12)
+                    for d in range(3)]
+            assert any(hull), f"interior face {tri} owned by one tet"
+            on_hull += 1
+
+
+def test_single_mark_conforming_and_volume():
+    m = box_tet4(2, 2, 2)
+    conn0 = m.blocks[0].conn
+    v0 = _vol(m.coords, conn0).sum()
+    m2 = adapt_mesh(m, [1])                     # mark first element
+    conn = np.asarray(m2.blocks[0].conn)
+    assert conn.shape[0] > conn0.shape[0]
+    _check_conforming(m2.coords, conn)
+    assert np.isclose(_vol(m2.coords, conn).sum(), v0)
+
+
+def test_marked_region_refined_others_coarse():
+    m = box_tet4(3, 3, 3)
+    conn0 = m.blocks[0].conn
+    # mark all elements touching the origin corner
+    touch = np.flatnonzero((m.coords[conn0] ** 2).sum(-1).min(1) < 1e-12)
+    eids = m.blocks[0].elem_ids[touch]
+    m2 = adapt_mesh(m, eids)
+    conn = np.asarray(m2.blocks[0].conn)
+    _check_conforming(m2.coords, conn)
+    v = _vol(m2.coords, conn)
+    # near the marked corner elements shrank 8x; far corner untouched
+    cen = m2.coords[conn].mean(axis=1)
+    near = v[np.linalg.norm(cen, axis=1) < 0.25]
+    far = v[np.linalg.norm(cen - 1.0, axis=1) < 0.45]
+    assert near.max() < far.min()
+    assert np.isclose(v.sum(), _vol(m.coords, conn0).sum())
+
+
+def test_groups_propagate():
+    m = box_tet4(2, 2, 2)
+    m2 = adapt_mesh(m, m.blocks[0].elem_ids[:6])
+    # face group Z0 still spans the z=0 plane
+    z0 = m2.node_groups["Z0"]
+    assert np.allclose(m2.coords[z0][:, 2], 0.0)
+    have = set(map(tuple, np.round(m2.coords[z0][:, :2], 9)))
+    # original plane nodes all retained
+    for g in m.node_groups["Z0"]:
+        assert tuple(np.round(m.coords[g][:2], 9)) in have
+    assert len(m2.elem_groups["ALL"]) == m2.blocks[0].conn.shape[0]
+
+
+def test_zz_marks_stress_concentration():
+    """Clamped box with a corner point load: ZZ marks cluster there."""
+    from frontistr_tpu.io.ctrlio import Card
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.static import run_linear_static
+    from frontistr_tpu.io.ctrlio import AnalysisConfig, StepInfo
+
+    m = box_tet4(3, 3, 3)
+    cfg = AnalysisConfig()
+    cfg.solution_type = "STATIC"
+    cfg.steps = [StepInfo()]
+    cfg.boundaries = [Card("BOUNDARY", {},
+                           [["Z0", "1", "3", "0.0"]])]
+    # concentrated load at the (1,1,1) corner node
+    corner = int(np.argmin(((m.coords - 1.0) ** 2).sum(1)))
+    cfg.cloads = [Card("CLOAD", {},
+                       [[str(corner + 1), "3", "-1000.0"]])]
+    model = build_struct_model(m, cfg)
+    res = run_linear_static(model)
+    eta = zz_error(m, res)
+    eids = mark_fraction(eta, m.blocks[0].elem_ids, 0.15)
+    conn0 = np.asarray(m.blocks[0].conn)
+    marked_rows = np.asarray([int(e) - 1 for e in eids])
+    cen = m.coords[conn0[marked_rows]].mean(axis=1)
+    # marked elements concentrate near the loaded corner
+    d_marked = np.linalg.norm(cen - 1.0, axis=1).mean()
+    d_all = np.linalg.norm(
+        m.coords[conn0].mean(axis=1) - 1.0, axis=1).mean()
+    assert d_marked < 0.8 * d_all
+    # full pipeline runs and yields a solvable conforming mesh
+    m2 = adapt_by_error(m, res, 0.15)
+    _check_conforming(m2.coords, np.asarray(m2.blocks[0].conn))
+    model2 = build_struct_model(m2, cfg)
+    res2 = run_linear_static(model2)
+    assert res2.relres < 1e-6
