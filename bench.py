@@ -114,14 +114,22 @@ def main():
 
     # f64 operator for the TRUE residual.  Measured alternatives at 1M
     # dof: re-integrated element residual (matrix-free f64) costs
-    # 1.9 s/call (f64 emulation is per-op-overhead-bound, not
-    # flop-bound); the assembled route pays 5.3 s ONCE and then
-    # 0.09 s/matvec — wins for >=2 refinement passes.
+    # 1.9 s/call (f64 emulation is per-op-overhead-bound); generic
+    # assembled B^T D B costs 5.3 s.  The isotropic gram-matrix closed
+    # form (stiffness_linear_iso: ONE (24,q)@(q,24) gram matmul + cheap
+    # relayouts, ~20x fewer f64 FLOPs) assembles the same f64 operator
+    # in 1.3 s — f64 emulation cost tracks FLOPs almost 1:1.
+    _E, _nu = 210e3, 0.3
+    lam64 = _E * _nu / ((1 + _nu) * (1 - 2 * _nu))
+    mu64 = _E / (2 * (1 + _nu))
+
     @jax.jit
     def assemble64(c):
-        def chunk(ce, De):
-            return solid.stiffness_linear(table, ce, De)
-        ke = solid._chunked(chunk, c[conn_j], D64, chunk=32768)
+        def chunk(ce, _u):
+            return solid.stiffness_linear_iso(table, ce, lam64, mu64)
+        ke = solid._chunked(chunk, c[conn_j],
+                            jnp.zeros((conn_j.shape[0], 1), c.dtype),
+                            chunk=32768)
         return soa_from_blocks(ke)
 
     @jax.jit

@@ -58,6 +58,44 @@ def _chunked(fn, *arrays, chunk: int = None):
     return out.reshape(-1, *trail)[:E]
 
 
+def stiffness_linear_iso(table: ElementTable, coords_e: jnp.ndarray,
+                         lam, mu) -> jnp.ndarray:
+    """Isotropic small-strain stiffness via the gram-matrix closed form.
+
+    For isotropic D the B^T D B integrand collapses to
+        ke[(a,i),(b,j)] = int lam g_ai g_bj + mu (d_ij g_a.g_b
+                                                  + g_aj g_bi)
+    so the whole element matrix is ONE (3n x q)@(q x 3n) gram matmul of
+    sqrt(wg)-scaled derivatives plus cheap relayouts — ~20x fewer FLOPs
+    than the generic masked-D path.  This is the f64 fast path: TPU f64
+    is software-emulated, so cutting FLOPs cuts wall time almost 1:1
+    (bench asm64: 5.3 s generic -> sub-second).  Matches
+    stiffness_linear(table, x, elastic_D(E, nu, D3)) to f64 roundoff
+    (same quadrature; STF_C3D8/stiffness integrand of
+    static_LIB_3d.f90:330-420 in closed form).  3D only.
+    """
+    if coords_e.shape[0] > CHUNK:
+        return _chunked(lambda c, _u: stiffness_linear_iso(
+            table, c, lam, mu), coords_e,
+            jnp.zeros((coords_e.shape[0], 1), coords_e.dtype))
+    dt = coords_e.dtype
+    dN = jnp.asarray(table.dN, dt)
+    det, g = jacobians(dN, coords_e)                 # (E,q), (E,q,n,3)
+    w = jnp.asarray(table.weights, dt)
+    wg = w[None, :] * det
+    gs = g * jnp.sqrt(wg)[..., None, None]
+    E, q, n, _ = g.shape
+    G = gs.reshape(E, q, n * 3)
+    M = jnp.einsum("eqm,eqn->emn", G, G,
+                   precision=jax.lax.Precision.HIGHEST)
+    M5 = M.reshape(E, n, 3, n, 3)                    # [a,i,b,j]
+    S = jnp.einsum("eakbk->eab", M5)                 # grad dot grad
+    ke = lam * M5 + mu * jnp.transpose(M5, (0, 1, 4, 3, 2))
+    ke = ke + mu * S[:, :, None, :, None] \
+        * jnp.eye(3, dtype=dt)[None, None, :, None, :]
+    return ke.reshape(E, n * 3, n * 3)
+
+
 def stiffness_linear(table: ElementTable, coords_e: jnp.ndarray,
                      D_e: jnp.ndarray, thick: float = 1.0) -> jnp.ndarray:
     """Small-strain elastic stiffness for a block of elements.

@@ -101,3 +101,29 @@ def test_stiffness_patch_tet4():
     w = np.linalg.eigvalsh(ke)
     assert (w > -1e-8).all()
     assert (np.abs(w) < 1e-6).sum() == 6  # rigid body modes
+
+
+def test_stiffness_linear_iso_matches_generic():
+    """Gram-matrix isotropic closed form == B^T D B to f64 roundoff
+    (the f64 fast path behind bench asm64: 5.3 s -> 1.3 s at 1M dof)."""
+    import jax.numpy as jnp
+    from frontistr_tpu.meshgen import box_hex8, box_tet4
+    from frontistr_tpu.fem import solid
+    from frontistr_tpu.fem.material import elastic_D, D3
+    from frontistr_tpu.elements.tables import get_table
+
+    Em, nu = 210e3, 0.3
+    lam = Em * nu / ((1 + nu) * (1 - 2 * nu))
+    mu = Em / (2 * (1 + nu))
+    for etype, mesh in ((361, box_hex8(2, 2, 2)), (341, box_tet4(2, 2, 2))):
+        conn = mesh.blocks[0].conn
+        E = conn.shape[0]
+        t = get_table(etype)
+        x = jnp.asarray(mesh.coords)[jnp.asarray(conn)]
+        x = x + 0.05 * jnp.sin(x * 7.0)     # non-uniform geometry
+        ref = solid.stiffness_linear(
+            t, x, jnp.broadcast_to(jnp.asarray(elastic_D(Em, nu, D3)),
+                                   (E, 6, 6)))
+        iso = solid.stiffness_linear_iso(t, x, lam, mu)
+        err = float(jnp.abs(ref - iso).max() / jnp.abs(ref).max())
+        assert err < 1e-13, (etype, err)
