@@ -785,7 +785,8 @@ def _assemble_loads_sel(model, cfg, sel, coords=None):
     if not sel:
         return np.zeros(model.n_dof_total)
     mesh = model.mesh
-    f = collect_cload(mesh, cfg.cloads, model.ndof, model.n_node, sel)
+    f = collect_cload(mesh, cfg.cloads, model.ndof, model.n_node, sel,
+                      coords=coords)
     if cfg.dloads:
         from frontistr_tpu.assembly.loads import collect_dload
         f = f + collect_dload(mesh, model, cfg.dloads, sel, coords=coords)
@@ -1106,6 +1107,16 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
     du = jnp.zeros(n)
     # prescribed displacement increment for this substep (fstr_AddBC)
     dufix = jnp.asarray(u_fix_total) * (lam2 - lam1)
+    if getattr(model, "rot_bcs", None):
+        # rotational BC: incremental Rodrigues rotation of the current
+        # slave positions about the center (fstr_AddBC.f90:112-160)
+        from frontistr_tpu.assembly.model import rot_bc_disp
+        u_np = np.asarray(u)
+        for ent in model.rot_bcs:
+            dofs_r, vals_r = rot_bc_disp(ent, model.coords, u=u_np,
+                                         factor=(lam2 - lam1))
+            dufix = dufix.at[jnp.asarray(dofs_r)].set(
+                jnp.asarray(vals_r))
     # multi-step decks split loads into a held part (groups already active
     # in the previous step, factor 1.0) and a ramped part
     gl = f_total * lam2 if f_held is None else f_held + f_total * lam2

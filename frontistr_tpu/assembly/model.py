@@ -144,6 +144,8 @@ class StructModel:
     reftemp: float = 0.0
     # spring blocks: (conns, dofs, kes, nns) from assembly.extras
     extras: tuple = ([], [], [], [])
+    # rotational BOUNDARY entries (ROT_CENTER): applied via rot_bc_disp
+    rot_bcs: list = dataclasses.field(default_factory=list)
 
     @property
     def n_dof_total(self) -> int:
@@ -172,6 +174,8 @@ def collect_boundary(mesh: Mesh, cards: List[Card], ndof: int,
         gid = c.iparam("GRPID", 1)
         if grpid_filter is not None and gid not in grpid_filter:
             continue
+        if c.param("ROT_CENTER"):
+            continue      # rotational BC rows handled by collect_rot
         for row in c.data:
             grp = row[0]
             ds = int(float(row[1])) if len(row) > 1 else 1
@@ -191,11 +195,17 @@ def collect_boundary(mesh: Mesh, cards: List[Card], ndof: int,
 
 
 def collect_cload(mesh: Mesh, cards: List[Card], ndof: int, n_node: int,
-                  grpid_filter=None) -> np.ndarray:
+                  grpid_filter=None, coords=None) -> np.ndarray:
     f = np.zeros(n_node * ndof)
     for c in cards:
         gid = c.iparam("GRPID", 1)
         if grpid_filter is not None and gid not in grpid_filter:
+            continue
+        if c.param("ROT_CENTER"):
+            for ent in collect_rot(mesh, [c], ndof):
+                f += torque_forces(mesh, ent,
+                                   coords if coords is not None
+                                   else mesh.coords)
             continue
         for row in c.data:
             grp = row[0]
@@ -205,6 +215,92 @@ def collect_cload(mesh: Mesh, cards: List[Card], ndof: int, n_node: int,
             if d <= ndof:
                 f[nodes * ndof + (d - 1)] += val
     return f
+
+
+def collect_rot(mesh: Mesh, cards: List[Card], ndof: int,
+                grpid_filter=None):
+    """ROT_CENTER entries on !BOUNDARY/!CLOAD: one per card, with the
+    rotation/torque vector accumulated across rows (fstr_AddBC.f90:
+    70-85, fstr_ass_load.f90:51-93).  Returns dicts with 'nodes'
+    (slave idx), 'center' (center-group idx), 'vec' (3,)."""
+    out = []
+    for c in cards:
+        cg = c.param("ROT_CENTER")
+        if not cg:
+            continue
+        gid = c.iparam("GRPID", 1)
+        if grpid_filter is not None and gid not in grpid_filter:
+            continue
+        vec = np.zeros(3)
+        nodes = None
+        for row in c.data:
+            grp = row[0]
+            if len(row) >= 4:               # BOUNDARY: ds, de, val
+                ds = int(float(row[1]))
+                de = int(float(row[2]))
+                val = float(row[3])
+            else:                           # CLOAD: dof, val
+                ds = de = int(float(row[1]))
+                val = float(row[2])
+            for d in range(ds, de + 1):
+                vec[(d - 1) % 3] = val
+            nodes = _resolve_node_group(mesh, grp)
+        center = _resolve_node_group(mesh, cg)
+        if nodes is None or len(nodes) == 0 or len(center) == 0:
+            continue
+        out.append(dict(nodes=nodes, center=center, vec=vec))
+    return out
+
+
+def torque_forces(mesh: Mesh, ent, coords) -> np.ndarray:
+    """Torque CLOAD: per slave node F = (T/n)(a x r)/|a x r|^2 with a
+    the unit axis and r the current position relative to the center
+    (fstr_ass_load.f90:95-133) -- each node carries torque T/n exactly,
+    independent of radius."""
+    ndof = coords.shape[1] if coords.ndim == 2 else 3
+    f = np.zeros(mesh.n_node * 3)
+    vec = ent["vec"]
+    T = float(np.linalg.norm(vec))
+    if T < 1e-16:
+        return f.reshape(mesh.n_node, 3)[:, :ndof].reshape(-1)
+    a = vec / T
+    c = coords[ent["center"]].mean(axis=0)
+    tn = T / len(ent["nodes"])
+    for n in ent["nodes"]:
+        r = coords[int(n)] - c
+        v = np.cross(a, r)
+        nv2 = float(v @ v)
+        if nv2 < 1e-16:
+            raise ValueError("torque node coincides with the rotation "
+                             "center (fstr_ass_load.f90:126)")
+        f[3 * int(n):3 * int(n) + 3] = (tn / nv2) * v
+    return f.reshape(mesh.n_node, 3)[:, :ndof].reshape(-1)
+
+
+def rodrigues(vec: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """Rotate r (n,3) by the rotation vector vec (angle = |vec|)."""
+    th = float(np.linalg.norm(vec))
+    if th < 1e-16:
+        return r.copy()
+    k = vec / th
+    return (r * np.cos(th) + np.cross(k, r) * np.sin(th)
+            + np.outer(r @ k, k) * (1.0 - np.cos(th)))
+
+
+def rot_bc_disp(ent, coords, u=None, factor: float = 1.0) -> tuple:
+    """Prescribed displacement increment of a rotational BC: du =
+    R(factor*vec) r - r with r the current slave position relative to
+    the center (fstr_AddBC.f90:112-160).  Returns (dofs, values)."""
+    nd = coords.shape[1]
+    cur = coords if u is None else coords + u.reshape(-1, nd)
+    c = cur[ent["center"]].mean(axis=0)
+    r = cur[ent["nodes"]] - c
+    r3 = np.zeros((len(r), 3))
+    r3[:, :nd] = r
+    du = rodrigues(ent["vec"] * factor, r3) - r3
+    dofs = (np.asarray(ent["nodes"])[:, None] * nd
+            + np.arange(nd)[None, :]).reshape(-1)
+    return dofs.astype(np.int64), du[:, :nd].reshape(-1)
 
 
 def _orientation_frame(cfg: AnalysisConfig, sect_id: int):
@@ -364,12 +460,28 @@ def build_struct_model(mesh: Mesh, cfg: AnalysisConfig) -> StructModel:
     grpid = set(step.boundary_groups) if step.boundary_groups else None
     fixed_dofs, fixed_vals = collect_boundary(mesh, cfg.boundaries, ndof,
                                               grpid)
+    rot_bcs = collect_rot(mesh, cfg.boundaries, ndof, grpid)
+    if rot_bcs:
+        # rotational BC slaves are Dirichlet in ALL dofs; the linear
+        # path bakes the full-angle Rodrigues values in, the Newton
+        # loop overrides them incrementally per substep
+        add_d, add_v = [], []
+        for ent in rot_bcs:
+            dofs_r, vals_r = rot_bc_disp(ent, coords)
+            add_d.append(dofs_r)
+            add_v.append(vals_r)
+        keep = ~np.isin(fixed_dofs, np.concatenate(add_d))
+        fixed_dofs = np.concatenate([fixed_dofs[keep]] + add_d)
+        fixed_vals = np.concatenate([fixed_vals[keep]] + add_v)
+        order = np.argsort(fixed_dofs)
+        fixed_dofs, fixed_vals = fixed_dofs[order], fixed_vals[order]
     lgrp = set(step.load_groups) if step.load_groups else None
     f_ext = collect_cload(mesh, cfg.cloads, ndof, n_node, lgrp)
 
     model = StructModel(mesh, cfg, ndof, dim, n_node, coords, blocks,
                         fixed_dofs, fixed_vals, f_ext, nlgeom=cfg.nlgeom,
                         reftemp=cfg.reftemp)
+    model.rot_bcs = rot_bcs
     from frontistr_tpu.assembly.extras import collect_extras
     model.extras = collect_extras(model, grpid)
     if cfg.dloads:

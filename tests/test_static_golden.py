@@ -140,3 +140,32 @@ def test_exg_golden(et):
     if not os.path.exists(os.path.join(d, name + "_correct.log")):
         pytest.skip("no golden")
     _check_golden(d, name, cnt)
+
+
+@requires_reference
+@pytest.mark.parametrize("model_name", ["T01_BEAM_HYPERELASTIC",
+                                        "T02_BEAM_HYPOELA",
+                                        "T02_BEAM_LINEAR"])
+def test_fbar_element_golden(model_name):
+    """FORM361=FBAR suite (examples/static/FbarElement): hyperelastic /
+    hypoelastic-plastic / linear beams with the F-bar hex, vs the
+    in-tree _correct.log summaries."""
+    from frontistr_tpu.io.meshio import read_mesh
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.io import logio
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
+    d = os.path.join(REFERENCE, "examples", "static", "FbarElement")
+    mesh = read_mesh(os.path.join(d, model_name + ".msh"))
+    cfg = read_cnt(os.path.join(d, model_name + ".cnt"))
+    model = build_struct_model(mesh, cfg)
+    res = run_nonlinear_static(model)
+    node, elem = logio.static_summaries(
+        model.dim, res.u, res.nodal_strain, res.nodal_stress,
+        res.nodal_mises, res.elem_strain, res.elem_stress, res.elem_mises,
+        res.node_count)
+    golden = logio.parse_log_summaries(
+        os.path.join(d, model_name + "_correct.log"))
+    errs = _compare(node, golden["Node"])
+    errs += [f"@Element {e}" for e in _compare(elem, golden["Element"])]
+    assert not errs, f"{model_name}: " + "; ".join(errs)
