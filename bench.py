@@ -155,7 +155,9 @@ def main():
         op = make_op(keT32, free32)
         if use_mg:
             M = make_twogrid(op, make_op_c(keTc32), prolong, restrict,
-                             lmax_c)
+                             lmax_c,
+                             cheb_degree=int(os.environ.get(
+                                 "BENCH_CHEB_DEG", "20")))
         else:
             M = op.block_jacobi()
         res = pcg(op.apply_constrained, b32, M=M,

@@ -495,6 +495,10 @@ def build_struct_model(mesh: Mesh, cfg: AnalysisConfig) -> StructModel:
                                                   thermal_load)
         T = collect_temperature(mesh, cfg.temperatures, n_node, cfg.reftemp,
                                 lgrp)
+        if T is None and getattr(cfg, "temp_read_field", None) is not None:
+            # READRESULT import (readtemp.f90): nodal field from the
+            # heat-analysis result file
+            T = np.asarray(cfg.temp_read_field, float)
         if T is not None:
             model.temperature = T
             # temperature-dependent E(T), nu(T): upgrade block D to

@@ -54,6 +54,38 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
         print(f"### mesh refined x{refine}: {mesh.n_node} nodes, "
               f"{mesh.n_elem} elements")
     cfg = read_cnt(ctrl.path(ctrl.control()))
+    # '!TEMPERATURE, READRESULT=n[,SSTEP=s][,INTERVAL=i]': temperature
+    # imported from the fstrTEMP result binding (readtemp.f90
+    # read_temperature_result; snapshots <base>.0.<k>).  The final
+    # snapshot defines the step's full thermal state; the load ramp
+    # factor plays the reference's TEMP_FACTOR interpolation role.
+    tr = [c for c in cfg.temperatures
+          if c.iparam("READRESULT", 0) > 0]
+    if tr:
+        from frontistr_tpu.io.resfile import read_result_any
+        rb = ctrl.result("fstrTEMP")
+        if rb is not None:
+            base = ctrl.path(rb)
+            c0 = tr[0]
+            nstep = c0.iparam("READRESULT", 1)
+            sstep = c0.iparam("SSTEP", 1)
+            interval = c0.iparam("INTERVAL", 1)
+            last = None
+            for k in range(sstep, nstep + 1, interval):
+                p = f"{base}.0.{k}"
+                if os.path.exists(p):
+                    last = p
+            if last is not None:
+                comps = read_result_any(last)
+                vals = np.asarray(comps["node_comps"][0][1]).reshape(-1)
+                # result rows are keyed by global node id — map into
+                # mesh order, untouched nodes stay at REFTEMP
+                T = np.full(mesh.n_node, cfg.reftemp, float)
+                for nid, v in zip(comps["node_ids"], vals):
+                    idx = mesh.id2idx.get(int(nid))
+                    if idx is not None:
+                        T[idx] = v
+                cfg.temp_read_field = T
     out = {"mesh": mesh, "cfg": cfg, "ctrl": ctrl}
     # user plug-in module (uelastic/umat/uload equivalents):
     # FRONTISTR_TPU_USER_MODULE=<path.py> registers hooks before dispatch
