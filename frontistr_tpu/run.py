@@ -116,7 +116,19 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
         if (sol == "NLSTATIC" or cfg.nlgeom or has_contact
                 or _needs_newton(model)):
             from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
-            res = run_nonlinear_static(model, log_path=log_path)
+            # '!RESTART, FREQUENCY=n': n>0 write every n substeps from a
+            # fresh start; n<0 resume from the checkpoint then write
+            # every |n| (fstr_setup.f90 restart semantics)
+            rkw = {}
+            if cfg.restart is not None:
+                freq = cfg.restart.iparam("FREQUENCY", 1)
+                rb = ctrl.restart()
+                rpath = (ctrl.path(rb) if rb is not None
+                         else os.path.join(workdir, "restart")) + ".npz"
+                if freq > 0 and os.path.exists(rpath):
+                    os.remove(rpath)      # positive freq = fresh run
+                rkw = dict(restart_path=rpath, restart_freq=abs(freq))
+            res = run_nonlinear_static(model, log_path=log_path, **rkw)
         else:
             from frontistr_tpu.analysis.static import run_linear_static
             res = run_linear_static(model)
