@@ -87,4 +87,5 @@ def box_tet4(nx: int, ny: int, nz: int, **kw) -> Mesh:
     block = ElemBlock(341, np.arange(1, E + 1, dtype=np.int64), conn, conn, 0)
     m.blocks = [block]
     m.elem_groups = {"ALL": block.elem_ids}
+    m.structured = None          # tets take no stencil fast path
     return m

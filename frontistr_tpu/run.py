@@ -53,6 +53,11 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
         mesh = refine_mesh(mesh, refine)
         print(f"### mesh refined x{refine}: {mesh.n_node} nodes, "
               f"{mesh.n_elem} elements")
+    # production RCM node reordering: the cluster-ELL/AMG fast paths
+    # assume banded numbering (hecmw_matrix_ordering_CM.f90 analog);
+    # file output stays keyed by the original node ids
+    from frontistr_tpu import ordering
+    mesh = ordering.maybe_reorder(mesh)
     cfg = read_cnt(ctrl.path(ctrl.control()))
     # '!TEMPERATURE, READRESULT=n[,SSTEP=s][,INTERVAL=i]': temperature
     # imported from the fstrTEMP result binding (readtemp.f90
