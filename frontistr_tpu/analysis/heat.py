@@ -20,6 +20,7 @@ TPU rebuild of the NDOF=1 heat stack (fistr1/src/analysis/heat/):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -47,6 +48,26 @@ class HeatBlock:
 
 
 @dataclasses.dataclass
+class WeldLine:
+    """!WELD_LINE moving heat source (fstr_ctrl_get_WELDLINE
+    'RRRR' + 'S IRRRR': I,U,coe,v / egrp,xyz,n1,n2,distol,tstart;
+    applied as heat_mat_ass_bc_DFLUX.f90:112-180 — total power
+    I*U*coe spread over the volume of the elements whose centroid
+    along axis ``xyz`` lies within ``distol`` of the torch position
+    n1 + v*(t - tstart))."""
+    current: float
+    voltage: float
+    coe: float
+    v: float
+    xyz: int                                  # 1/2/3 = x/y/z
+    n1: float
+    n2: float
+    distol: float
+    tstart: float
+    elems: List[tuple]                        # (block_idx, elem_sel rows)
+
+
+@dataclasses.dataclass
 class HeatModel:
     mesh: Mesh
     cfg: AnalysisConfig
@@ -60,6 +81,7 @@ class HeatModel:
     films: List[tuple]                        # (block_idx, elem_sel, face, h, sink)
     radiates: List[tuple]                     # (block_idx, elem_sel, face, rr, sink)
     zero_temp: float = 0.0
+    weldlines: List[WeldLine] = dataclasses.field(default_factory=list)
 
 
 def _mat_table(md, item, default=0.0):
@@ -175,7 +197,50 @@ def build_heat_model(mesh: Mesh, cfg: AnalysisConfig) -> HeatModel:
                     np.add.at(f, b.conn[sel][:, lnodes].reshape(-1),
                               (val * vect).reshape(-1))
 
+    # surface-group cards: !SFLUX/!SFILM/!SRADIATE address SGROUP
+    # (elem, face) pairs and route into the same face kernels as the
+    # element-group DFLUX-S/FILM/RADIATE arms (fstr_ctrl_heat.f90
+    # fstr_ctrl_get_SFLUX/SFILM/SRADIATE; applied via the Q_SUF arm of
+    # heat_mat_ass_bc_DFLUX.f90:32-41 and its FILM/RADIATE analogs)
+    def faces_of(grp):
+        pairs = mesh.surf_groups.get(grp)
+        if pairs is None:
+            print(f"### WARNING: surface group '{grp}' not in mesh; "
+                  f"card ignored")
+            return {}
+        by_bf: Dict[tuple, List[int]] = {}
+        for eid, face in np.asarray(pairs, np.int64):
+            loc = eid2loc.get(int(eid))
+            if loc:
+                by_bf.setdefault((loc[0], int(face)), []).append(loc[1])
+        return by_bf
+
+    for c in cfg.sfluxes:
+        for row in c.data:
+            grp, val = row[0], float(row[1])
+            for (bi, face), rows_ in faces_of(grp).items():
+                b = blocks[bi]
+                sel = np.asarray(rows_, np.int64)
+                vect, lnodes = _surface_integral_N(b, coords, sel, face,
+                                                   dim)
+                np.add.at(f, b.conn[sel][:, lnodes].reshape(-1),
+                          (val * vect).reshape(-1))
+
     films, radiates = [], []
+    for c in cfg.sfilms:
+        for row in c.data:
+            grp, h = row[0], float(row[1])
+            sink = float(row[2]) if len(row) > 2 else 0.0
+            for (bi, face), rows_ in faces_of(grp).items():
+                films.append((bi, np.asarray(rows_, np.int64), face, h,
+                              sink))
+    for c in cfg.sradiates:
+        for row in c.data:
+            grp, rr = row[0], float(row[1])
+            sink = float(row[2]) if len(row) > 2 else 0.0
+            for (bi, face), rows_ in faces_of(grp).items():
+                radiates.append((bi, np.asarray(rows_, np.int64), face,
+                                 rr, sink))
     for c in cfg.films:
         for row in c.data:
             grp, ltype = row[0], row[1].upper()
@@ -193,9 +258,34 @@ def build_heat_model(mesh: Mesh, cfg: AnalysisConfig) -> HeatModel:
                 radiates.append((bi, np.asarray(rows_, np.int64), face, rr,
                                  sink))
 
+    weldlines = []
+    for c in getattr(cfg, "weldlines", []):
+        if len(c.data) < 2:
+            print("### WARNING: !WELD_LINE needs two data lines; ignored")
+            continue
+        r0 = [float(v) for v in c.data[0][:4]]
+        r1 = c.data[1]
+        egrp = r1[0]
+        eids = mesh.elem_groups.get(egrp)
+        if eids is None:
+            print(f"### WARNING: weld line element group '{egrp}' not in "
+                  f"mesh; card ignored")
+            continue
+        elems: Dict[int, List[int]] = {}
+        for eid in eids:
+            loc = eid2loc.get(int(eid))
+            if loc:
+                elems.setdefault(loc[0], []).append(loc[1])
+        weldlines.append(WeldLine(
+            current=r0[0], voltage=r0[1], coe=r0[2], v=r0[3],
+            xyz=int(float(r1[1])), n1=float(r1[2]), n2=float(r1[3]),
+            distol=float(r1[4]), tstart=float(r1[5]),
+            elems=[(bi, np.asarray(rs, np.int64))
+                   for bi, rs in elems.items()]))
+
     return HeatModel(mesh, cfg, n_node, coords, dim, blocks, fixtemp_nodes,
                      fixtemp_vals, f, films, radiates,
-                     zero_temp=mesh.zero_temp)
+                     zero_temp=mesh.zero_temp, weldlines=weldlines)
 
 
 def _surface_integral_N(block, coords, sel, face, dim):
@@ -212,6 +302,45 @@ def _surface_integral_N(block, coords, sel, face, dim):
             area = np.linalg.norm(g[:, :, 0], axis=1) * block.thick
         out += ft.weights[q] * area[:, None] * ft.N[q][None, :]
     return out, lnodes
+
+
+def weld_flux(model: "HeatModel", t_mid: float) -> Optional[np.ndarray]:
+    """Nodal rhs from active weld lines at evaluation time ``t_mid``.
+
+    heat_mat_ass_bc_DFLUX.f90:112-180: total power I*U*coe is spread
+    uniformly over the volume of the elements whose centroid along the
+    torch axis lies within ``distol`` of position n1 + v*(t - tstart);
+    active only inside [tstart, tstart + (n2-n1)/v].
+    """
+    if not model.weldlines:
+        return None
+    f = np.zeros(model.n_node)
+    for wl in model.weldlines:
+        tend = wl.tstart + (wl.n2 - wl.n1) / wl.v
+        if t_mid < wl.tstart or t_mid > tend:
+            continue
+        wpos = wl.n1 + wl.v * (t_mid - wl.tstart)
+        val = wl.current * wl.voltage * wl.coe
+        fw = np.zeros(model.n_node)
+        vol = 0.0
+        for bi, sel in wl.elems:
+            b = model.blocks[bi]
+            cmean = model.coords[b.conn[sel], wl.xyz - 1].mean(axis=1)
+            act = sel[np.abs(cmean - wpos) < wl.distol]
+            if act.size == 0:
+                continue
+            t = get_table(b.etype)
+            ce = model.coords[b.conn[act]]
+            J = np.einsum("qni,enj->eqij", t.dN, ce)
+            det = np.abs(np.linalg.det(J))
+            scale = b.thick if model.dim == 2 else 1.0
+            vect = np.einsum("qn,eq,q->en", t.N, det * scale,
+                             t.weights) * val
+            np.add.at(fw, b.conn[act].reshape(-1), vect.reshape(-1))
+            vol += float(((det * scale) @ t.weights).sum())
+        if vol > 0:
+            f += fw / vol
+    return f
 
 
 def conduct_ke(table, coords_e, T_e, cond_table, thick, dim):
@@ -316,7 +445,7 @@ class _HeatSolver:
         self._solve = lambda kes, f, dt_inv_C: _solve(ctx, kes, f,
                                                       dt_inv_C)
 
-    def step(self, T, dt_inv_C=None, T_prev=None):
+    def step(self, T, dt_inv_C=None, T_prev=None, f_extra=None):
         model = self.model
         n = model.n_node
         kes = []
@@ -327,6 +456,8 @@ class _HeatSolver:
             kes.append(conduct_ke(table, coords_e, T_e, b.cond_table,
                                   b.thick, model.dim))
         f = jnp.asarray(model.f_const)
+        if f_extra is not None:
+            f = f + jnp.asarray(f_extra)
         for (kind, bi, sel, face, coef, sink, fconn) in self.surf:
             b = model.blocks[bi]
             ftype, lnodes = FACE_TABLES[b.etype][face - 1]
@@ -346,10 +477,11 @@ class _HeatSolver:
         return self._solve(tuple(kes), f, dt_inv_C)
 
 
-def _solve_heat_system(model, T, dt_inv_C=None, T_prev=None, solver=None):
+def _solve_heat_system(model, T, dt_inv_C=None, T_prev=None, solver=None,
+                       f_extra=None):
     if solver is None:
         solver = _HeatSolver(model)
-    return solver.step(T, dt_inv_C, T_prev)
+    return solver.step(T, dt_inv_C, T_prev, f_extra)
 
 
 def _surface_film_terms(ft, fc, T_f, coef, sink, kind, tzero, thick, dim):
@@ -383,7 +515,9 @@ def _surface_film_terms(ft, fc, T_f, coef, sink, kind, tzero, thick, dim):
 
 
 def run_heat(mesh: Mesh, cfg: AnalysisConfig, workdir: str,
-             log_path: Optional[str] = None) -> HeatResult:
+             log_path: Optional[str] = None,
+             restart_path: Optional[str] = None,
+             restart_freq: int = 0) -> HeatResult:
     model = build_heat_model(mesh, cfg)
     h = cfg.heat or __import__(
         "frontistr_tpu.io.ctrlio", fromlist=["HeatConfig"]).HeatConfig()
@@ -420,9 +554,20 @@ def run_heat(mesh: Mesh, cfg: AnalysisConfig, workdir: str,
         t_total = h.total_time
         t = 0.0
         steps = 0
-        first = True
+        # transient restart (heat_solve_TRAN.f90 restart block): the
+        # state is just (T, t, step) — backward Euler has no history
+        if restart_path and os.path.exists(restart_path):
+            from frontistr_tpu.io.restart import load_restart
+            rd = load_restart(restart_path)
+            T = jnp.asarray(rd["T"])
+            t = float(rd["t"])
+            steps = int(rd["steps"])
+            print(f"### heat restart: resuming at step {steps}, "
+                  f"t={t:g}")
+        first = steps == 0
         while t < t_total - 1e-12:
             dt_cur = min(dt, t_total - t)
+            f_weld = weld_flux(model, t + 0.5 * dt_cur)
             # lumped capacity at current T
             C = jnp.zeros(n)
             for b in model.blocks:
@@ -436,7 +581,8 @@ def run_heat(mesh: Mesh, cfg: AnalysisConfig, workdir: str,
             dt_inv_C = C / dt_cur
             T_prev = T
             for it in range(max(itmax, 1)):
-                T_new = _solve_heat_system(model, T, dt_inv_C, T_prev, solver=solver)
+                T_new = _solve_heat_system(model, T, dt_inv_C, T_prev,
+                                           solver=solver, f_extra=f_weld)
                 chg = float(jnp.sqrt(jnp.sum((T_new - T) ** 2)))
                 T = T_new
                 total_iters += 1
@@ -445,6 +591,11 @@ def run_heat(mesh: Mesh, cfg: AnalysisConfig, workdir: str,
             t += dt_cur
             steps += 1
             times.append(t)
+            if restart_path and restart_freq > 0 and \
+                    steps % restart_freq == 0:
+                from frontistr_tpu.io.restart import save_restart
+                save_restart(restart_path,
+                             {"T": np.asarray(T), "t": t, "steps": steps})
             if log_path:
                 _write_heat_log(log_path, model, np.asarray(T), steps, t,
                                 append=not first)

@@ -101,6 +101,26 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
     sol = cfg.solution_type.upper()
     log_path = os.path.join(workdir, log_name)
 
+    # parsed-but-unapplied cards must fail LOUDLY, not silently
+    # (fstr_setup.f90 aborts on unconsumed headers)
+    if cfg.embeds:
+        print("### WARNING: !EMBED parsed but embedded-contact "
+              "constraints are not implemented yet; card IGNORED")
+
+    # '!RESTART, FREQUENCY=n': n>0 write every n (sub)steps from a
+    # fresh start; n<0 resume from the checkpoint then write every |n|
+    # (fstr_setup.f90 restart semantics) — shared by the solid
+    # nonlinear and transient heat paths
+    rkw = {}
+    if cfg.restart is not None:
+        freq = cfg.restart.iparam("FREQUENCY", 1)
+        rb = ctrl.restart()
+        rpath = (ctrl.path(rb) if rb is not None
+                 else os.path.join(workdir, "restart")) + ".npz"
+        if freq > 0 and os.path.exists(rpath):
+            os.remove(rpath)          # positive freq = fresh run
+        rkw = dict(restart_path=rpath, restart_freq=abs(freq))
+
     # profiler wiring (the TPU answer to the reference's TIMELOG=2 +
     # fapp hooks): FRONTISTR_TPU_PROFILE=<dir> captures a jax.profiler
     # trace of the whole analysis for xprof/tensorboard
@@ -121,18 +141,6 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
         if (sol == "NLSTATIC" or cfg.nlgeom or has_contact
                 or _needs_newton(model)):
             from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
-            # '!RESTART, FREQUENCY=n': n>0 write every n substeps from a
-            # fresh start; n<0 resume from the checkpoint then write
-            # every |n| (fstr_setup.f90 restart semantics)
-            rkw = {}
-            if cfg.restart is not None:
-                freq = cfg.restart.iparam("FREQUENCY", 1)
-                rb = ctrl.restart()
-                rpath = (ctrl.path(rb) if rb is not None
-                         else os.path.join(workdir, "restart")) + ".npz"
-                if freq > 0 and os.path.exists(rpath):
-                    os.remove(rpath)      # positive freq = fresh run
-                rkw = dict(restart_path=rpath, restart_freq=abs(freq))
             res = run_nonlinear_static(model, log_path=log_path, **rkw)
         else:
             from frontistr_tpu.analysis.static import run_linear_static
@@ -142,7 +150,8 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
         out["model"] = model
     elif sol == "HEAT":
         from frontistr_tpu.analysis.heat import run_heat
-        out["heat"] = run_heat(mesh, cfg, workdir, log_path=log_path)
+        out["heat"] = run_heat(mesh, cfg, workdir, log_path=log_path,
+                               **rkw)
     elif sol == "EIGEN":
         from frontistr_tpu.assembly.model import build_struct_model
         from frontistr_tpu.analysis.eigen import run_eigen
