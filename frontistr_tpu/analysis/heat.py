@@ -383,9 +383,15 @@ class HeatResult:
 
 class _HeatSolver:
     """Once-jitted heat solve (assembly shapes are fixed; conductivity and
-    film/radiate matrices stream in as traced arguments)."""
+    film/radiate matrices stream in as traced arguments).
 
-    def __init__(self, model):
+    nshard > 0 runs the solve GSPMD-sharded over an nshard-device mesh
+    (multi-chip transient/steady heat — same design as the sharded
+    structural solve, make_constrained_solver): node axis padded with
+    inert phantom rows, node-axis arrays sharded, XLA inserts the
+    collectives for the incidence scatter and CG dots."""
+
+    def __init__(self, model, nshard: int = 0):
         self.model = model
         n = model.n_node
         dofs, nns, conns = [], [], []
@@ -405,16 +411,37 @@ class _HeatSolver:
                 dofs.append(jnp.asarray(fconn.astype(np.int32)))
                 nns.append(fconn.shape[1])
                 conns.append(fconn)
-        inc, total_en = femop.build_incidence(conns, n)
+        cons = None
+        npn = n                       # padded node count (== n unsharded)
+        if nshard:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            from frontistr_tpu.parallel import shard as shmod
+            npn = shmod._ceil_to(n, nshard)
+            jmesh = shmod.device_mesh(nshard)
+            rep, row = shmod.solver_shardings(jmesh)
+
+            def cons(x, *spec):
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(jmesh, P(*spec)))
+
+        inc, total_en = femop.build_incidence(conns, npn)
         self.inc = jnp.asarray(inc)
         self.total_en = total_en
         self.dofs, self.nns = dofs, nns
-        free = np.ones(n)
+        free = np.ones(npn)
+        free[n:] = 0.0                # phantom pad rows: identity
         free[model.fixtemp_nodes] = 0.0
         self.free = jnp.asarray(free)
-        u_fix = np.zeros(n)
+        u_fix = np.zeros(npn)
         u_fix[model.fixtemp_nodes] = model.fixtemp_vals
         self.u_fix = jnp.asarray(u_fix)
+        if nshard:
+            self.inc = jax.device_put(self.inc, row)
+            self.free = jax.device_put(self.free, row)
+            self.u_fix = jax.device_put(self.u_fix, row)
+            dofs = [jax.device_put(d, rep) for d in dofs]
+            self.dofs = dofs
         sv = model.cfg.solver
         nns_t = tuple(nns)
 
@@ -426,7 +453,7 @@ class _HeatSolver:
             dofs_a, inc_a, free_j, u_fix_j = ctx
             op = femop.FEOperator(
                 kes=list(kes), dofs=list(dofs_a), nns=nns_t, inc=inc_a,
-                total_en=total_en, n_node=n, ndof=1, free_mask=free_j)
+                total_en=total_en, n_node=npn, ndof=1, free_mask=free_j)
 
             def A(x):
                 y = op.matvec(x * free_j) + dt_inv_C * (x * free_j)
@@ -434,16 +461,33 @@ class _HeatSolver:
 
             y_fix = op.matvec(u_fix_j) + dt_inv_C * u_fix_j
             b_c = (f - y_fix) * free_j + u_fix_j * (1.0 - free_j)
+            if cons is not None:
+                b_c = cons(b_c, "x")
             D = op.diag_blocks().reshape(-1) + dt_inv_C
             D = D * free_j ** 2
             D = jnp.where(D == 0, 1.0, D)
             res = krylov.pcg(A, b_c, M=lambda r: r / D, tol=sv.resid,
                              maxiter=max(sv.nier, 2000))
-            return res.x
+            x = res.x
+            if cons is not None:
+                x = cons(x)[:n]
+            return x
 
         ctx = (list(dofs), self.inc, self.free, self.u_fix)
-        self._solve = lambda kes, f, dt_inv_C: _solve(ctx, kes, f,
-                                                      dt_inv_C)
+        if nshard:
+            dev0 = jax.devices()[0]
+            npad = npn - n
+
+            def _run(kes, f, dt_inv_C):
+                kes_s = tuple(jax.device_put(k, rep) for k in kes)
+                fp = jax.device_put(jnp.pad(f, (0, npad)), row)
+                cp = jax.device_put(jnp.pad(dt_inv_C, (0, npad)), row)
+                return jax.device_put(_solve(ctx, kes_s, fp, cp), dev0)
+
+            self._solve = _run
+        else:
+            self._solve = lambda kes, f, dt_inv_C: _solve(ctx, kes, f,
+                                                          dt_inv_C)
 
     def step(self, T, dt_inv_C=None, T_prev=None, f_extra=None):
         model = self.model
@@ -533,7 +577,8 @@ def run_heat(mesh: Mesh, cfg: AnalysisConfig, workdir: str,
     total_iters = 0
     times = []
 
-    solver = _HeatSolver(model)
+    from frontistr_tpu.parallel import shard as shmod
+    solver = _HeatSolver(model, nshard=shmod.requested_shards())
     transient = h is not None and h.fixed_dt > 0.0
     if not transient:
         # steady: fixed-point on temperature-dependent properties

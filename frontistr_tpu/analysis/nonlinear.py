@@ -652,7 +652,7 @@ def make_slag_contact_solver(model, dofs_j, nns, inc_j, total_en,
 
 
 def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
-                            mixed: bool):
+                            mixed: bool, nshard: int = 0):
     """One jitted constrained-solve(kes, b_c) for the whole analysis —
     building it per Newton iteration would retrace the Krylov while_loop
     every call.
@@ -661,22 +661,80 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     incidence, dof tables, coords) rides through the jit boundary as a
     pytree ARGUMENT — closed-over concrete arrays are inlined into the
     lowered module as dense literals (remote-compile payload overflow at
-    ~1M dof)."""
+    ~1M dof).
+
+    nshard > 0 runs the SAME solve GSPMD-sharded over an nshard-device
+    mesh (the multi-chip Newton hot loop — TPU redesign of the
+    reference's per-iteration halo exchange, hecmw_comm_f.F90:669-841):
+    the node axis is padded to a multiple of G*nshard with inert phantom
+    rows, every node-axis array (ELL cols, cluster ccols/blocks, free
+    mask, incidence, vectors) is sharded over the mesh, and XLA inserts
+    the collectives (x all-gather for the row gather, psums for the CG
+    dots) over ICI.  Assembly maps and element matrices stay replicated
+    in this arm (element-sharded assembly is a further step); the Krylov
+    loop — the dominant cost — is fully distributed."""
     n_node, ndof = model.n_node, model.ndof
+    n_real = model.n_dof_total
     sv = model.cfg.solver
     from frontistr_tpu.assembly import bell as bellmod
     from frontistr_tpu.assembly import ell as ellmod
     from frontistr_tpu.solver import amg as amgmod
-    prof = ellmod.profile_from_model(model)
-    prof_d = prof.device()
-    amaps = amgmod.eligible_maps(prof, model.n_dof_total)
-    cprof = bellmod.cluster_profile_from_model(model, scalar=prof)
-    cprof_d = cprof.device()
-    coords_j = jnp.asarray(model.coords)
+    cons = None
+    if nshard:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        from frontistr_tpu.parallel import shard as shmod
+        n_node = shmod._ceil_to(model.n_node, 8 * nshard)  # G=8 clusters
+        jmesh = shmod.device_mesh(nshard)
+        rep, row = shmod.solver_shardings(jmesh)
+
+        def cons(x, *spec):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(jmesh, P(*spec)))
+
+        ex_conns = getattr(model, "extras", ([], [], [], []))[0]
+        conns = [b.conn for b in model.blocks] + list(ex_conns)
+        inc_np, total_en = femop.build_incidence(conns, n_node)
+        inc_j = jax.device_put(jnp.asarray(inc_np), row)
+        free_np = np.zeros(n_node * ndof)
+        free_np[:n_real] = np.asarray(free)
+        free = jax.device_put(jnp.asarray(free_np), row)
+        dofs_j = [jax.device_put(jnp.asarray(d), rep) for d in dofs_j]
+    prof = ellmod.profile_from_model(model, n_node=n_node)
+    amaps = amgmod.eligible_maps(prof, n_node * ndof)
+    cprof = bellmod.cluster_profile_from_model(model, scalar=prof,
+                                               n_node=n_node)
+    if nshard:
+        prof_d = ellmod.ELLProfile(
+            n_node=prof.n_node, ndof=prof.ndof, W=prof.W,
+            cols=jax.device_put(jnp.asarray(prof.cols), row),
+            diag_slot=jax.device_put(jnp.asarray(prof.diag_slot), row),
+            perm=jax.device_put(jnp.asarray(prof.perm), rep),
+            seg_sorted=jax.device_put(jnp.asarray(prof.seg_sorted), rep),
+            pair_counts=tuple(prof.pair_counts))
+        cprof_d = bellmod.ClusterProfile(
+            n_node=cprof.n_node, ndof=cprof.ndof, G=cprof.G, C=cprof.C,
+            Wc=cprof.Wc,
+            ccols=jax.device_put(jnp.asarray(cprof.ccols), row),
+            diag_wc=jax.device_put(jnp.asarray(cprof.diag_wc), row),
+            perm=jax.device_put(jnp.asarray(cprof.perm), rep),
+            seg_sorted=jax.device_put(jnp.asarray(cprof.seg_sorted), rep),
+            scal_src=jax.device_put(jnp.asarray(cprof.scal_src), row),
+            pair_counts=tuple(cprof.pair_counts))
+        if amaps is not None:
+            amaps = jax.device_put(amaps, rep)
+        coords_np = np.zeros((n_node, model.coords.shape[1]))
+        coords_np[:model.n_node] = model.coords
+        coords_j = jax.device_put(jnp.asarray(coords_np), row)
+    else:
+        prof_d = prof.device()
+        cprof_d = cprof.device()
+        coords_j = jnp.asarray(model.coords)
     nns_t = tuple(nns)
     # MXU segment-sum assembly (f32): ~6x the XLA scatter per Newton
     # iteration at 1M dof.  Aux arrays ride through _solve as args.
-    use_pal = ellmod._use_pallas_asm(
+    # (Pallas kernels can't be GSPMD-partitioned — XLA path when sharded.)
+    use_pal = not nshard and ellmod._use_pallas_asm(
         cprof.perm.size, [jnp.zeros((1,), jnp.float32)])
     pal = cprof.pallas_assemble(nns_t) if use_pal else None
     pal_fn = pal.fn if pal is not None else None
@@ -690,7 +748,11 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
         else:
             blocks, raw = bellmod.assemble_cluster(
                 cprofile, [k.astype(dtype) for k in kes], nns_t)
+        if cons is not None:
+            blocks = cons(blocks, None, None, None, "x")
         diag = bellmod.extract_diag(cprofile, raw)
+        if cons is not None:
+            diag = cons(diag, "x")
         cop = bellmod.ClusterOperator(
             blocks=blocks, ccols=cprofile.ccols, diag=diag,
             n_node=n_node, ndof=ndof, G=cprofile.G,
@@ -714,6 +776,8 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                                   n_node, ndof, free_m)
             b_c = (B - op.matvec(dirichlet_inc)) * free_m + \
                 dirichlet_inc * (1.0 - free_m)
+            if cons is not None:
+                b_c = cons(b_c, "x")
             # cluster-ELL f32 operator for the CG hot loop (~7 ms/matvec
             # at 1M-dof tet); f64 true residual via gather op
             cop32, raw = _cluster_op(cprofile, kes, free_m, jnp.float32,
@@ -724,7 +788,10 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                                       coords), b_c,
                              tol=sv.resid, inner_tol=1e-6,
                              maxiter=sv.nier, max_passes=2)
-            return res.x
+            x = res.x
+            if cons is not None:
+                x = cons(x)[:n_real]
+            return x
     else:
         @jax.jit
         def _solve(profile, cprofile, am, ctx, kes, B, dirichlet_inc,
@@ -734,19 +801,38 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                                   n_node, ndof, free_m)
             b_c = (B - op.matvec(dirichlet_inc)) * free_m + \
                 dirichlet_inc * (1.0 - free_m)
+            if cons is not None:
+                b_c = cons(b_c, "x")
             cop, raw = _cluster_op(cprofile, kes, free_m, b_c.dtype,
                                    pal_a)
             res = krylov.pcg(cop.apply_constrained, b_c,
                              M=_precond(cop, cprofile, raw, profile, am,
                                         coords), tol=sv.resid,
                              maxiter=sv.nier)
-            return res.x
+            x = res.x
+            if cons is not None:
+                x = cons(x)[:n_real]
+            return x
 
     ctx = (list(dofs_j), inc_j, free, coords_j)
 
-    def solve(kes, B, dirichlet_inc):
-        return _solve(prof_d, cprof_d, amaps, ctx, kes, B, dirichlet_inc,
-                      pal_args)
+    if nshard:
+        dev0 = jax.devices()[0]
+        npad = n_node * ndof - n_real
+
+        def solve(kes, B, dirichlet_inc):
+            kes_s = tuple(jax.device_put(k, rep) for k in kes)
+            Bp = jax.device_put(jnp.pad(B, (0, npad)), row)
+            dp = jax.device_put(jnp.pad(dirichlet_inc, (0, npad)), row)
+            x = _solve(prof_d, cprof_d, amaps, ctx, kes_s, Bp, dp,
+                       pal_args)
+            # back to the driver's single default device (the Newton
+            # update/qforce passes are per-element vmaps on one chip)
+            return jax.device_put(x, dev0)
+    else:
+        def solve(kes, B, dirichlet_inc):
+            return _solve(prof_d, cprof_d, amaps, ctx, kes, B,
+                          dirichlet_inc, pal_args)
 
     return solve
 
@@ -857,8 +943,14 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
             {k: (jnp.asarray(v) if v is not None else None)
              for k, v in s.items()} for s in resume["states"]]
     mixed = _solve_policy() == "mixed"
+    from frontistr_tpu.parallel import shard as shmod
+    nshard = shmod.requested_shards()
+    if nshard and model.mesh.contact_pairs and cfg.contacts:
+        print("### WARNING: FRONTISTR_TPU_SHARDS not yet supported for "
+              "contact decks; running single-device")
+        nshard = 0
     solver = make_constrained_solver(model, dofs_j, nns, inc_j, total_en,
-                                     free, mixed)
+                                     free, mixed, nshard=nshard)
     cm = None
     if model.mesh.contact_pairs and cfg.contacts:
         from frontistr_tpu.contact.ntos import ContactManager
@@ -902,7 +994,8 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
             f_held = jnp.asarray(_assemble_loads_sel(model, cfg, sel_held))
             f_ramp = jnp.asarray(_assemble_loads_sel(model, cfg, sel_ramp))
             solver = make_constrained_solver(model, dofs_j, nns, inc_j,
-                                             total_en, free, mixed)
+                                             total_en, free, mixed,
+                                             nshard=nshard)
             if cm is not None:
                 if cm.algo == "SLAGRANGE" and not cm.has_friction:
                     contact_solver, slag = make_slag_contact_solver(

@@ -302,14 +302,16 @@ _CPROFILE_CACHE: dict = {}
 
 
 def cluster_profile_from_model(model,
-                               scalar: Optional[ellmod.ELLProfile] = None
+                               scalar: Optional[ellmod.ELLProfile] = None,
+                               n_node: Optional[int] = None
                                ) -> ClusterProfile:
     ex_conns = getattr(model, "extras", ([], [], [], []))[0]
     conns = [b.conn for b in model.blocks] + list(ex_conns)
-    key = ellmod._profile_key(conns, model.n_node, model.ndof) + "-bell"
+    nn = model.n_node if n_node is None else n_node
+    key = ellmod._profile_key(conns, nn, model.ndof) + "-bell"
     prof = _CPROFILE_CACHE.get(key)
     if prof is None:
-        prof = build_cluster_profile(conns, model.n_node, model.ndof,
+        prof = build_cluster_profile(conns, nn, model.ndof,
                                      scalar=scalar)
         _CPROFILE_CACHE.clear()
         _CPROFILE_CACHE[key] = prof

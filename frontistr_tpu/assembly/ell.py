@@ -288,15 +288,18 @@ def _profile_key(conns, n_node, ndof):
     return h.hexdigest()
 
 
-def profile_from_model(model) -> ELLProfile:
+def profile_from_model(model, n_node: Optional[int] = None) -> ELLProfile:
     """Build (and cache) the ELL profile for a StructModel, including any
-    spring extra-blocks."""
+    spring extra-blocks.  ``n_node`` may exceed the model's node count:
+    the extra (phantom) rows get self-column pads and zero blocks — used
+    by the sharded solve to pad the node axis to the device count."""
     ex_conns = getattr(model, "extras", ([], [], [], []))[0]
     conns = [b.conn for b in model.blocks] + list(ex_conns)
-    key = _profile_key(conns, model.n_node, model.ndof)
+    nn = model.n_node if n_node is None else n_node
+    key = _profile_key(conns, nn, model.ndof)
     prof = _PROFILE_CACHE.get(key)
     if prof is None:
-        prof = build_profile(conns, model.n_node, model.ndof)
+        prof = build_profile(conns, nn, model.ndof)
         _PROFILE_CACHE.clear()        # hold one profile (they are large)
         _PROFILE_CACHE[key] = prof
     return prof

@@ -54,6 +54,21 @@ def _ceil_to(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def solver_shardings(jmesh: Mesh, axis: str = "x"):
+    """(replicated, row-sharded) NamedShardings for the mesh."""
+    from jax.sharding import PartitionSpec as P
+    return (NamedSharding(jmesh, P()), NamedSharding(jmesh, P(axis)))
+
+
+def put_row_or_rep(x, jmesh: Mesh, axis: str = "x"):
+    """device_put with the leading axis sharded when divisible by the
+    device count, replicated otherwise (GSPMD needs even shards)."""
+    rep, row = solver_shardings(jmesh, axis)
+    n = getattr(x, "shape", (0,))
+    sh = row if (len(n) > 0 and n[0] % jmesh.devices.size == 0) else rep
+    return jax.device_put(x, sh)
+
+
 def shard_ell_operator(eop: ellmod.ELLOperator, jmesh: Mesh,
                        axis: str = "x") -> ellmod.ELLOperator:
     """Pad the node axis to a multiple of the mesh size and device_put

@@ -82,3 +82,149 @@ def test_production_sharded_solve_matches(monkeypatch, tmp_path):
     assert rr8 <= 1e-7
     np.testing.assert_allclose(x8, x1, rtol=1e-7,
                                atol=1e-10 * np.abs(x1).max())
+
+
+def test_sharded_nonlinear_newton_matches(monkeypatch):
+    """The GSPMD-sharded Newton hot loop (make_constrained_solver with
+    FRONTISTR_TPU_SHARDS) equals the single-device solve on a
+    hyperelastic NLGEOM run over 2 substeps (multi-chip semantics clone
+    of the reference's per-iteration hecmw_update_3_R halo exchange)."""
+    import textwrap
+
+    import numpy as np
+
+    from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.meshgen import box_tet4
+
+    cnt_text = textwrap.dedent("""\
+        !VERSION
+         3
+        !SOLUTION, TYPE=STATIC
+        !STATIC, TYPE=NLGEOM
+        !BOUNDARY
+         X0, 1, 3, 0.0
+        !CLOAD
+         X1, 3, -2.0
+        !MATERIAL, NAME=M1
+        !HYPERELASTIC, TYPE=NEOHOOKE
+         80.0, 0.001
+        !STEP, SUBSTEPS=2
+         BOUNDARY, 1
+         LOAD, 1
+        !SOLVER, METHOD=CG, PRECOND=1, ITERLOG=NO, TIMELOG=NO
+         10000, 1
+         1.0e-10, 1.0, 0.0
+        !END
+    """)
+
+    def run(tmp_path_str):
+        cfg = read_cnt(tmp_path_str)
+        model = build_struct_model(box_tet4(3, 3, 3), cfg)
+        return np.asarray(run_nonlinear_static(model).u)
+
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".cnt",
+                                     delete=False) as fh:
+        fh.write(cnt_text)
+        path = fh.name
+
+    monkeypatch.delenv("FRONTISTR_TPU_SHARDS", raising=False)
+    u1 = run(path)
+    monkeypatch.setenv("FRONTISTR_TPU_SHARDS", "8")
+    u8 = run(path)
+
+    assert np.abs(u1).max() > 1e-6
+    np.testing.assert_allclose(u8, u1, rtol=1e-7,
+                               atol=1e-9 * np.abs(u1).max())
+
+
+def test_sharded_heat_transient_matches(monkeypatch, tmp_path):
+    """Transient heat under FRONTISTR_TPU_SHARDS equals single-device
+    (sharded backward-Euler CG, _HeatSolver nshard arm)."""
+    import numpy as np
+
+    from frontistr_tpu.analysis.heat import run_heat
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.meshgen import box_tet4
+
+    cnt = tmp_path / "h.cnt"
+    cnt.write_text(
+        "!VERSION\n 3\n!SOLUTION, TYPE=HEAT\n"
+        "!HEAT\n 0.1, 1.0\n"
+        "!FIXTEMP\n X0, 100.0\n"
+        "!CFLUX\n X1, 5.0\n"
+        "!SOLVER, METHOD=CG\n 10000, 1\n 1.0e-10, 1.0, 0.0\n!END\n")
+    cfg = read_cnt(str(cnt))
+    mesh = box_tet4(3, 3, 3)
+    # heat material tables: conductivity/density/specific heat
+    mesh.materials["M1"].items[1] = [[7.85e-6]]
+    mesh.materials["M1"].items[2] = [[4.61e2]]
+    mesh.materials["M1"].items[3] = [[5.0e1]]
+
+    def run():
+        return run_heat(mesh, cfg, str(tmp_path)).T
+
+    monkeypatch.delenv("FRONTISTR_TPU_SHARDS", raising=False)
+    T1 = run()
+    monkeypatch.setenv("FRONTISTR_TPU_SHARDS", "8")
+    T8 = run()
+
+    assert np.abs(T1).max() > 1.0
+    np.testing.assert_allclose(T8, T1, rtol=1e-7,
+                               atol=1e-9 * np.abs(T1).max())
+
+
+def test_sharded_amg_newton_matches(monkeypatch):
+    """AMG V-cycle preconditioner under the sharded Newton solve (forced
+    via FRONTISTR_TPU_PRECOND=amg) still converges to the same solution:
+    the AMG setup's segment-sums/gathers are GSPMD-partitionable."""
+    import textwrap
+
+    import numpy as np
+
+    from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.meshgen import box_tet4
+
+    cnt_text = textwrap.dedent("""\
+        !VERSION
+         3
+        !SOLUTION, TYPE=STATIC
+        !STATIC, TYPE=NLGEOM
+        !BOUNDARY
+         X0, 1, 3, 0.0
+        !CLOAD
+         X1, 3, -2.0
+        !MATERIAL, NAME=M1
+        !HYPERELASTIC, TYPE=NEOHOOKE
+         80.0, 0.001
+        !STEP, SUBSTEPS=1
+         BOUNDARY, 1
+         LOAD, 1
+        !SOLVER, METHOD=CG, PRECOND=1, ITERLOG=NO, TIMELOG=NO
+         10000, 1
+         1.0e-10, 1.0, 0.0
+        !END
+    """)
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".cnt",
+                                     delete=False) as fh:
+        fh.write(cnt_text)
+        path = fh.name
+
+    def run():
+        cfg = read_cnt(path)
+        model = build_struct_model(box_tet4(3, 3, 3), cfg)
+        return np.asarray(run_nonlinear_static(model).u)
+
+    monkeypatch.delenv("FRONTISTR_TPU_SHARDS", raising=False)
+    monkeypatch.delenv("FRONTISTR_TPU_PRECOND", raising=False)
+    u1 = run()
+    monkeypatch.setenv("FRONTISTR_TPU_SHARDS", "8")
+    monkeypatch.setenv("FRONTISTR_TPU_PRECOND", "amg")
+    u8 = run()
+    np.testing.assert_allclose(u8, u1, rtol=1e-7,
+                               atol=1e-9 * np.abs(u1).max())
