@@ -311,11 +311,43 @@ def cluster_profile_from_model(model,
     key = ellmod._profile_key(conns, nn, model.ndof) + "-bell"
     prof = _CPROFILE_CACHE.get(key)
     if prof is None:
-        prof = build_cluster_profile(conns, nn, model.ndof,
-                                     scalar=scalar)
+        prof = _disk_load(conns, nn, model.ndof)
+        if prof is None:
+            prof = build_cluster_profile(conns, nn, model.ndof,
+                                         scalar=scalar)
+            _disk_save(conns, nn, model.ndof, prof)
         _CPROFILE_CACHE.clear()
         _CPROFILE_CACHE[key] = prof
     return prof
+
+
+def _disk_load(conns, nn, ndof):
+    """Persistent cluster-profile cache (see profcache / ell._disk_load)."""
+    from frontistr_tpu.assembly import profcache
+    if profcache.cache_dir() is None:
+        return None
+    z = profcache.load(profcache.conn_key(conns, nn, ndof, tag="bell"))
+    if z is None:
+        return None
+    return ClusterProfile(
+        n_node=nn, ndof=ndof, G=int(z["G"]), C=int(z["C"]),
+        Wc=int(z["Wc"]), ccols=z["ccols"], diag_wc=z["diag_wc"],
+        perm=z["perm"], seg_sorted=z["seg_sorted"],
+        scal_src=z["scal_src"],
+        pair_counts=tuple(int(v) for v in z["pair_counts"]))
+
+
+def _disk_save(conns, nn, ndof, prof):
+    from frontistr_tpu.assembly import profcache
+    if profcache.cache_dir() is None:
+        return
+    profcache.save(
+        profcache.conn_key(conns, nn, ndof, tag="bell"),
+        dict(G=np.int64(prof.G), C=np.int64(prof.C),
+             Wc=np.int64(prof.Wc), ccols=prof.ccols,
+             diag_wc=prof.diag_wc, perm=prof.perm,
+             seg_sorted=prof.seg_sorted, scal_src=prof.scal_src,
+             pair_counts=np.asarray(prof.pair_counts, np.int64)))
 
 
 def from_model(model, kes, dtype=None,

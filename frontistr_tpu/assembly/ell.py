@@ -299,10 +299,40 @@ def profile_from_model(model, n_node: Optional[int] = None) -> ELLProfile:
     key = _profile_key(conns, nn, model.ndof)
     prof = _PROFILE_CACHE.get(key)
     if prof is None:
-        prof = build_profile(conns, nn, model.ndof)
+        prof = _disk_load(conns, nn, model.ndof)
+        if prof is None:
+            prof = build_profile(conns, nn, model.ndof)
+            _disk_save(conns, nn, model.ndof, prof)
         _PROFILE_CACHE.clear()        # hold one profile (they are large)
         _PROFILE_CACHE[key] = prof
     return prof
+
+
+def _disk_load(conns, nn, ndof):
+    """Persistent profile cache (profcache): the symbolic build is ~60 s
+    at 1M dof and identical across CLI invocations of the same mesh."""
+    from frontistr_tpu.assembly import profcache
+    if profcache.cache_dir() is None:
+        return None
+    z = profcache.load(profcache.conn_key(conns, nn, ndof, tag="ell"))
+    if z is None:
+        return None
+    return ELLProfile(n_node=nn, ndof=ndof, W=int(z["W"]),
+                      cols=z["cols"], diag_slot=z["diag_slot"],
+                      perm=z["perm"], seg_sorted=z["seg_sorted"],
+                      pair_counts=tuple(int(v) for v in z["pair_counts"]))
+
+
+def _disk_save(conns, nn, ndof, prof):
+    from frontistr_tpu.assembly import profcache
+    if profcache.cache_dir() is None:
+        return
+    profcache.save(
+        profcache.conn_key(conns, nn, ndof, tag="ell"),
+        dict(W=np.int64(prof.W), cols=prof.cols,
+             diag_slot=prof.diag_slot, perm=prof.perm,
+             seg_sorted=prof.seg_sorted,
+             pair_counts=np.asarray(prof.pair_counts, np.int64)))
 
 
 def from_model(model, kes, dtype=None,

@@ -1,0 +1,122 @@
+"""Command-line tool entry points (the reference's file-based workflow).
+
+Reference tool surfaces:
+- ``fistr-tpu-part``     -> hecmw_part1 (hecmw1/tools/partitioner/
+  hecmw_partition.c): entire mesh -> per-rank HECMW-DIST files.
+- ``fistr-tpu-rmerge``   -> fstr_rmerge (hecmw1/tools/result_file_merger/
+  fstr_rmerge.c:242): per-rank result files -> whole-model result file.
+- ``fistr-tpu-rconv``    -> rconv (hecmw1/tools/result_type_converter):
+  text <-> HECMW binary <-> npz result conversion.
+- ``fistr-tpu-neu2fstr`` -> neu2fstr (fistr1/tools/neu2fstr/neu2fstr.cpp:359):
+  FEMAP neutral file -> native .msh.
+
+Each wraps an existing tested library function; the CLI adds argument
+parsing, format auto-detection, and progress prints only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _read_any_mesh(path: str):
+    """Mesh reader with format auto-detection by extension (the ctrl-file
+    TYPE= dispatch in run.py:28-48, keyed by filename instead)."""
+    low = path.lower()
+    if low.endswith((".inp",)):
+        from frontistr_tpu.io.abaqusio import read_abaqus
+        return read_abaqus(path)
+    if low.endswith((".nas", ".bdf", ".dat")):
+        from frontistr_tpu.io.nastranio import read_nastran
+        return read_nastran(path)
+    if low.endswith(".neu"):
+        from frontistr_tpu.io.neu import read_neu
+        return read_neu(path)
+    from frontistr_tpu.io.meshio import read_mesh
+    return read_mesh(path)
+
+
+def part_main(argv=None):
+    """hecmw_part1 equivalent: entire mesh -> '<out>.<rank>' DIST files."""
+    ap = argparse.ArgumentParser(
+        prog="fistr-tpu-part",
+        description="Partition an entire mesh into per-rank HECMW-DIST "
+                    "files (hecmw_part1 equivalent).")
+    ap.add_argument("mesh", help="entire mesh (.msh/.inp/.nas/.neu)")
+    ap.add_argument("-n", "--n-parts", type=int, required=True,
+                    help="number of subdomains")
+    ap.add_argument("-o", "--out", required=True,
+                    help="output base; writes '<out>.<rank>'")
+    ap.add_argument("-m", "--method", default="RCB",
+                    choices=["RCB", "BLOCK"], help="partitioning method")
+    a = ap.parse_args(argv)
+    from frontistr_tpu.parallel.partition import partition_to_files
+    mesh = _read_any_mesh(a.mesh)
+    print(f"### partitioning {a.mesh}: {mesh.n_node} nodes, "
+          f"{mesh.n_elem} elements -> {a.n_parts} subdomains ({a.method})")
+    paths = partition_to_files(mesh, a.n_parts, a.out, method=a.method)
+    for p in paths:
+        print(f"  wrote {p}")
+    return 0
+
+
+def rmerge_main(argv=None):
+    """fstr_rmerge equivalent: per-rank result files -> one whole file."""
+    ap = argparse.ArgumentParser(
+        prog="fistr-tpu-rmerge",
+        description="Merge per-rank result files onto the entire model "
+                    "(fstr_rmerge equivalent).")
+    ap.add_argument("inputs", nargs="+", help="per-rank result files")
+    ap.add_argument("-o", "--out", required=True,
+                    help="merged whole-model result file")
+    a = ap.parse_args(argv)
+    from frontistr_tpu.tools.rmerge import merge_results
+    merge_results(a.inputs, a.out)
+    print(f"### merged {len(a.inputs)} rank files -> {a.out}")
+    return 0
+
+
+def rconv_main(argv=None):
+    """rconv equivalent: result file format conversion."""
+    ap = argparse.ArgumentParser(
+        prog="fistr-tpu-rconv",
+        description="Convert result files between text, HECMW binary, "
+                    "and npz (rconv equivalent).")
+    ap.add_argument("input", help="input result file (format auto)")
+    ap.add_argument("output", help="output path")
+    ap.add_argument("-t", "--to", default="binary",
+                    choices=["text", "binary", "npz"],
+                    help="output format (default: binary)")
+    a = ap.parse_args(argv)
+    from frontistr_tpu.tools.rmerge import convert_result
+    convert_result(a.input, a.output, to=a.to)
+    print(f"### converted {a.input} -> {a.output} ({a.to})")
+    return 0
+
+
+def neu2fstr_main(argv=None):
+    """neu2fstr equivalent: FEMAP neutral -> native .msh."""
+    ap = argparse.ArgumentParser(
+        prog="fistr-tpu-neu2fstr",
+        description="Convert a FEMAP neutral file to a native mesh "
+                    "(neu2fstr equivalent).")
+    ap.add_argument("input", help="FEMAP .neu file")
+    ap.add_argument("output", help="output .msh path")
+    a = ap.parse_args(argv)
+    from frontistr_tpu.io.neu import neu2fstr
+    mesh = neu2fstr(a.input, a.output)
+    print(f"### {a.input}: {mesh.n_node} nodes, {mesh.n_elem} elements "
+          f"-> {a.output}")
+    return 0
+
+
+if __name__ == "__main__":      # python -m frontistr_tpu.tools.cli <tool>
+    tool = sys.argv[1] if len(sys.argv) > 1 else ""
+    fn = {"part": part_main, "rmerge": rmerge_main, "rconv": rconv_main,
+          "neu2fstr": neu2fstr_main}.get(tool)
+    if fn is None:
+        print("usage: python -m frontistr_tpu.tools.cli "
+              "{part|rmerge|rconv|neu2fstr} ...", file=sys.stderr)
+        sys.exit(2)
+    sys.exit(fn(sys.argv[2:]))

@@ -170,3 +170,67 @@ def test_matrix_dump_mm(tmp_path, monkeypatch):
     K = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
     d = abs(K - K.T)
     assert d.max() < 1e-8 * abs(K).max()
+
+
+def test_cli_partition_merge_workflow():
+    """Full file-based workflow from the command line surfaces
+    (hecmw_part1 -> per-rank results -> fstr_rmerge -> rconv): partition
+    an entire mesh into DIST files, emit per-rank result files keyed by
+    each rank's global node/elem IDs, merge, and binary-convert."""
+    from frontistr_tpu.meshgen import box_hex8
+    from frontistr_tpu.io.neu import write_fstr_msh
+    from frontistr_tpu.io.distio import read_dist
+    from frontistr_tpu.io.resfile import (write_result, read_result,
+                                          is_binary_result)
+    from frontistr_tpu.tools import cli
+
+    mesh = box_hex8(4, 4, 4)
+    with tempfile.TemporaryDirectory() as d:
+        msh = os.path.join(d, "cube.msh")
+        write_fstr_msh(mesh, msh)
+        base = os.path.join(d, "cube.dist")
+        assert cli.part_main([msh, "-n", "4", "-o", base]) == 0
+        ranks = [read_dist(f"{base}.{r}") for r in range(4)]
+        # internal nodes tile the whole mesh exactly once
+        own = np.concatenate([
+            dm.global_node_ID[:dm.nn_internal] for dm in ranks])
+        assert sorted(own) == sorted(mesh.node_ids)
+        # per-rank result files: nodal field = global node id (so the
+        # merged field is id-consistent regardless of rank overlap)
+        parts = []
+        for r, dm in enumerate(ranks):
+            gn = dm.global_node_ID[:dm.nn_internal]
+            ge = dm.global_elem_ID[:dm.ne_internal]
+            p = os.path.join(d, f"res.{r}")
+            write_result(p, "*fstrresult", gn, ge,
+                         [("GID", gn.astype(float).reshape(-1, 1))],
+                         [("EID", ge.astype(float).reshape(-1, 1))])
+            parts.append(p)
+        merged = os.path.join(d, "merged.res")
+        assert cli.rmerge_main(parts + ["-o", merged]) == 0
+        m = read_result(merged)
+        assert sorted(m["node_ids"]) == sorted(mesh.node_ids)
+        np.testing.assert_allclose(m["node_comps"][0][1][:, 0],
+                                   np.asarray(m["node_ids"], float))
+        bz = os.path.join(d, "merged.bin")
+        assert cli.rconv_main([merged, bz, "-t", "binary"]) == 0
+        assert is_binary_result(bz)
+
+
+def test_cli_neu2fstr(tmp_path):
+    """neu2fstr CLI: FEMAP neutral in, runnable .msh out."""
+    from pathlib import Path
+    neu = Path(REFERENCE) / "fistr1" / "tools" / "neu2fstr"
+    src = None
+    for cand in list(neu.rglob("*.NEU")) + list(neu.rglob("*.neu")) \
+            if neu.exists() else []:
+        src = cand
+        break
+    if src is None:
+        pytest.skip("no sample .neu in reference tree")
+    from frontistr_tpu.tools import cli
+    from frontistr_tpu.io.meshio import read_mesh
+    out = str(tmp_path / "conv.msh")
+    assert cli.neu2fstr_main([str(src), out]) == 0
+    m = read_mesh(out)
+    assert m.n_node > 0 and m.n_elem > 0
