@@ -18,6 +18,7 @@ clamped linear interpolation).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional
 
 import jax
@@ -162,14 +163,16 @@ class DynamicResult:
     final: Optional[StaticResult] = None
 
 
-def run_dynamic(model: StructModel, log_path: Optional[str] = None):
+def run_dynamic(model: StructModel, log_path: Optional[str] = None,
+                restart_path: Optional[str] = None, restart_freq: int = 0):
     cfg = model.cfg
     d = cfg.dynamic
     if d is None:
         raise ValueError("!DYNAMIC card missing")
     if d.idx_eqa == 11:
         return _run_explicit(model, log_path)
-    return _run_implicit(model, log_path)
+    return _run_implicit(model, log_path, restart_path=restart_path,
+                         restart_freq=restart_freq)
 
 
 def _external_force(model, t, amp_loads):
@@ -190,7 +193,8 @@ def _postprocess_dyn(model, programs, states, u, vel, acc):
     return res
 
 
-def _run_implicit(model: StructModel, log_path):
+def _run_implicit(model: StructModel, log_path, restart_path=None,
+                  restart_freq=0):
     cfg = model.cfg
     d = cfg.dynamic
     step = cfg.steps[0]
@@ -270,6 +274,28 @@ def _run_implicit(model: StructModel, log_path):
     def solve_eff(kes, B, dirichlet_inc):
         return _solve_eff(_ctx, kes, B, dirichlet_inc)
 
+    # --- contact in implicit dynamics (fstr_dynamic_nlimplicit.f90:374+):
+    # the same AL / SLAGRANGE machinery as the static Newton loop, with
+    # the Newmark effective matrix c1 K + c2 M (+ K_c) as the tangent ---
+    cm = None
+    contact_solver = None
+    slag = None
+    if model.mesh.contact_pairs and cfg.contacts:
+        from frontistr_tpu.contact.ntos import ContactManager
+        from frontistr_tpu.analysis.nonlinear import (
+            make_contact_solver, make_slag_contact_solver)
+        cm = ContactManager(model.mesh, model, cfg)
+        if not cm.active:
+            cm = None
+        elif cm.algo == "SLAGRANGE" and not cm.has_friction:
+            contact_solver, slag = make_slag_contact_solver(
+                model, dofs_j, nns, inc_j, total_en, free,
+                eff=(c1, c2), mass=mass)
+        else:
+            contact_solver = make_contact_solver(
+                model, dofs_j, nns, inc_j, total_en, free,
+                friction=cm.has_friction, eff=(c1, c2), mass=mass)
+
     @jax.jit
     def _matvec_k(ctx, kes, x):
         dofs_a, inc_a, free_a, _ = ctx
@@ -280,62 +306,201 @@ def _run_implicit(model: StructModel, log_path):
     def matvec_k(kes, x):
         return _matvec_k(_ctx, kes, x)
 
-    for i in range(1, d.n_step + 1):
+    # '!RESTART' resume (reference dynamics restart,
+    # fstr_dynamic_nlimplicit.f90 restart block / fstr_write_restart_dyna)
+    start_i = 1
+    if restart_path and restart_freq and os.path.exists(restart_path):
+        from frontistr_tpu.io.restart import load_restart
+        rz = load_restart(restart_path)
+        u = jnp.asarray(rz["u"])
+        vel = jnp.asarray(rz["vel"])
+        acc = jnp.asarray(rz["acc"])
+        states = [{k: (jnp.asarray(v) if v is not None else None)
+                   for k, v in s.items()} for s in rz["states"]]
+        start_i = int(np.asarray(rz["i"])) + 1
+        if cm is not None and "cm" in rz:
+            cs = rz["cm"]
+            cm.lam = np.asarray(cs["lam"])
+            cm.lam_t = np.asarray(cs["lam_t"])
+            if cs.get("rel_prev") is not None:
+                cm.rel_prev = np.asarray(cs["rel_prev"])
+            cm.slag_released = np.asarray(cs["slag_released"]).astype(bool)
+
+    mon = _Monitor(model, d)
+    g_tol = 1e-8 * max(float(np.abs(model.coords).max()), 1.0)
+    for i in range(start_i, d.n_step + 1):
         t = dt * i
         vec1 = a1 * acc + a2 * vel
         vec2 = b1 * acc + b2 * vel
-        du = jnp.zeros(n)
         f_ext = jnp.asarray(_external_force(model, t, amp_loads))
         # prescribed displacement at t (total)
         u_fix_t = old_ops.full_fixed_vector(
             n, model.fixed_dofs, model.fixed_vals)
         u_fix_t = jnp.asarray(u_fix_t)  # amp on BC assumed uniform here
-        resb = None
-        Q = _qforce_dyn(model, programs, states, u, du, inc_j, ndof)
-        for it in range(1, max(step.max_iter, 1) + 1):
-            kes = []
-            for p, s in zip(programs, states):
-                u_e = u.reshape(model.n_node, ndof)[p.block.conn]
-                ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
-                kes.append(p.tangent(u_e, ddu_e, s, t, dt))
-            X_ray = vec2 - b3 * du
-            B = f_ext - Q + mass * (vec1 - a3 * du + d.ray_m * X_ray)
-            if d.ray_k != 0.0:
-                B = B + d.ray_k * matvec_k(tuple(kes), X_ray)
+        states0 = states
+        max_cont = max(getattr(step, "max_contiter", 1), 1) \
+            if cm is not None else 1
+        for cont_it in range(max_cont):
+            # each augmentation pass restarts the Newton increment from
+            # the converged state of step i-1 (fstr_solve_NonLinear's
+            # loopFORcontactAnalysis semantics inside the dynamic loop)
+            du = jnp.zeros(n)
+            states = states0
+            resb = None
+            cn = None
+            # SLag active set is FROZEN for the whole Newton pass
+            # (fstr_scan_contact_state runs between
+            # loopFORcontactAnalysis passes, never inside Newton —
+            # flipping slots on mid-iteration residuals, which carry
+            # O(1/beta/dt^2) inertia terms, makes Newton chase a moving
+            # system and commits steps with spurious release/penetration)
+            cact = None
+            if cm is not None and slag is not None:
+                coords_def = model.coords + np.asarray(u).reshape(
+                    model.n_node, ndof)[:, :model.dim]
+                proj0 = cm.search(coords_def)
+                cact = proj0["touching"] & (proj0["gap"] <= g_tol) & \
+                    ~cm.slag_released
+            Q = _qforce_dyn(model, programs, states, u, du, inc_j, ndof)
+            for it in range(1, max(step.max_iter, 1) + 1):
+                kes = []
+                for p, s in zip(programs, states):
+                    u_e = u.reshape(model.n_node, ndof)[p.block.conn]
+                    ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
+                    kes.append(p.tangent(u_e, ddu_e, s, t, dt))
+                X_ray = vec2 - b3 * du
+                B = f_ext - Q + mass * (vec1 - a3 * du + d.ray_m * X_ray)
+                if d.ray_k != 0.0:
+                    B = B + d.ray_k * matvec_k(tuple(kes), X_ray)
 
-            dirichlet_inc = (u_fix_t - u) if it == 1 else jnp.zeros(n)
+                proj = None
+                if cm is not None:
+                    coords_def = model.coords + np.asarray(
+                        u + du).reshape(model.n_node, ndof)[:, :model.dim]
+                    proj = cm.search(coords_def)
 
-            bnorm = float(jnp.vdot(B * free, B * free))
-            if it == 1:
-                resb = max(bnorm, 1e-300)
-            res_rel = np.sqrt(bnorm / resb)
-            if it > 1 and res_rel < step.converg:
+                Bres = B
+                cdofs_j = cke_j = None
+                if cm is not None and slag is None:
+                    cdofs, cke, cqf, _, _ = cm.device_blocks(proj)
+                    cdofs_j = jnp.asarray(cdofs)
+                    cke_j = jnp.asarray(cke)
+                    Bc = jnp.zeros_like(B).at[cdofs_j.reshape(-1)].add(
+                        jnp.asarray(cqf).reshape(-1))
+                    B = B - Bc
+                    Bres = B
+
+                dirichlet_inc = (u_fix_t - u) if it == 1 else jnp.zeros(n)
+
+                if cm is not None and slag is not None:
+                    # geometry coefficients track the deformed config
+                    # (fstr_AddContactStiffness per iteration); only the
+                    # act mask is frozen
+                    cn = slag.build(proj, cm.all_slaves, cact)
+                    Bres = jnp.asarray(
+                        np.asarray(slag.Tt(cn, B)) * np.asarray(free))
+
+                bnorm = float(jnp.vdot(Bres * free, Bres * free))
+                if it == 1:
+                    resb = max(bnorm, 1e-300)
+                res_rel = np.sqrt(bnorm / resb)
+                if cm is not None and os.environ.get(
+                        "FRONTISTR_TPU_DEBUG_CONTACT"):
+                    nact = int(cact.sum()) if (slag is not None and
+                                               cn is not None) else -1
+                    print(f" dyn i={i} cont={cont_it} it={it} "
+                          f"act={nact} rel={int(cm.slag_released.sum())} "
+                          f"gapmin={proj['gap'].min():.3e} "
+                          f"res={res_rel:.3e}", flush=True)
+                if it > 1 and res_rel < step.converg:
+                    break
+
+                if cm is not None and slag is not None:
+                    dx = contact_solver(tuple(kes), B, dirichlet_inc, cn)
+                elif cm is not None:
+                    dx = contact_solver(tuple(kes), B, dirichlet_inc,
+                                        cdofs_j, cke_j)
+                else:
+                    dx = solve_eff(tuple(kes), B, dirichlet_inc)
+                du = du + dx
+                new_states = []
+                flats = []
+                for p, s in zip(programs, states):
+                    u_e = u.reshape(model.n_node, ndof)[p.block.conn]
+                    ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
+                    ns_, qf = p.update(u_e, ddu_e, s, t, dt)
+                    new_states.append(ns_)
+                    flats.append(qf.reshape(-1))
+                states = new_states
+                flats.append(jnp.zeros(ndof))
+                flat = jnp.concatenate(flats)
+                idx = inc_j[:, :, None] * ndof + \
+                    jnp.arange(ndof)[None, None, :]
+                Q = flat[idx].sum(axis=1).reshape(-1)
+            if cm is None:
                 break
-
-            du = du + solve_eff(tuple(kes), B, dirichlet_inc)
-            new_states = []
-            flats = []
-            for p, s in zip(programs, states):
-                u_e = u.reshape(model.n_node, ndof)[p.block.conn]
-                ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
-                ns_, qf = p.update(u_e, ddu_e, s, t, dt)
-                new_states.append(ns_)
-                flats.append(qf.reshape(-1))
-            states = new_states
-            flats.append(jnp.zeros(ndof))
-            flat = jnp.concatenate(flats)
-            idx = inc_j[:, :, None] * ndof + \
-                jnp.arange(ndof)[None, None, :]
-            Q = flat[idx].sum(axis=1).reshape(-1)
+            coords_def = model.coords + np.asarray(
+                u + du).reshape(model.n_node, ndof)[:, :model.dim]
+            proj = cm.search(coords_def)
+            char = float(np.abs(model.coords).max()) or 1.0
+            if slag is not None:
+                # active-set scan at the converged pass
+                # (fstr_scan_contact_state): release slots whose
+                # converged contact pressure is tensile, re-activate
+                # inactive slots that penetrated; re-run the pass if the
+                # set changed or penetration remains
+                lam_c = np.asarray(slag.lagrange(cn, B))
+                scale = max(float(np.abs(lam_c).max()), 1.0)
+                rel_new = cact & (lam_c < -1e-8 * scale)
+                act_new = (~cact) & proj["touching"] & \
+                    (proj["gap"] < -1e-5 * char)
+                cm.slag_released |= rel_new
+                cm.slag_released &= ~act_new
+                live = proj["touching"] & ~cm.slag_released
+                pen = float(np.maximum(-proj["gap"], 0.0)[live].max()) \
+                    if live.any() else 0.0
+                if not rel_new.any() and not act_new.any() and \
+                        pen < 1e-5 * char:
+                    break
+                continue
+            # AL augmentation: update multipliers at the converged
+            # config, stop when penetration is resolved AND multipliers
+            # settled — freeing a separated slot (bounce-off) must
+            # trigger another Newton pass or the step keeps the ghost
+            # pressure and pumps energy into the rebound
+            pen = float(np.maximum(-proj["gap"],
+                                   0.0)[proj["touching"]].max()) \
+                if proj["touching"].any() else 0.0
+            lam_pre = cm.lam.copy()
+            cm.augment(proj)
+            dlam = float(np.abs(cm.lam - lam_pre).max()) \
+                if cm.lam.size else 0.0
+            if pen < 1e-5 * char and dlam <= cm.kn * 1e-5 * char:
+                break
         # Newmark velocity/acceleration update
         acc_new = -a1 * acc - a2 * vel + a3 * du
         vel_new = -b1 * acc - b2 * vel + b3 * du
         acc, vel = acc_new, vel_new
         u = u + du
         states = [_commit_state(s) for s in states]
+        mon.record(i, t, u, vel, acc)
+        if restart_path and restart_freq > 0 and i % restart_freq == 0:
+            from frontistr_tpu.io.restart import save_restart
+            payload = dict(
+                u=np.asarray(u), vel=np.asarray(vel), acc=np.asarray(acc),
+                i=np.asarray(i),
+                states=[{k: np.asarray(v) for k, v in s.items()}
+                        for s in states])
+            if cm is not None:
+                payload["cm"] = dict(
+                    lam=cm.lam, lam_t=cm.lam_t,
+                    rel_prev=cm.rel_prev,
+                    slag_released=cm.slag_released.astype(np.int8))
+            save_restart(restart_path, payload)
 
     result = _finalize_dyn(model, programs, states, u, vel, acc, d.n_step,
-                           log_path)
+                           log_path, monitors=mon.arrays())
+    mon.write_files(log_path)
     return result
 
 
@@ -383,6 +548,7 @@ def _run_explicit(model: StructModel, log_path):
     vec1 = jnp.where(vec1 * free == 0.0, 1.0, vec1)
     Q = jnp.zeros(n)
 
+    mon = _Monitor(model, d)
     for i in range(1, d.n_step + 1):
         t = dt * i
         f_ext = jnp.asarray(_external_force(model, t, amp_loads))
@@ -409,12 +575,62 @@ def _run_explicit(model: StructModel, log_path):
         disp3 = disp1
         disp1 = X
         u = X
+        mon.record(i, t, u, vel, acc)
 
-    return _finalize_dyn(model, programs, states, u, vel, acc, d.n_step,
-                         log_path)
+    result = _finalize_dyn(model, programs, states, u, vel, acc, d.n_step,
+                           log_path, monitors=mon.arrays())
+    mon.write_files(log_path)
+    return result
 
 
-def _finalize_dyn(model, programs, states, u, vel, acc, steps, log_path):
+class _Monitor:
+    """Per-step monitoring-node history (dynamic_output_monit,
+    dynamic_output.f90:354-431): record u/v/a of node `node_monit_1`
+    every `nout_monit` steps; emit dyna_disp/velo/acce.out next to the
+    log with the reference line layout (step, t, global id, components)."""
+
+    def __init__(self, model, d):
+        self.model = model
+        self.gid = int(getattr(d, "node_monit_1", 0) or 0)
+        self.every = max(int(getattr(d, "nout_monit", 1) or 1), 1)
+        self.idx = model.mesh.id2idx.get(self.gid) if self.gid else None
+        self.rows = []
+
+    def record(self, i, t, u, vel, acc):
+        if self.idx is None or i % self.every:
+            return
+        nd = self.model.ndof
+        k = self.idx
+        self.rows.append((
+            i, t,
+            np.asarray(u).reshape(-1, nd)[k].copy(),
+            np.asarray(vel).reshape(-1, nd)[k].copy(),
+            np.asarray(acc).reshape(-1, nd)[k].copy()))
+
+    def arrays(self):
+        if not self.rows:
+            return {}
+        return {"step": np.asarray([r[0] for r in self.rows]),
+                "time": np.asarray([r[1] for r in self.rows]),
+                "disp": np.stack([r[2] for r in self.rows]),
+                "velo": np.stack([r[3] for r in self.rows]),
+                "acce": np.stack([r[4] for r in self.rows])}
+
+    def write_files(self, log_path):
+        if not self.rows or not log_path:
+            return
+        base = os.path.dirname(os.path.abspath(log_path))
+        for name, col in (("dyna_disp", 2), ("dyna_velo", 3),
+                          ("dyna_acce", 4)):
+            with open(os.path.join(base, f"{name}.out"), "w") as fh:
+                for r in self.rows:
+                    vals = "".join(f"{v:13.4E}" for v in r[col])
+                    fh.write(f"{r[0]:10d}{r[1]:13.4E}{self.gid:10d}"
+                             f"{vals}\n")
+
+
+def _finalize_dyn(model, programs, states, u, vel, acc, steps, log_path,
+                  monitors=None):
     from frontistr_tpu.analysis.nonlinear import _postprocess
     res = _postprocess(model, programs, states, jnp.asarray(u))
     out = DynamicResult(u=np.asarray(u).reshape(model.n_node, model.ndof),
@@ -422,7 +638,7 @@ def _finalize_dyn(model, programs, states, u, vel, acc, steps, log_path):
                                                     model.ndof),
                         acc=np.asarray(acc).reshape(model.n_node,
                                                     model.ndof),
-                        steps=steps, monitors={}, final=res)
+                        steps=steps, monitors=monitors or {}, final=res)
     if log_path:
         _write_dyn_log(log_path, model, out, steps)
     return out

@@ -97,11 +97,14 @@ class BlockPrograms:
             self.table = None
             self.mtype = mat.ELASTIC
             self.flag = mat.INFINITESIMAL
-            self._tangent = jax.jit(lambda u_e, ddu_e, st, t, dt: ke)
-            self._update = jax.jit(lambda u_e, ddu_e, st, t, dt: (
+            self._carry = {"ke": jnp.asarray(ke)}
+            self._tangent = jax.jit(
+                lambda carry, u_e, ddu_e, st, t, dt: carry["ke"])
+            self._update = jax.jit(lambda carry, u_e, ddu_e, st, t, dt: (
                 st,
-                jnp.einsum("eij,ej->ei", ke,
-                           (u_e + ddu_e).reshape(ke.shape[0], -1))))
+                jnp.einsum("eij,ej->ei", carry["ke"],
+                           (u_e + ddu_e).reshape(carry["ke"].shape[0],
+                                                 -1))))
             self._linear_struct = True
             return
         self._linear_struct = False
@@ -114,6 +117,18 @@ class BlockPrograms:
         self.coords_e = jnp.asarray(model.coords[block.conn])
         self.D_e = jnp.asarray(block.D)
         self.thick = block.thick
+        # Isotropic small-strain fast path: one gram matmul per element
+        # (stiffness_linear_iso) instead of the generic B^T D B chain —
+        # ~20x fewer f64-emulated FLOPs on TPU and none of the multi-GB
+        # B/DB temporaries that OOM HBM at 1M-dof tet.  Valid when the
+        # block's D is one isotropic matrix broadcast over elements.
+        self.iso_lm = None
+        if (m.mtype == mat.ELASTIC and self.dim == 3
+                and m.ortho_consts is None and np.ndim(block.D) == 3
+                and not np.any(block.D[1:] != block.D[:1])):
+            E_, nu = float(m.youngs), float(m.poisson)
+            self.iso_lm = (E_ * nu / ((1 + nu) * (1 - 2 * nu)),
+                           E_ / (2 * (1 + nu)))
         if self.mtype in (mat.HYPERELASTIC_NEOHOOKE,
                           mat.HYPERELASTIC_MOONEYRIVLIN,
                           mat.HYPERELASTIC_ARRUDABOYCE):
@@ -156,8 +171,38 @@ class BlockPrograms:
             self.c_m = float(cc[2]) if len(cc) > 2 else 0.0
             self.c_G = m.youngs / (2.0 * (1.0 + m.poisson))
 
-        self._tangent = jax.jit(self._tangent_fn)
-        self._update = jax.jit(self._update_fn)
+        # Big per-element constants ride through the jit boundary as
+        # ARGUMENTS: a closed-over device array is inlined into the
+        # lowered HLO as a dense literal, and at ~1M dof coords_e alone
+        # is >100 MB of literal — the remote TPU compile endpoint
+        # rejects the module (HTTP 413).  The traced fns temporarily
+        # bind the carried tracers onto self so every self.coords_e /
+        # self.D_e use inside _tangent_fn/_update_fn traces against the
+        # argument, then restore the concrete arrays.
+        self._carry = {"coords_e": self.coords_e, "D_e": self.D_e}
+        if getattr(self, "v_tshift", None) is not None:
+            self._carry["v_tshift"] = self.v_tshift
+
+        def _bind(vals):
+            for k, v in vals.items():
+                setattr(self, k, v)
+
+        def _tangent_c(carry, u_e, ddu_e, st, t, dt):
+            _bind(carry)
+            try:
+                return self._tangent_fn(u_e, ddu_e, st, t, dt)
+            finally:
+                _bind(self._carry)
+
+        def _update_c(carry, u_e, ddu_e, st, t, dt):
+            _bind(carry)
+            try:
+                return self._update_fn(u_e, ddu_e, st, t, dt)
+            finally:
+                _bind(self._carry)
+
+        self._tangent = jax.jit(_tangent_c)
+        self._update = jax.jit(_update_c)
 
     @property
     def bbar(self):
@@ -181,6 +226,9 @@ class BlockPrograms:
                 return solid.stiffness_nlgeom(
                     table, self.coords_e, total, D, state["stress"],
                     mat.INFINITESIMAL, thick=self.thick, bbar=True)
+            if self.iso_lm is not None:
+                return solid.stiffness_linear_iso(
+                    table, self.coords_e, *self.iso_lm)
             return solid.stiffness_linear(table, self.coords_e, D,
                                           thick=self.thick)
         D = self._material_D(state, time, dtime)
@@ -478,12 +526,12 @@ class BlockPrograms:
                 jnp.einsum("ekl,eql->eqk", self.D_e, eps))
 
     def tangent(self, u_e, ddu_e, state, time=0.0, dtime=0.0):
-        return self._tangent(u_e, ddu_e, state, jnp.asarray(time),
-                             jnp.asarray(dtime))
+        return self._tangent(self._carry, u_e, ddu_e, state,
+                             jnp.asarray(time), jnp.asarray(dtime))
 
     def update(self, u_e, ddu_e, state, time=0.0, dtime=0.0):
-        return self._update(u_e, ddu_e, state, jnp.asarray(time),
-                            jnp.asarray(dtime))
+        return self._update(self._carry, u_e, ddu_e, state,
+                            jnp.asarray(time), jnp.asarray(dtime))
 
 
 def _glq(ns, dt):
@@ -575,26 +623,36 @@ def _qf_totallag(table, S, gderiv, det, dudx, stress, thick, dim):
 
 
 def make_contact_solver(model, dofs_j, nns, inc_j, total_en, free,
-                        friction: bool = False):
+                        friction: bool = False, eff=None, mass=None):
     """Jitted solve with a varying contact block applied outside the static
     incidence (scatter-add; contact conn changes face targets per search).
 
     friction=True switches the Krylov method to BiCGSTAB: the consistent
     Coulomb slip tangent is nonsymmetric (the reference solves it with
     MUMPS or the contact-extended iterative path,
-    solve_LINEQ_contact.f90)."""
+    solve_LINEQ_contact.f90).
+
+    eff=(c1, c2) with mass = lumped per-dof mass solves the Newmark
+    effective system c1 K + c2 M + K_c instead of K + K_c (the implicit-
+    dynamics contact arm, fstr_dynamic_nlimplicit.f90:374+); the contact
+    tangent K_c enters unscaled — it linearizes the contact force in the
+    residual, which carries no Rayleigh factor."""
     n_node, ndof = model.n_node, model.ndof
     sv = model.cfg.solver
     nns_t = tuple(nns)
+    c1, c2 = eff if eff is not None else (1.0, 0.0)
 
     @jax.jit
     def _solve(ctx, kes, B, dirichlet_inc, cdofs, cke):
-        dofs, inc, free = ctx
+        dofs, inc, free, m_eff = ctx
+
         op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
                               n_node, ndof, free)
 
         def A_raw(x):
             y = op.matvec(x)
+            if eff is not None:
+                y = c1 * y + c2 * m_eff * x
             fe = jnp.einsum("eij,ej->ei", cke, x[cdofs])
             return y.at[cdofs.reshape(-1)].add(fe.reshape(-1))
 
@@ -604,12 +662,15 @@ def make_contact_solver(model, dofs_j, nns, inc_j, total_en, free,
 
         b_c = (B - A_raw(dirichlet_inc)) * free + \
             dirichlet_inc * (1.0 - free)
+        M_pc = op.block_jacobi(scale=c1, diag_add=(
+            c2 * m_eff if eff is not None else None))
         solver = krylov.bicgstab if friction else krylov.pcg
-        res = solver(A, b_c, M=op.block_jacobi(), tol=sv.resid,
+        res = solver(A, b_c, M=M_pc, tol=sv.resid,
                      maxiter=sv.nier)
         return res.x
 
-    ctx = (list(dofs_j), inc_j, free)
+    ctx = (list(dofs_j), inc_j, free,
+           mass if mass is not None else jnp.zeros(0))
 
     def solve(kes, B, dirichlet_inc, cdofs, cke):
         return _solve(ctx, kes, B, dirichlet_inc, cdofs, cke)
@@ -618,32 +679,50 @@ def make_contact_solver(model, dofs_j, nns, inc_j, total_en, free,
 
 
 def make_slag_contact_solver(model, dofs_j, nns, inc_j, total_en,
-                             free):
+                             free, eff=None, mass=None):
     """Exact-Lagrange contact solve: slave-dof elimination T K T^t
     (solve_LINEQ_iter_contact.f90:115-500) with fixed-shape constraint
     slots so the active set never recompiles.  Returns
-    (solve(kes, B, dirichlet_inc, cn), eliminator)."""
+    (solve(kes, B, dirichlet_inc, cn), eliminator).
+
+    eff=(c1, c2) + mass eliminates on the Newmark effective matrix
+    c1 K + c2 M (implicit-dynamics SLag contact,
+    fstr_dynamic_nlimplicit.f90:374+)."""
     from frontistr_tpu.contact.slag import ContactEliminator
     n_node, ndof = model.n_node, model.ndof
     sv = model.cfg.solver
     nns_t = tuple(nns)
     elim = ContactEliminator(model.n_dof_total, ndof)
+    c1, c2 = eff if eff is not None else (1.0, 0.0)
 
     @jax.jit
     def _solve(ctx, cn, kes, B, dirichlet_inc):
-        dofs, inc, free = ctx
+        dofs, inc, free, m_eff = ctx
         op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
                               n_node, ndof, free)
-        b_c = (B - op.matvec(dirichlet_inc)) * free + \
+
+        def mv(x):
+            y = op.matvec(x)
+            if eff is not None:
+                y = c1 * y + c2 * m_eff * x
+            return y
+
+        def A0(x):
+            xm = x * free
+            return mv(xm) * free + x * (1.0 - free)
+
+        b_c = (B - mv(dirichlet_inc)) * free + \
             dirichlet_inc * (1.0 - free)
-        A0 = op.apply_constrained
         A = elim.wrap(cn, A0)
         b_r = elim.reduce_rhs(cn, A0, b_c)
-        res = krylov.pcg(A, b_r, M=op.block_jacobi(), tol=sv.resid,
+        M_pc = op.block_jacobi(scale=c1, diag_add=(
+            c2 * m_eff if eff is not None else None))
+        res = krylov.pcg(A, b_r, M=M_pc, tol=sv.resid,
                          maxiter=sv.nier)
         return elim.recover(cn, res.x)
 
-    ctx = (list(dofs_j), inc_j, free)
+    ctx = (list(dofs_j), inc_j, free,
+           mass if mass is not None else jnp.zeros(0))
 
     def solve(kes, B, dirichlet_inc, cn):
         return _solve(ctx, cn, kes, B, dirichlet_inc)
@@ -791,7 +870,7 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
             x = res.x
             if cons is not None:
                 x = cons(x)[:n_real]
-            return x
+            return x, res.iters
     else:
         @jax.jit
         def _solve(profile, cprofile, am, ctx, kes, B, dirichlet_inc,
@@ -812,7 +891,7 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
             x = res.x
             if cons is not None:
                 x = cons(x)[:n_real]
-            return x
+            return x, res.iters
 
     ctx = (list(dofs_j), inc_j, free, coords_j)
 
@@ -824,15 +903,18 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
             kes_s = tuple(jax.device_put(k, rep) for k in kes)
             Bp = jax.device_put(jnp.pad(B, (0, npad)), row)
             dp = jax.device_put(jnp.pad(dirichlet_inc, (0, npad)), row)
-            x = _solve(prof_d, cprof_d, amaps, ctx, kes_s, Bp, dp,
-                       pal_args)
+            x, it = _solve(prof_d, cprof_d, amaps, ctx, kes_s, Bp, dp,
+                           pal_args)
+            solve.last_iters = it         # device scalar, no host sync
             # back to the driver's single default device (the Newton
             # update/qforce passes are per-element vmaps on one chip)
             return jax.device_put(x, dev0)
     else:
         def solve(kes, B, dirichlet_inc):
-            return _solve(prof_d, cprof_d, amaps, ctx, kes, B,
-                          dirichlet_inc, pal_args)
+            x, it = _solve(prof_d, cprof_d, amaps, ctx, kes, B,
+                           dirichlet_inc, pal_args)
+            solve.last_iters = it         # device scalar, no host sync
+            return x
 
     return solve
 
@@ -1046,9 +1128,17 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
                 pen = float(np.maximum(-proj["gap"],
                                        0.0)[proj["touching"]].max()) \
                     if proj["touching"].any() else 0.0
+                lam_pre = cm.lam.copy()
                 cm.augment(proj)
                 char = float(np.abs(model.coords).max()) or 1.0
-                if pen < 1e-5 * char:
+                # Uzawa convergence: penetration resolved AND the
+                # multiplier update settled — a large |dlam| (e.g. a
+                # slot freed on separation) means the converged config
+                # was computed with inconsistent contact forces and
+                # needs another Newton pass
+                dlam = float(np.abs(cm.lam - lam_pre).max()) \
+                    if cm.lam.size else 0.0
+                if pen < 1e-5 * char and dlam <= cm.kn * 1e-5 * char:
                     break
             stats.total_iters += iters
             stats.max_iters = max(stats.max_iters, iters)
@@ -1092,10 +1182,15 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
                     step_count=np.asarray(step_count),
                     states=[{k: np.asarray(v) for k, v in s.items()}
                             for s in states]))
-            if log_path is not None:
+            if log_path is not None or result_writer is not None:
                 result = _postprocess(model, programs, states, u,
                                       Q=Q_last)
-                _append_log(log_path, model, result, step_count)
+                if log_path is not None:
+                    _append_log(log_path, model, result, step_count)
+                if result_writer is not None:
+                    # per-substep output hook (fstr_static_Output /
+                    # OUTPUT FREQUENCY cadence)
+                    result_writer(step_count, t, result)
             if step.inc_type == "AUTO":
                 # !AUTOINC_PARAM heuristics (fstr_Ctrl_TimeInc.f90:168-210):
                 # count successive substeps satisfying the NR-iteration
@@ -1217,8 +1312,24 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
     # Newton iteration (DLOAD_follow=1 default under nlgeom,
     # fstr_solve_NonLinear.f90:103)
     follow = model.nlgeom and model.dload_grp is not None
+    # device follower path: the DLOAD grouping is static, so the whole
+    # re-assembly at coords0+u is one jitted gather+einsum+scatter — no
+    # u pull to host and no numpy pass per Newton iteration
+    fol_dev = None
+    if follow and follow_sel is None:
+        fol_dev = getattr(model, "_follower_dev", None)
+        if fol_dev is None:
+            from frontistr_tpu.assembly.loads import FollowerDload
+            cards_f, lgrp_f = model.dload_grp
+            fol_dev = FollowerDload(model, cards_f, lgrp_f)
+            model._follower_dev = fol_dev
+        if not fol_dev.ok:
+            fol_dev = None
+    f_base_j = jnp.asarray(model.f_base) if fol_dev is not None else None
 
     def _follow_gl(u_now):
+        if fol_dev is not None:
+            return (f_base_j + fol_dev(u_now)) * lam2
         from frontistr_tpu.assembly.loads import collect_dload
         cards, lgrp = model.dload_grp
         coords_def = model.coords + np.asarray(u_now).reshape(
@@ -1251,6 +1362,9 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
         # residual with current state
         B = gl - Q_cur
         dirichlet_inc = dufix if it == 1 else jnp.zeros_like(dufix)
+        direct = model.cfg.solver.method.upper() in (
+            "DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG") \
+            if cm is not None else False
         if cm is not None and slag is not None:
             # SLAGRANGE: exact gap closure by slave-dof elimination;
             # active set = touching & closed/penetrating minus released
@@ -1261,7 +1375,22 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
             cact = proj["touching"] & (proj["gap"] <= g_tol) & \
                 ~cm.slag_released
             cn = slag.build(proj, cm.all_slaves, cact)
-            dx = contact_solve(tuple(kes), B, dirichlet_inc, cn)
+            if direct:
+                # METHOD=DIRECT on a contact deck: explicit Lagrange
+                # rows + host saddle-point factorization
+                # (solve_LINEQ_direct_serial_lag.f90)
+                from frontistr_tpu.contact.slag import lag_rows
+                from frontistr_tpu.solver.direct import solve_direct_lag
+                Bl, grows = lag_rows(proj, cm.all_slaves, cact, ndof, n,
+                                     free=np.asarray(free))
+                dx_np, _ = solve_direct_lag(
+                    [np.asarray(k) for k in kes],
+                    [np.asarray(d) for d in dofs_j], n,
+                    np.asarray(free), np.asarray(B), Bl, grows,
+                    u_fix=np.asarray(dirichlet_inc))
+                dx = jnp.asarray(dx_np)
+            else:
+                dx = contact_solve(tuple(kes), B, dirichlet_inc, cn)
         elif cm is not None:
             coords_def = model.coords + np.asarray(
                 u + du).reshape(model.n_node, model.ndof)
@@ -1272,8 +1401,16 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
             Bc = jnp.zeros_like(B).at[cdofs_j.reshape(-1)].add(
                 jnp.asarray(cqf).reshape(-1))
             B = B - Bc
-            dx = contact_solve(tuple(kes), B, dirichlet_inc, cdofs_j,
-                               jnp.asarray(cke))
+            if direct:
+                from frontistr_tpu.solver.direct import solve_direct_al
+                dx = jnp.asarray(solve_direct_al(
+                    [np.asarray(k) for k in kes],
+                    [np.asarray(d) for d in dofs_j], n,
+                    np.asarray(free), np.asarray(B), cdofs, cke,
+                    u_fix=np.asarray(dirichlet_inc)))
+            else:
+                dx = contact_solve(tuple(kes), B, dirichlet_inc, cdofs_j,
+                                   jnp.asarray(cke))
         else:
             if solve is None:
                 solve = make_constrained_solver(model, dofs_j, nns, inc_j,
@@ -1321,12 +1458,15 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
                 jnp.asarray(cdofs_n).reshape(-1)].add(
                 jnp.asarray(cqf_n).reshape(-1))
             Bres = (gl - Q - Qc) * free
-        res_n = float(jnp.sqrt(jnp.vdot(Bres, Bres)))
-        qnrm = float(jnp.sqrt(jnp.vdot(Q, Q)))
+        # ONE device->host fetch per Newton iteration: the four
+        # convergence norms ride back together (each separate float()
+        # is a full round-trip on the remote-TPU tunnel)
+        res_n, qnrm, xnrm, dunrm = (
+            float(v) for v in np.asarray(_conv_norms(Bres, Q, dx, du)))
         if qnrm < 1e-8:
             qnrm = 1.0
-        xnrm = float(jnp.sqrt(jnp.vdot(dx, dx)))
-        dunrm = xnrm if it == 1 else float(jnp.sqrt(jnp.vdot(du, du)))
+        if it == 1:
+            dunrm = xnrm
         rres = res_n / qnrm
         rxnrm = xnrm / max(dunrm, 1e-300)
         if os.environ.get("FRONTISTR_TPU_DEBUG_NEWTON"):
@@ -1345,6 +1485,12 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
     if not conv:
         return False, du, states_cur, iters, Q_cur
     return True, du, states_cur, iters, Q_cur
+
+
+@jax.jit
+def _conv_norms(Bres, Q, dx, du):
+    return jnp.sqrt(jnp.stack([jnp.vdot(Bres, Bres), jnp.vdot(Q, Q),
+                               jnp.vdot(dx, dx), jnp.vdot(du, du)]))
 
 
 def _all_linear(programs):

@@ -123,13 +123,20 @@ class FEOperator:
         flat = jnp.concatenate(flats, axis=0)
         return flat[self.inc].sum(axis=1)              # (n_node, nd, nd)
 
-    def block_jacobi(self) -> Callable:
+    def block_jacobi(self, scale=1.0, diag_add=None) -> Callable:
         """DIAG preconditioner: invert nodal blocks, identity on fixed and
-        unused dofs."""
+        unused dofs.
+
+        scale/diag_add form the Newmark effective diagonal
+        c1 D + diag(c2 m) (fstr_dynamic_nlimplicit.f90 K_eff) without a
+        second incidence gather; diag_add is a per-dof vector."""
         from frontistr_tpu.fem.isoparam import det_inv_small
         from frontistr_tpu.utils.linalg import gauss_jordan_inv
         nd = self.ndof
-        D = self.diag_blocks()
+        D = self.diag_blocks() * scale
+        if diag_add is not None:
+            D = D.at[:, jnp.arange(nd), jnp.arange(nd)].add(
+                diag_add.reshape(self.n_node, nd))
         fm = self.free_mask.reshape(self.n_node, nd)
         D = D * (fm[:, :, None] * fm[:, None, :])
         dd = D[:, jnp.arange(nd), jnp.arange(nd)]

@@ -193,45 +193,62 @@ def collect_dload(mesh, model, cards, grpid_filter=None,
     if coords is None:
         coords = model.coords
     f = np.zeros(model.n_node * ndof)
+    for (bi, sel, face, ltype, params, token) in _dload_groups(
+            mesh, model, cards, grpid_filter):
+        b = model.blocks[bi]
+        coords_e = coords[b.conn[sel]]
+        rho = float(b.material.density)
+        if getattr(b, "kind", "solid") == "shell":
+            from frontistr_tpu.fem import shell as shmod
+            import jax.numpy as jnp
+            tok = token if token in ("BX", "BY", "BZ", "GRAV",
+                                     "CENT") else "P0"
+            vect = np.asarray(shmod.shell_dload(
+                jnp.asarray(coords_e), b.thick, rho, tok,
+                np.asarray(params), b.etype))
+        elif ltype < 10:
+            vect = _body_force(b.etype, coords_e, model.dim, b.thick,
+                               ltype, params, rho)
+        elif ltype >= 100:
+            continue            # S/P0 on solids needs a surface group
+        else:
+            vect = _face_pressure(b.etype, coords_e, model.dim, b.thick,
+                                  face, params[0])
+        dofs = (b.conn[sel][:, :, None] * ndof +
+                np.arange(ndof)[None, None, :])
+        np.add.at(f, dofs.reshape(-1), vect.reshape(-1))
+    return f
+
+
+# ---------------------------------------------------------------------------
+# Device-side follower DLOAD (fstr_ass_load.f90:165-196 DLOAD_follow=1):
+# under nlgeom the reference re-assembles every DLOAD at node+unode each
+# Newton iteration.  The host numpy path above costs a device->host pull
+# of u plus an O(n) numpy pass per iteration; on a remote-TPU tunnel that
+# is the slowest thing in the loop.  The grouping (which elements, which
+# faces, which load types) is static per model, so it is precomputed once
+# and the numeric evaluation becomes one jitted gather+einsum+scatter.
+# ---------------------------------------------------------------------------
+
+def _dload_groups(mesh, model, cards, grpid_filter=None):
+    """Static card grouping shared by collect_dload and FollowerDload:
+    yields (bi, rows, face, ltype, params, token)."""
     eid2loc = {}
     for bi, b in enumerate(model.blocks):
         for k, eid in enumerate(b.elem_ids):
             eid2loc[int(eid)] = (bi, k)
 
-    def add_elems(eids, faces, ltype, params, token=""):
-        """faces: None or per-element face numbers (for surface groups)."""
+    def group(eids, faces, ltype, params, token):
         by_block: Dict[tuple, List] = {}
         for idx, eid in enumerate(eids):
             loc = eid2loc.get(int(eid))
             if loc is None:
                 continue
             face = int(faces[idx]) if faces is not None else ltype // 10
-            key = (loc[0], face)
-            by_block.setdefault(key, []).append(loc[1])
+            by_block.setdefault((loc[0], face), []).append(loc[1])
         for (bi, face), rows in by_block.items():
-            b = model.blocks[bi]
-            sel = np.asarray(rows, dtype=np.int64)
-            coords_e = coords[b.conn[sel]]
-            rho = float(b.material.density)
-            if getattr(b, "kind", "solid") == "shell":
-                from frontistr_tpu.fem import shell as shmod
-                import jax.numpy as jnp
-                tok = token if token in ("BX", "BY", "BZ", "GRAV",
-                                         "CENT") else "P0"
-                vect = np.asarray(shmod.shell_dload(
-                    jnp.asarray(coords_e), b.thick, rho, tok,
-                    np.asarray(params), b.etype))
-            elif ltype < 10:
-                vect = _body_force(b.etype, coords_e, model.dim, b.thick,
-                                   ltype, params, rho)
-            elif ltype >= 100:
-                continue        # S/P0 on solids needs a surface group
-            else:
-                vect = _face_pressure(b.etype, coords_e, model.dim, b.thick,
-                                      face, params[0])
-            dofs = (b.conn[sel][:, :, None] * ndof +
-                    np.arange(ndof)[None, None, :])
-            np.add.at(f, dofs.reshape(-1), vect.reshape(-1))
+            yield (bi, np.asarray(rows, np.int64), face, ltype, params,
+                   token)
 
     for c in cards:
         gid = c.iparam("GRPID", 1)
@@ -245,21 +262,125 @@ def collect_dload(mesh, model, cards, grpid_filter=None,
                 continue
             params = [float(v) for v in row[2:]] + [0.0] * 7
             params = np.asarray(params[:7])
-            if ltype == 100:  # surface group: per-entry (elem, face)
+            if ltype == 100:
                 sg = mesh.surf_groups.get(grp)
                 if sg is not None:
                     for face in np.unique(sg[:, 1]):
                         sel = sg[sg[:, 1] == face]
-                        add_elems(sel[:, 0], None, int(face) * 10, params,
-                                  lt_tok)
+                        yield from group(sel[:, 0], None, int(face) * 10,
+                                         params, lt_tok)
                     continue
-                # shell P0: element group carrying a mid-surface pressure
             eids = mesh.elem_groups.get(grp)
             if eids is None:
-                # literal element id
                 try:
                     eids = np.asarray([int(grp)])
                 except ValueError:
                     continue
-            add_elems(eids, None, ltype, params, lt_tok)
-    return f
+            yield from group(eids, None, ltype, params, lt_tok)
+
+
+def _body_force_j(etype, coords_e, dim, thick, ltype, params, rho):
+    """jax twin of _body_force (same DL_C3/DL_C2 math, traced)."""
+    import jax.numpy as jnp
+    t = get_table(etype)
+    J = jnp.einsum("qni,enj->eqij", jnp.asarray(t.dN), coords_e)
+    from frontistr_tpu.fem.isoparam import det_inv_small
+    det, _ = det_inv_small(J)
+    wdet = det * (thick if dim == 2 else 1.0)
+    N = jnp.asarray(t.N)
+    w = jnp.asarray(t.weights)
+    val = float(params[0])
+    if ltype in (1, 2, 3):
+        pl = jnp.einsum("qn,eq,q->en", N, wdet, w)
+        out = jnp.zeros(coords_e.shape[:2] + (dim,))
+        return out.at[:, :, ltype - 1].set(val * pl)
+    if ltype == 4:                                   # GRAV
+        v = np.asarray(params[1:1 + dim])
+        v = v / np.linalg.norm(v)
+        pl = jnp.einsum("qn,eq,q->en", N, wdet, w)
+        return val * rho * pl[:, :, None] * jnp.asarray(v)[None, None, :]
+    if ltype == 5:                                   # CENT
+        A = jnp.asarray(np.asarray(params[1:1 + 3])[:dim])
+        R = np.asarray(params[4:4 + 3])[:dim]
+        Rj = jnp.asarray(R)
+        xq = jnp.einsum("qn,end->eqd", N, coords_e)
+        proj = (jnp.einsum("eqd,d->eq", xq - A, Rj) /
+                float(np.dot(R, R)))[:, :, None] * Rj[None, None, :]
+        coef = rho * val * val * (xq - (A + proj))
+        return jnp.einsum("qn,eq,q,eqd->end", N, wdet, w, coef)
+    raise ValueError(f"ltype {ltype}")
+
+
+def _face_pressure_j(etype, coords_e, dim, thick, face_no, val):
+    """jax twin of _face_pressure (normal follower pressure, traced)."""
+    import jax.numpy as jnp
+    ftype, lnodes = FACE_TABLES[etype][face_no - 1]
+    ft = get_table(ftype)
+    fc = coords_e[:, np.asarray(lnodes), :]
+    out = jnp.zeros(coords_e.shape)
+    for q in range(ft.nq):
+        N = ft.N[q]
+        dN = jnp.asarray(ft.dN[q])
+        g = jnp.einsum("end,nf->edf", fc, dN)
+        if dim == 3:
+            normal = jnp.cross(g[:, :, 0], g[:, :, 1])
+        else:
+            normal = jnp.stack([-g[:, 1, 0], g[:, 0, 0]], axis=1) * thick
+        add = (ft.weights[q] * val) * jnp.asarray(N)[None, :, None] * \
+            normal[:, None, :]
+        out = out.at[:, np.asarray(lnodes), :].add(add)
+    return out
+
+
+class FollowerDload:
+    """Jitted follower DLOAD: f(u) assembled at coords0 + u on device.
+
+    Falls back (ok=False) for shell blocks and 6-dof models — those keep
+    the host path.  Entries are per (block, face, card) with static
+    connectivity; the jit closes over the small tables and takes only u.
+    """
+
+    def __init__(self, model, cards, grpid_filter=None):
+        import jax
+        import jax.numpy as jnp
+        self.ok = True
+        entries = []
+        for (bi, rows, face, ltype, params, token) in _dload_groups(
+                model.mesh, model, cards, grpid_filter):
+            b = model.blocks[bi]
+            if getattr(b, "kind", "solid") != "solid" \
+                    or model.ndof != model.dim or ltype >= 100 \
+                    or (ltype >= 10 and b.etype not in FACE_TABLES):
+                self.ok = False
+                return
+            entries.append((b.etype, b.conn[rows], face, ltype,
+                            np.asarray(params), float(b.material.density),
+                            b.thick))
+        if not entries:
+            self.ok = False
+            return
+        n = model.n_dof_total
+        dim, ndof = model.dim, model.ndof
+        coords0 = jnp.asarray(model.coords[:, :dim])
+
+        def assemble(u):
+            f = jnp.zeros(n)
+            xd = coords0 + u.reshape(model.n_node, ndof)[:, :dim]
+            for (etype, conn, face, ltype, params, rho, thick) in entries:
+                ce = xd[jnp.asarray(conn)]
+                if ltype < 10:
+                    vect = _body_force_j(etype, ce, dim, thick, ltype,
+                                         params, rho)
+                else:
+                    vect = _face_pressure_j(etype, ce, dim, thick, face,
+                                            float(params[0]))
+                dofs = (conn[:, :, None] * ndof +
+                        np.arange(ndof)[None, None, :])
+                f = f.at[jnp.asarray(dofs.reshape(-1))].add(
+                    vect.reshape(-1))
+            return f
+
+        self._fn = jax.jit(assemble)
+
+    def __call__(self, u):
+        return self._fn(u)

@@ -213,8 +213,16 @@ class ContactManager:
         pr = self.lam - self.kn * proj["gap"]
         act = (pr > 0) & proj["touching"]
         pr = np.where(act, pr, 0.0)
+        # tangent active set additionally includes exactly-touching
+        # slots (gap <= 0, p = 0): at first contact with lam = 0 the
+        # force-active set is empty and the tangent would be singular —
+        # a direct factorization blows up where CG iterated through it
+        # (fstr_scan_contact_state activates by geometry for the same
+        # reason); the residual force stays max(0, p) so the converged
+        # answer is unchanged
+        act_k = act | (proj["touching"] & (proj["gap"] <= 0.0))
         ke = self.kn * gvec[:, :, None] * gvec[:, None, :] * \
-            act[:, None, None]
+            act_k[:, None, None]
         qf = -pr[:, None] * gvec            # internal force (resists)
 
         # ---- Coulomb friction (AL tangential multiplier + return map,
@@ -269,9 +277,19 @@ class ContactManager:
     def augment(self, proj):
         """lambda <- p after a converged substep (AL outer update);
         tangential multiplier <- capped trial traction, slip origin
-        re-anchored at the converged relative position."""
+        re-anchored at the converged relative position.
+
+        Slots whose gap is clearly open are FREED (lam=0) rather than
+        Uzawa-downdated: on separation (bounce-off in dynamics) the
+        stale multiplier otherwise keeps applying pressure across an
+        open gap — a ghost force that injects energy (the reference
+        frees tension-detected nodes in fstr_contact's active-set
+        scan).  Near-contact slots (|gap| ~ pen tol) keep the gradual
+        pr = lam - kn*gap downdate."""
+        char = float(np.abs(self.model.coords).max()) or 1.0
         pr = self.lam - self.kn * proj["gap"]
-        act = (pr > 0) & proj["touching"]
+        act = (pr > 0) & proj["touching"] & \
+            (proj["gap"] <= 1e-4 * char)
         self.lam = np.where(act, pr, 0.0)
         if self.mu.size:
             self.lam_t = np.where(act[:, None],

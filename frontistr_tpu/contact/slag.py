@@ -108,3 +108,35 @@ class ContactEliminator:
         """Contact pressure per slot from the UNreduced residual at the
         dependent dof: the eliminated row carries -lambda * c0."""
         return -B[cn["dep"]] / cn["c0"] * cn["act"]
+
+
+def lag_rows(proj, slave_nodes, act, ndof, n_dof, free=None):
+    """Host: active contact constraints as explicit Lagrange rows
+    B du = g for the direct saddle-point path (make_BTmat analog,
+    solve_LINEQ_direct_serial_lag.f90).  Row per active slot:
+    +n on the slave dofs, -shp_k n on the master-face dofs; g = -gap.
+    Dirichlet-fixed columns are masked out via `free`."""
+    import scipy.sparse as sp
+    nrm = proj["normal"]
+    shp = proj["shape"]
+    conn = proj["conn"]
+    gap = proj["gap"]
+    dim = nrm.shape[1]
+    idx = np.nonzero(np.asarray(act))[0]
+    rows, cols, vals, g = [], [], [], []
+    for r, s in enumerate(idx):
+        for d in range(dim):
+            rows.append(r)
+            cols.append(int(slave_nodes[s]) * ndof + d)
+            vals.append(nrm[s, d])
+        for m in range(1, conn.shape[1]):
+            for d in range(dim):
+                rows.append(r)
+                cols.append(int(conn[s, m]) * ndof + d)
+                vals.append(-shp[s, m - 1] * nrm[s, d])
+        g.append(-gap[s])
+    B = sp.coo_matrix((vals, (rows, cols)),
+                      shape=(len(idx), n_dof)).tocsr()
+    if free is not None:
+        B = B.multiply(np.asarray(free)[None, :]).tocsr()
+    return B, np.asarray(g, dtype=float)

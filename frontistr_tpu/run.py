@@ -169,7 +169,7 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
             from frontistr_tpu.assembly.model import build_struct_model
             from frontistr_tpu.analysis.dynamic import run_dynamic
             model = build_struct_model(mesh, cfg)
-            out["dynamic"] = run_dynamic(model, log_path=log_path)
+            out["dynamic"] = run_dynamic(model, log_path=log_path, **rkw)
             out["model"] = model
     else:
         raise NotImplementedError(f"solution type {sol}")

@@ -156,13 +156,35 @@ def gmres(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
             return (V, H)
 
         V, H = jax.lax.fori_loop(0, m, step, (V, H))
-        # least squares min ||beta e1 - H y|| via normal equations with a
-        # TPU-safe dense inverse (f64 QR/SVD are not lowered on TPU;
-        # m = 30 so the (m, m) solve is trivial)
-        from frontistr_tpu.utils.linalg import gauss_jordan_inv
-        e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
-        HtH = H.T @ H + 1e-30 * jnp.eye(m, dtype=dtype)
-        y = (gauss_jordan_inv(HtH[None])[0] @ (H.T @ e1))
+        # least squares min ||beta e1 - H y|| via Givens rotations +
+        # back substitution (hecmw_solver_GMRES.f90's plane rotations):
+        # TPU-safe (scalar rotations, no QR/SVD lowering needed) and,
+        # unlike normal equations, does not square the Hessenberg
+        # conditioning
+        g0 = jnp.zeros(m + 1, dtype).at[0].set(beta)
+
+        def rot(j, Hg):
+            Hr, g = Hg
+            a, bb = Hr[j, j], Hr[j + 1, j]
+            r = jnp.sqrt(a * a + bb * bb)
+            c = jnp.where(r == 0, 1.0, a / jnp.where(r == 0, 1.0, r))
+            s = jnp.where(r == 0, 0.0, bb / jnp.where(r == 0, 1.0, r))
+            rj, rj1 = Hr[j], Hr[j + 1]
+            Hr = Hr.at[j].set(c * rj + s * rj1)
+            Hr = Hr.at[j + 1].set(-s * rj + c * rj1)
+            gj, gj1 = g[j], g[j + 1]
+            g = g.at[j].set(c * gj + s * gj1)
+            g = g.at[j + 1].set(-s * gj + c * gj1)
+            return (Hr, g)
+
+        Hr, g = jax.lax.fori_loop(0, m, rot, (H, g0))
+
+        def back(i, y):
+            j = m - 1 - i
+            d = jnp.where(Hr[j, j] == 0, 1.0, Hr[j, j])
+            return y.at[j].set((g[j] - jnp.dot(Hr[j, :m], y)) / d)
+
+        y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, dtype))
         x_new = x + M(V[:m].T @ y)
         r_new = b - A(x_new)
         res = jnp.sqrt(jnp.vdot(r_new, r_new)) / bnrm

@@ -284,3 +284,60 @@ def test_slagrange_exact_gap_closure():
     assert pen.max() < 1e-9, pen.max()
     ui = res.u[m1.node_groups["SLAVE"], 2]
     np.testing.assert_allclose(ui, -0.005, rtol=1e-6)
+
+
+@pytest.mark.parametrize("algo", ["SLAGRANGE", "ALAGRANGE"])
+def test_direct_solver_contact_decks(algo):
+    """METHOD=DIRECT honored on contact decks: SLAGRANGE runs the
+    explicit Lagrange-row saddle-point factorization
+    (solve_LINEQ_direct_serial_lag.f90 analog), ALAGRANGE folds the
+    penalty blocks into the factorized operator.  Both must match the
+    iterative arm."""
+    import tempfile
+    from tests.test_dynamic_contact import _two_cube_mesh
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
+
+    def cnt(method):
+        return f"""!VERSION
+ 3
+!SOLUTION, TYPE=NLSTATIC
+!BOUNDARY, GRPID=1
+ BOT, 3, 3, 0.0
+ ALL, 1, 2, 0.0
+!CLOAD, GRPID=1
+ TOPF, 3, -2.0
+!CONTACT_ALGO, TYPE={algo}
+!CONTACT, GRPID=1
+ CP1, 0.0
+!STEP, SUBSTEPS=2, CONVERG=1.0e-7
+ BOUNDARY, 1
+ LOAD, 1
+ CONTACT, 1
+!MATERIAL, NAME=M1
+!ELASTIC
+ 1000.0, 0.0
+!SOLVER,METHOD={method},PRECOND=1
+ 10000, 1
+ 1.0e-12, 1.0, 0.0
+!END
+"""
+
+    us = {}
+    for method in ("DIRECT", "CG"):
+        mesh = _two_cube_mesh(0.0)
+        with tempfile.NamedTemporaryFile("w", suffix=".cnt",
+                                         delete=False) as f:
+            f.write(cnt(method))
+            p = f.name
+        cfg = read_cnt(p)
+        os.unlink(p)
+        model = build_struct_model(mesh, cfg)
+        res = run_nonlinear_static(model)
+        us[method] = res.u.copy()
+        # sigma_zz = 4 * (-2.0) / 1.0 = -8 through the interface
+        np.testing.assert_allclose(res.elem_stress[:, 2], -8.0,
+                                   rtol=2e-2)
+    np.testing.assert_allclose(us["DIRECT"], us["CG"],
+                               atol=1e-7, rtol=1e-6)
