@@ -17,7 +17,8 @@ from tests.conftest import requires_reference, REFERENCE
 TUT = os.path.join(REFERENCE, "tutorial")
 
 
-def _run(subdir, mesh_name, cnt_name, shorten=None):
+def _run(subdir, mesh_name, cnt_name, shorten=None, result_writer=None,
+         drop_time_material=False):
     from frontistr_tpu.io.meshio import read_mesh
     from frontistr_tpu.io.ctrlio import read_cnt
     from frontistr_tpu.assembly.model import build_struct_model
@@ -28,9 +29,27 @@ def _run(subdir, mesh_name, cnt_name, shorten=None):
     if shorten:
         cfg.steps[0].num_substep = shorten
         cfg.steps[0].initdt = 1.0 / shorten
+    if drop_time_material:
+        # elastic twin: same deck minus the visco/creep card — isolates
+        # the time-dependent constitutive effect from geometric
+        # nonlinearity in the secant-stiffness comparison
+        for md in cfg.materials.values():
+            md.viscoelastic = None
+            md.creep = None
     model = build_struct_model(mesh, cfg)
-    res = run_nonlinear_static(model)
+    res = run_nonlinear_static(model, result_writer=result_writer)
     return model, res
+
+
+def _secant_history(model, hist, grp="LOADS"):
+    """|R_face(t)| / t per substep (u_prescribed ~ t, so this is the
+    secant stiffness up to a constant)."""
+    nodes = model.mesh.node_groups[grp]
+    out = []
+    for (t, r) in hist:
+        Rz = abs(r.reaction[nodes, 2].sum())
+        out.append(Rz / t)
+    return np.asarray(out)
 
 
 def _reaction_balance(model, res, axis=2):
@@ -92,17 +111,51 @@ def test_tutorial05_plastic_necking():
 
 @requires_reference
 def test_tutorial07_viscoelastic():
+    hist = []
     model, res = _run("07_viscoelastic_cylinder", "cylinder.msh",
-                      "cylinder.cnt")
+                      "cylinder.cnt",
+                      result_writer=lambda k, t, r: hist.append((t, r)))
     assert np.isfinite(res.u).all()
     assert np.abs(res.u).max() > 0
     total, f_app, scale = _reaction_balance(model, res)
     assert abs(total + f_app) < 1e-4 * scale, (total, f_app, scale)
+    # stress relaxation: Prony (g=0.5, tau=1.0) over t in (0, 2].
+    # Geometric stiffening (26% compression) masks the raw secant, so
+    # compare against an elastic twin (same deck, VISCOELASTIC card
+    # removed): the visco/elastic secant ratio must decay monotonically
+    # and substantially — an elastic response keeps it at 1, a broken
+    # Prony update breaks the magnitude
+    k = _secant_history(model, hist)
+    hist_e = []
+    _run("07_viscoelastic_cylinder", "cylinder.msh", "cylinder.cnt",
+         drop_time_material=True,
+         result_writer=lambda kk, t, r: hist_e.append((t, r)))
+    k_e = _secant_history(model, hist_e)
+    ratio = k / k_e
+    assert len(ratio) >= 5
+    assert np.all(np.diff(ratio) < 0.0), ratio
+    assert ratio[-1] < 0.85 * ratio[0], ratio
 
 
 @requires_reference
 def test_tutorial08_creep():
-    model, res = _run("08_creep_cylinder", "cylinder.cnt".replace(
-        ".cnt", ".msh"), "cylinder.cnt", shorten=5)
+    hist = []
+    model, res = _run("08_creep_cylinder", "cylinder.msh",
+                      "cylinder.cnt", shorten=5,
+                      result_writer=lambda k, t, r: hist.append((t, r)))
     assert np.isfinite(res.u).all()
     assert np.abs(res.u).max() > 0
+    # Norton creep accumulates under the ramped compression: the
+    # creep/elastic secant ratio decays monotonically across substeps;
+    # a broken creep update (no strain growth between substeps) keeps
+    # it at 1
+    k = _secant_history(model, hist)
+    hist_e = []
+    _run("08_creep_cylinder", "cylinder.msh", "cylinder.cnt", shorten=5,
+         drop_time_material=True,
+         result_writer=lambda kk, t, r: hist_e.append((t, r)))
+    k_e = _secant_history(model, hist_e)
+    ratio = k / k_e
+    assert len(ratio) >= 4
+    assert np.all(np.diff(ratio) < 0.0), ratio
+    assert ratio[-1] < 0.995 * ratio[0], ratio
