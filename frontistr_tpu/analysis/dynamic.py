@@ -164,15 +164,19 @@ class DynamicResult:
 
 
 def run_dynamic(model: StructModel, log_path: Optional[str] = None,
-                restart_path: Optional[str] = None, restart_freq: int = 0):
+                restart_path: Optional[str] = None, restart_freq: int = 0,
+                coupler=None):
     cfg = model.cfg
     d = cfg.dynamic
     if d is None:
         raise ValueError("!DYNAMIC card missing")
+    if coupler is None:
+        from frontistr_tpu.couple.rcap import driver_from_env
+        coupler = driver_from_env(model, model.mesh, cfg)
     if d.idx_eqa == 11:
-        return _run_explicit(model, log_path)
+        return _run_explicit(model, log_path, coupler=coupler)
     return _run_implicit(model, log_path, restart_path=restart_path,
-                         restart_freq=restart_freq)
+                         restart_freq=restart_freq, coupler=coupler)
 
 
 def _external_force(model, t, amp_loads):
@@ -194,7 +198,7 @@ def _postprocess_dyn(model, programs, states, u, vel, acc):
 
 
 def _run_implicit(model: StructModel, log_path, restart_path=None,
-                  restart_freq=0):
+                  restart_freq=0, coupler=None):
     cfg = model.cfg
     d = cfg.dynamic
     step = cfg.steps[0]
@@ -333,6 +337,10 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
         vec1 = a1 * acc + a2 * vel
         vec2 = b1 * acc + b2 * vel
         f_ext = jnp.asarray(_external_force(model, t, amp_loads))
+        if coupler is not None:
+            # interface traction from the peer code (fstr_rcap_get +
+            # dynamic_mat_ass_couple load insertion)
+            f_ext = f_ext + jnp.asarray(coupler.traction_force(i))
         # prescribed displacement at t (total)
         u_fix_t = old_ops.full_fixed_vector(
             n, model.fixed_dofs, model.fixed_vals)
@@ -484,6 +492,9 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
         u = u + du
         states = [_commit_state(s) for s in states]
         mon.record(i, t, u, vel, acc)
+        if coupler is not None:
+            # publish interface motion to the peer (fstr_rcap_send)
+            coupler.publish_state(i, u, vel, acc)
         if restart_path and restart_freq > 0 and i % restart_freq == 0:
             from frontistr_tpu.io.restart import save_restart
             payload = dict(
@@ -517,7 +528,7 @@ def _qforce_dyn(model, programs, states, u, du, inc_j, ndof):
     return flat[idx].sum(axis=1).reshape(-1)
 
 
-def _run_explicit(model: StructModel, log_path):
+def _run_explicit(model: StructModel, log_path, coupler=None):
     cfg = model.cfg
     d = cfg.dynamic
     ndof = model.ndof
@@ -552,6 +563,8 @@ def _run_explicit(model: StructModel, log_path):
     for i in range(1, d.n_step + 1):
         t = dt * i
         f_ext = jnp.asarray(_external_force(model, t, amp_loads))
+        if coupler is not None:
+            f_ext = f_ext + jnp.asarray(coupler.traction_force(i))
         B = f_ext - Q + 2.0 * a1 * mass * disp1 + \
             (-a1 + a2 * d.ray_m) * mass * disp3
         X = jnp.where(free > 0, B / vec1, 0.0)
@@ -576,6 +589,8 @@ def _run_explicit(model: StructModel, log_path):
         disp1 = X
         u = X
         mon.record(i, t, u, vel, acc)
+        if coupler is not None:
+            coupler.publish_state(i, u, vel, acc)
 
     result = _finalize_dyn(model, programs, states, u, vel, acc, d.n_step,
                            log_path, monitors=mon.arrays())
