@@ -23,6 +23,8 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
     Returns a dict of result objects keyed by analysis type.
     """
     t_start = time.time()
+    from frontistr_tpu.io.dbgfile import dbg_open, dbg
+    dbg_open(workdir)                # FSTR.dbg.<rank> (fistr_main.f90:193)
     ctrl = read_hecmw_ctrl(os.path.join(workdir, "hecmw_ctrl.dat"))
     mb = ctrl.mesh()
     mtype = mb.params.get("TYPE", "HECMW-ENTIRE").upper()
@@ -100,6 +102,9 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
 
     sol = cfg.solution_type.upper()
     log_path = os.path.join(workdir, log_name)
+    dbg(f"mesh read: {mesh.n_node} nodes, {mesh.n_elem} elements, "
+        f"type={mtype or 'HECMW-ENTIRE'}")
+    dbg(f"setup done ({t_pre - t_start:.2f} s); solution type {sol}")
 
     # parsed-but-unapplied cards must fail LOUDLY, not silently
     # (fstr_setup.f90 aborts on unconsumed headers)
@@ -241,6 +246,7 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
         print(f"### jax profiler trace written to {prof_dir}")
     out["total_time"] = time.time() - t_start
     _write_msg(workdir, t_pre - t_start, out["total_time"])
+    dbg(f"analysis completed ({out['total_time']:.2f} s)")
     return out
 
 
