@@ -228,12 +228,21 @@ def _red_children(row, mid):
 
 def adapt_mesh(mesh: Mesh, marked_eids: Sequence[int]) -> Mesh:
     """Refine the marked tet4 elements (red) with green closure.
-    Node/element/surface groups propagate as in uniform refinement."""
-    if len(mesh.blocks) != 1 or mesh.blocks[0].etype != 341:
-        raise NotImplementedError("adapt_mesh: single tet4 block only")
-    b = mesh.blocks[0]
-    conn = np.asarray(b.conn, np.int64)
-    eid2row = {int(e): i for i, e in enumerate(b.elem_ids)}
+    Node/element/surface groups propagate as in uniform refinement.
+
+    Multi-block tet4 meshes are supported (closure runs over the union
+    so inter-block faces stay conforming; children return to their
+    parent's block/section).  Non-tet etypes raise (the reference's
+    adaptation covers tet+prism, hecmw_adapt_proc; prism pending)."""
+    if not mesh.blocks or any(bb.etype != 341 for bb in mesh.blocks):
+        raise NotImplementedError("adapt_mesh: tet4 blocks only")
+    conn = np.concatenate([np.asarray(bb.conn, np.int64)
+                           for bb in mesh.blocks])
+    row_block = np.concatenate([np.full(len(bb.elem_ids), bi, np.int64)
+                                for bi, bb in enumerate(mesh.blocks)])
+    all_eids = np.concatenate([np.asarray(bb.elem_ids)
+                               for bb in mesh.blocks])
+    eid2row = {int(e): i for i, e in enumerate(all_eids)}
     marked_rows = np.asarray([eid2row[int(e)] for e in marked_eids],
                              np.int64)
     red, split = _closure(conn, marked_rows)
@@ -275,8 +284,13 @@ def adapt_mesh(mesh: Mesh, marked_eids: Sequence[int]) -> Mesh:
 
     E2 = conn_new.shape[0]
     eids = np.arange(1, E2 + 1, dtype=np.int64)
-    blocks = [ElemBlock(341, eids, conn_new, conn_new.copy(),
-                        section_id=b.section_id)]
+    child_block = row_block[np.asarray(parent_of)]
+    blocks = []
+    for bi, bb in enumerate(mesh.blocks):
+        sel = child_block == bi
+        cb = conn_new[sel]
+        blocks.append(ElemBlock(341, eids[sel], cb, cb.copy(),
+                                section_id=bb.section_id))
     node_ids = np.arange(1, len(coords) + 1, dtype=np.int64)
     id2idx = {int(i): int(i) - 1 for i in node_ids}
 
@@ -292,7 +306,6 @@ def adapt_mesh(mesh: Mesh, marked_eids: Sequence[int]) -> Mesh:
 
     parent_of_a = np.asarray(parent_of)
     elem_groups = {}
-    old_eids = np.asarray(b.elem_ids)
     for name, eids_g in mesh.elem_groups.items():
         rows = {eid2row[int(e)] for e in eids_g if int(e) in eid2row}
         sel = np.isin(parent_of_a, list(rows))

@@ -118,3 +118,39 @@ def test_zz_marks_stress_concentration():
     model2 = build_struct_model(m2, cfg)
     res2 = run_linear_static(model2)
     assert res2.relres < 1e-6
+
+
+def test_multiblock_adapt_conforming():
+    """Two tet4 blocks (different sections) spanning one box: closure
+    crosses the block interface without hanging nodes; children stay in
+    their parent's block/section."""
+    from frontistr_tpu.io.meshio import ElemBlock
+    mesh = box_tet4(3, 3, 3)
+    b = mesh.blocks[0]
+    conn = np.asarray(b.conn)
+    # split by element centroid x: two blocks, sections 0 and 1
+    cx = mesh.coords[conn].mean(axis=1)[:, 0]
+    lo = cx < 0.5
+    e_ids = np.asarray(b.elem_ids)
+    mesh.blocks = [
+        ElemBlock(341, e_ids[lo], conn[lo], conn[lo].copy(),
+                  section_id=0),
+        ElemBlock(341, e_ids[~lo], conn[~lo], conn[~lo].copy(),
+                  section_id=1)]
+    # mark a few elements of block 0 near the interface
+    marked = [int(e) for e in e_ids[lo][:4]]
+    out = adapt_mesh(mesh, marked)
+    assert len(out.blocks) == 2
+    assert out.blocks[0].section_id == 0
+    assert out.blocks[1].section_id == 1
+    conn_all = np.concatenate([bb.conn for bb in out.blocks])
+    _check_conforming(out.coords, np.asarray(conn_all))
+    # volume preserved
+    v0 = _vol(mesh.coords, conn).sum()
+    v1 = _vol(out.coords, np.asarray(conn_all)).sum()
+    assert np.isclose(v0, v1)
+    # marked elements actually refined (block 0 grew)
+    assert len(out.blocks[0].elem_ids) > lo.sum()
+    # global element ids unique
+    eids = np.concatenate([bb.elem_ids for bb in out.blocks])
+    assert len(np.unique(eids)) == len(eids)
