@@ -347,6 +347,15 @@ def stiffness_nlgeom(table: ElementTable, coords_e, u_e, D_e, stress_e,
       flag: 1 TOTALLAG, 2 UPDATELAG.
     """
     from frontistr_tpu.fem.material import TOTALLAG, UPDATELAG
+    if coords_e.shape[0] > CHUNK:
+        # fixed-size element chunks: the full-E (E,nn,dim,nn,dim) / B /
+        # DB temporaries at 1M-dof tet otherwise materialize with
+        # (3,3)-minor tiled layouts and exceed HBM (the tangent is the
+        # production Newton hot op — same guard as stiffness_linear)
+        return _chunked(
+            lambda c, u, D, s: stiffness_nlgeom(
+                table, c, u, D, s, flag, thick=thick, bbar=bbar),
+            coords_e, u_e, D_e, stress_e)
     dN = jnp.asarray(table.dN, coords_e.dtype)
     elem = coords_e + u_e if flag == UPDATELAG else coords_e
     det, gderiv = jacobians(dN, elem)
@@ -495,6 +504,9 @@ def internal_force(table: ElementTable, coords_e, stress_e, thick: float = 1.0):
 
     stress_e: (E, nq, ns). Returns (E, nn*dim).
     """
+    if coords_e.shape[0] > CHUNK:
+        return _chunked(lambda c, s: internal_force(table, c, s, thick),
+                        coords_e, stress_e)
     dt = coords_e.dtype
     dN = jnp.asarray(table.dN, dt)
     det, gderiv = jacobians(dN, coords_e)
