@@ -749,9 +749,12 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     rows, every node-axis array (ELL cols, cluster ccols/blocks, free
     mask, incidence, vectors) is sharded over the mesh, and XLA inserts
     the collectives (x all-gather for the row gather, psums for the CG
-    dots) over ICI.  Assembly maps and element matrices stay replicated
-    in this arm (element-sharded assembly is a further step); the Krylov
-    loop — the dominant cost — is fully distributed."""
+    dots) over ICI.  The ELEMENT axis is sharded too: each block's
+    elements are padded to a multiple of nshard with phantom elements
+    (self-connected to the last phantom node, zero matrices), the
+    symbolic profiles are built over the padded connectivity, and the
+    per-iteration element matrices enter the jit element-sharded — no
+    device holds the full-E tangent or assembly pair set."""
     n_node, ndof = model.n_node, model.ndof
     n_real = model.n_dof_total
     sv = model.cfg.solver
@@ -773,16 +776,37 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
 
         ex_conns = getattr(model, "extras", ([], [], [], []))[0]
         conns = [b.conn for b in model.blocks] + list(ex_conns)
+        # element-axis padding: phantom elements self-connected at the
+        # last phantom node; their matrices enter as zeros, so they add
+        # nothing anywhere (and the phantom node row is fixed-free=0)
+        ph = n_node - 1
+        e_pads = []
+        conns_p = []
+        for c in conns:
+            ep = (-c.shape[0]) % nshard
+            e_pads.append(ep)
+            conns_p.append(np.concatenate(
+                [c, np.full((ep, c.shape[1]), ph, c.dtype)]) if ep else c)
+        conns = conns_p
         inc_np, total_en = femop.build_incidence(conns, n_node)
         inc_j = jax.device_put(jnp.asarray(inc_np), row)
         free_np = np.zeros(n_node * ndof)
         free_np[:n_real] = np.asarray(free)
         free = jax.device_put(jnp.asarray(free_np), row)
-        dofs_j = [jax.device_put(jnp.asarray(d), rep) for d in dofs_j]
-    prof = ellmod.profile_from_model(model, n_node=n_node)
-    amaps = amgmod.eligible_maps(prof, n_node * ndof)
-    cprof = bellmod.cluster_profile_from_model(model, scalar=prof,
-                                               n_node=n_node)
+        row_e = NamedSharding(jmesh, P("x"))
+        dofs_j = [jax.device_put(jnp.asarray(
+            (c[:, :, None].astype(np.int64) * ndof +
+             np.arange(ndof)[None, None, :]).reshape(c.shape[0], -1)),
+            row_e) for c in conns]
+        prof = ellmod.build_profile(conns, n_node, ndof)
+        amaps = amgmod.eligible_maps(prof, n_node * ndof)
+        cprof = bellmod.build_cluster_profile(conns, n_node, ndof,
+                                              scalar=prof)
+    else:
+        prof = ellmod.profile_from_model(model, n_node=n_node)
+        amaps = amgmod.eligible_maps(prof, n_node * ndof)
+        cprof = bellmod.cluster_profile_from_model(model, scalar=prof,
+                                                   n_node=n_node)
     if nshard:
         prof_d = ellmod.ELLProfile(
             n_node=prof.n_node, ndof=prof.ndof, W=prof.W,
@@ -900,7 +924,13 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
         npad = n_node * ndof - n_real
 
         def solve(kes, B, dirichlet_inc):
-            kes_s = tuple(jax.device_put(k, rep) for k in kes)
+            # element-sharded matrices: zero-pad the phantom elements
+            # then split the element axis over the mesh
+            kes_s = tuple(jax.device_put(
+                jnp.concatenate(
+                    [k, jnp.zeros((ep,) + k.shape[1:], k.dtype)])
+                if ep else k, row_e)
+                for k, ep in zip(kes, e_pads))
             Bp = jax.device_put(jnp.pad(B, (0, npad)), row)
             dp = jax.device_put(jnp.pad(dirichlet_inc, (0, npad)), row)
             x, it = _solve(prof_d, cprof_d, amaps, ctx, kes_s, Bp, dp,
