@@ -115,7 +115,8 @@ def build_cluster_profile(conns: Sequence[np.ndarray], n_node: int,
     colsv = np.concatenate(cols_l).astype(np.int64)
     cr, cq = rows // G, colsv // G
     key = cr * C + cq
-    uniq = np.unique(key)
+    from frontistr_tpu.assembly import profsort
+    uniq = profsort.unique_sorted(key)
     ur, uc = uniq // C, (uniq % C).astype(np.int32)
     cnt = np.bincount(ur, minlength=C)
     Wc = max(int(cnt.max()) if len(cnt) else 1, 1)
@@ -135,7 +136,7 @@ def build_cluster_profile(conns: Sequence[np.ndarray], n_node: int,
     # never re-tiles (a (c, wc, aoff, boff) order pads the (8,8) minor to
     # (8,128): 16x, 24 GB at 1M dof)
     slot2 = (((rows % G) * G + colsv % G) * Wc + wc) * C + cr
-    perm = np.argsort(slot2, kind="stable")
+    perm = profsort.stable_argsort(slot2.astype(np.int64))
     seg_sorted = slot2[perm].astype(np.int32)
     diag_wc = np.zeros(C, np.int32)
     isd = ur == uc
@@ -158,7 +159,7 @@ def build_cluster_profile(conns: Sequence[np.ndarray], n_node: int,
     # Real slots are the first per_row positions (ell.build_profile fills
     # real columns first, padding after).
     nkey = rows * np.int64(n_node) + colsv
-    upairs = np.unique(nkey)
+    upairs = profsort.unique_sorted(nkey)
     per_row_s = np.bincount((upairs // n_node).astype(np.int64),
                             minlength=N)
     pad_mask = (np.arange(W)[None, :] >= per_row_s[:, None])

@@ -115,7 +115,10 @@ def build_profile(conns: Sequence[np.ndarray], n_node: int,
     rows = np.concatenate(rows_l)
     colsv = np.concatenate(cols_l)
     key = rows * n_node + colsv
-    uniq, inv = np.unique(key, return_inverse=True)
+    # native radix unique (assembly/profsort.py): the comparison sort
+    # here was the dominant host setup cost at 1M dof
+    from frontistr_tpu.assembly import profsort
+    uniq, inv = profsort.unique_inverse(key)
     urow = (uniq // n_node).astype(np.int64)
     ucol = (uniq % n_node).astype(np.int32)
     per_row = np.bincount(urow, minlength=n_node)
@@ -128,7 +131,7 @@ def build_profile(conns: Sequence[np.ndarray], n_node: int,
     cols_pad[urow, within] = ucol
     uniq_slot = (urow * W + within).astype(np.int64)     # per unique pair
     slot = uniq_slot[inv]                                # per raw pair entry
-    perm = np.argsort(slot, kind="stable")
+    perm = profsort.stable_argsort(slot)
     seg_sorted = slot[perm].astype(np.int32)
     # diagonal slot: where the unique pair is (i, i)
     diag_slot = np.zeros(n_node, dtype=np.int32)
