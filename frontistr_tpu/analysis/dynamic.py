@@ -275,8 +275,23 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
 
     _ctx = (list(dofs_j), inc_j, free, mass)
 
-    def solve_eff(kes, B, dirichlet_inc):
-        return _solve_eff(_ctx, kes, B, dirichlet_inc)
+    # multi-chip Newmark: FRONTISTR_TPU_SHARDS=n routes the effective
+    # solve c1 K + c2 M through the GSPMD-sharded cluster-ELL + AMG
+    # solver (contact decks keep the single-device contact solvers)
+    from frontistr_tpu.parallel import shard as shmod
+    nshard = shmod.requested_shards()
+    if nshard and not (model.mesh.contact_pairs and cfg.contacts):
+        from frontistr_tpu.analysis.nonlinear import \
+            make_constrained_solver
+        _sh_solver = make_constrained_solver(
+            model, dofs_j, nns, inc_j, total_en, free, mixed,
+            nshard=nshard, eff=(c1, c2), mass=mass)
+
+        def solve_eff(kes, B, dirichlet_inc):
+            return _sh_solver(tuple(kes), B, dirichlet_inc)
+    else:
+        def solve_eff(kes, B, dirichlet_inc):
+            return _solve_eff(_ctx, kes, B, dirichlet_inc)
 
     # --- contact in implicit dynamics (fstr_dynamic_nlimplicit.f90:374+):
     # the same AL / SLAGRANGE machinery as the static Newton loop, with

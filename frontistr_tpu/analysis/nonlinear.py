@@ -115,7 +115,18 @@ class BlockPrograms:
         self.mtype = m.mtype
         self.flag = m.nlgeom
         self.coords_e = jnp.asarray(model.coords[block.conn])
-        self.D_e = jnp.asarray(block.D)
+        # constant-D compression: one material over the block means the
+        # per-element (E, 6, 6) array is E identical copies — on device
+        # it gets a T(8,128)-tiled layout copy (28x padding, 22 GB at
+        # 1M-dof tet; even an eager [:1] slice of the device array OOMs
+        # the layout pass).  Compress on the HOST, broadcast lazily at
+        # use sites (_De / _expand_D: fused broadcast ops, no buffer).
+        D_np = np.asarray(block.D)
+        self._De_shape = D_np.shape
+        if (D_np.ndim >= 3 and D_np.shape[0] > 1
+                and not np.any(D_np[1:] != D_np[:1])):
+            D_np = D_np[:1]
+        self.D_e = jnp.asarray(D_np)
         self.thick = block.thick
         # Isotropic small-strain fast path: one gram matmul per element
         # (stiffness_linear_iso) instead of the generic B^T D B chain —
@@ -254,8 +265,14 @@ class BlockPrograms:
                                       stress, mat.TOTALLAG, thick=self.thick,
                                       bbar=self.bbar)
 
+    def _De(self):
+        """Full-shape elastic D (lazily broadcast if compressed)."""
+        return jnp.broadcast_to(self.D_e, self._De_shape)
+
     def _material_D(self, state, time=0.0, dtime=0.0):
         if self.mtype == mat.ELASTIC:
+            # possibly constant-D compressed (1, 6, 6): the solid
+            # kernels expand lazily inside their chunk bodies
             return self.D_e
         if self.mtype in (mat.HYPERELASTIC_NEOHOOKE,
                           mat.HYPERELASTIC_MOONEYRIVLIN,
@@ -264,7 +281,7 @@ class BlockPrograms:
             return self.hyper_tangent(state["strain"])
         if self.mtype == mat.EPLASTIC:
             from frontistr_tpu.fem.plastic import plastic_tangent
-            De = self.D_e[:, None, :, :] * jnp.ones(
+            De = self._De()[:, None, :, :] * jnp.ones(
                 (1, self.table.nq, 1, 1))
             return plastic_tangent(self.pl, De, state["stress"],
                                    state["pstrain_new"], state["back"],
@@ -277,7 +294,7 @@ class BlockPrograms:
                 return Dq
             D1 = visco_D(dtime, self.v_G, self.v_K, self.v_mus,
                          self.v_taus)
-            return jnp.broadcast_to(D1, self.D_e.shape)
+            return D1[None]      # constant-D (1, 6, 6): expanded lazily
         if self.mtype == mat.USERMATERIAL:
             def one(eps, sig, fs):
                 D, _, _ = self.user_fn(self.user_matl, eps, sig, fs,
@@ -287,12 +304,12 @@ class BlockPrograms:
                 state["strain"], state["stress"], state["fstat"])
         if self.mtype == mat.CREEP:
             from frontistr_tpu.fem.visco import creep_tangent
-            De = self.D_e[:, None, :, :] * jnp.ones(
+            De = self._De()[:, None, :, :] * jnp.ones(
                 (1, self.table.nq, 1, 1))
             return creep_tangent(De, state["stress"],
                                  state["pstrain_new"], self.c_G,
                                  self.c_A, self.c_n, self.c_m, time, dtime)
-        return self.D_e
+        return self._De()
 
     # ---------------- update (fstr_UpdateNewton / UPDATE_C3) -------------
     def _update_fn(self, u_e, ddu_e, state, time, dtime):
@@ -373,9 +390,9 @@ class BlockPrograms:
             new_state["stress"] = sig
         else:  # UPDATELAG: incremental with Jaumann rotation
             new_state["strain"] = state["strain_bak"] + eps
-            dsig = (jnp.einsum("eqkl,eql->eqk", self.D_e, eps)
-                    if self.D_e.ndim == 4 else
-                    jnp.einsum("ekl,eql->eqk", self.D_e, eps))
+            dsig = (jnp.einsum("eqkl,eql->eqk", self._De(), eps)
+                    if len(self._De_shape) == 4 else
+                    jnp.einsum("ekl,eql->eqk", self._De(), eps))
             rot = 0.5 * (dudx - jnp.swapaxes(dudx, -1, -2))
             sig_b = _voigt_to_tensor(state["stress_bak"], self.dim)
             dum = rot @ sig_b - sig_b @ rot
@@ -482,7 +499,7 @@ class BlockPrograms:
                 # IC element: strains/stress already consistent; qf via
                 # condensed stiffness times displacement
                 ke = solid.stiffness_hex8ic(self.table, self.coords_e,
-                                            self.D_e)
+                                            self._De())
                 E = ke.shape[0]
                 qf = jnp.einsum("eij,ej->ei", ke,
                                 disp.reshape(E, -1))
@@ -515,15 +532,15 @@ class BlockPrograms:
             sig_v, vq_new = visco_update(eps, state["vq"], state["ven"],
                                          dte, self.v_G, self.v_K,
                                          self.v_mus, self.v_taus)
-            sig_el = (jnp.einsum("eqkl,eql->eqk", self.D_e, eps)
-                      if self.D_e.ndim == 4 else
-                      jnp.einsum("ekl,eql->eqk", self.D_e, eps))
+            sig_el = (jnp.einsum("eqkl,eql->eqk", self._De(), eps)
+                      if len(self._De_shape) == 4 else
+                      jnp.einsum("ekl,eql->eqk", self._De(), eps))
             use_v = dtime != 0.0
             new_state["vq_new"] = jnp.where(use_v, vq_new, state["vq"])
             return jnp.where(use_v, sig_v, sig_el)
-        return (jnp.einsum("eqkl,eql->eqk", self.D_e, eps)
-                if self.D_e.ndim == 4 else
-                jnp.einsum("ekl,eql->eqk", self.D_e, eps))
+        return (jnp.einsum("eqkl,eql->eqk", self._De(), eps)
+                if len(self._De_shape) == 4 else
+                jnp.einsum("ekl,eql->eqk", self._De(), eps))
 
     def tangent(self, u_e, ddu_e, state, time=0.0, dtime=0.0):
         return self._tangent(self._carry, u_e, ddu_e, state,
@@ -731,7 +748,8 @@ def make_slag_contact_solver(model, dofs_j, nns, inc_j, total_en,
 
 
 def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
-                            mixed: bool, nshard: int = 0):
+                            mixed: bool, nshard: int = 0,
+                            eff=None, mass=None):
     """One jitted constrained-solve(kes, b_c) for the whole analysis —
     building it per Newton iteration would retrace the Krylov while_loop
     every call.
@@ -754,10 +772,17 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     (self-connected to the last phantom node, zero matrices), the
     symbolic profiles are built over the padded connectivity, and the
     per-iteration element matrices enter the jit element-sharded — no
-    device holds the full-E tangent or assembly pair set."""
+    device holds the full-E tangent or assembly pair set.
+
+    eff=(c1, c2) with a lumped per-dof ``mass`` vector solves the
+    Newmark effective system c1 K + c2 M instead of K (the multi-chip
+    implicit-dynamics arm): the mass enters the assembled cluster slots,
+    the diagonal preconditioner, and the AMG Galerkin blocks, so the
+    V-cycle preconditions the true effective operator."""
     n_node, ndof = model.n_node, model.ndof
     n_real = model.n_dof_total
     sv = model.cfg.solver
+    c1, c2 = eff if eff is not None else (1.0, 0.0)
     from frontistr_tpu.assembly import bell as bellmod
     from frontistr_tpu.assembly import ell as ellmod
     from frontistr_tpu.solver import amg as amgmod
@@ -843,7 +868,8 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     pal_fn = pal.fn if pal is not None else None
     pal_args = pal.args if pal is not None else None
 
-    def _cluster_op(cprofile, kes, free_m, dtype, pal_a=None):
+    def _cluster_op(cprofile, kes, free_m, dtype, pal_a=None,
+                    mass_v=None):
         if pal_fn is not None and pal_a is not None \
                 and dtype == jnp.float32:
             blocks, raw = pal_fn(*pal_a,
@@ -851,6 +877,11 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
         else:
             blocks, raw = bellmod.assemble_cluster(
                 cprofile, [k.astype(dtype) for k in kes], nns_t)
+        if eff is not None:
+            # Newmark effective operator: adjust the raw slots once,
+            # then re-derive blocks/diag/AMG inputs from them
+            raw = bellmod.add_eff_mass(cprofile, raw, mass_v, c1, c2)
+            blocks = bellmod.blocks_from_raw(cprofile, raw)
         if cons is not None:
             blocks = cons(blocks, None, None, None, "x")
         diag = bellmod.extract_diag(cprofile, raw)
@@ -873,19 +904,30 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     if mixed:
         @jax.jit
         def _solve(profile, cprofile, am, ctx, kes, B, dirichlet_inc,
-                   pal_a):
+                   pal_a, mass_v):
             dofs, inc, free_m, coords = ctx
             op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
                                   n_node, ndof, free_m)
-            b_c = (B - op.matvec(dirichlet_inc)) * free_m + \
+
+            def mv64(x):
+                y = op.matvec(x)
+                if eff is not None:
+                    y = c1 * y + c2 * mass_v * x
+                return y
+
+            def A64(x):
+                xm = x * free_m
+                return mv64(xm) * free_m + x * (1.0 - free_m)
+
+            b_c = (B - mv64(dirichlet_inc)) * free_m + \
                 dirichlet_inc * (1.0 - free_m)
             if cons is not None:
                 b_c = cons(b_c, "x")
             # cluster-ELL f32 operator for the CG hot loop (~7 ms/matvec
             # at 1M-dof tet); f64 true residual via gather op
             cop32, raw = _cluster_op(cprofile, kes, free_m, jnp.float32,
-                                     pal_a)
-            res = refined_cg(op.apply_constrained,
+                                     pal_a, mass_v)
+            res = refined_cg(A64,
                              cop32.apply_constrained,
                              _precond(cop32, cprofile, raw, profile, am,
                                       coords), b_c,
@@ -898,16 +940,23 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     else:
         @jax.jit
         def _solve(profile, cprofile, am, ctx, kes, B, dirichlet_inc,
-                   pal_a):
+                   pal_a, mass_v):
             dofs, inc, free_m, coords = ctx
             op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
                                   n_node, ndof, free_m)
-            b_c = (B - op.matvec(dirichlet_inc)) * free_m + \
+
+            def mv64(x):
+                y = op.matvec(x)
+                if eff is not None:
+                    y = c1 * y + c2 * mass_v * x
+                return y
+
+            b_c = (B - mv64(dirichlet_inc)) * free_m + \
                 dirichlet_inc * (1.0 - free_m)
             if cons is not None:
                 b_c = cons(b_c, "x")
             cop, raw = _cluster_op(cprofile, kes, free_m, b_c.dtype,
-                                   pal_a)
+                                   pal_a, mass_v)
             res = krylov.pcg(cop.apply_constrained, b_c,
                              M=_precond(cop, cprofile, raw, profile, am,
                                         coords), tol=sv.resid,
@@ -922,6 +971,11 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     if nshard:
         dev0 = jax.devices()[0]
         npad = n_node * ndof - n_real
+        mass_d = None
+        if eff is not None:
+            m_np = np.zeros(n_node * ndof)
+            m_np[:n_real] = np.asarray(mass)
+            mass_d = jax.device_put(jnp.asarray(m_np), row)
 
         def solve(kes, B, dirichlet_inc):
             # element-sharded matrices: zero-pad the phantom elements
@@ -934,15 +988,17 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
             Bp = jax.device_put(jnp.pad(B, (0, npad)), row)
             dp = jax.device_put(jnp.pad(dirichlet_inc, (0, npad)), row)
             x, it = _solve(prof_d, cprof_d, amaps, ctx, kes_s, Bp, dp,
-                           pal_args)
+                           pal_args, mass_d)
             solve.last_iters = it         # device scalar, no host sync
             # back to the driver's single default device (the Newton
             # update/qforce passes are per-element vmaps on one chip)
             return jax.device_put(x, dev0)
     else:
+        mass_d = jnp.asarray(mass) if eff is not None else None
+
         def solve(kes, B, dirichlet_inc):
             x, it = _solve(prof_d, cprof_d, amaps, ctx, kes, B,
-                           dirichlet_inc, pal_args)
+                           dirichlet_inc, pal_args, mass_d)
             solve.last_iters = it         # device scalar, no host sync
             return x
 

@@ -402,3 +402,29 @@ def _diag_jit(profile: ClusterProfile, raw):
 @jax.jit
 def _scal_jit(profile: ClusterProfile, raw, scalar: ellmod.ELLProfile):
     return extract_scalar_blocks(profile, raw, scalar)
+
+
+def blocks_from_raw(cprof: ClusterProfile, raw: jnp.ndarray) -> jnp.ndarray:
+    """Raw slot array -> plane-major cluster blocks (assemble_cluster's
+    final relayout, factored out so raw can be adjusted in between)."""
+    nd, G, C, Wc = cprof.ndof, cprof.G, cprof.C, cprof.Wc
+    six = jnp.transpose(raw.reshape(G, G, Wc, C, nd, nd),
+                        (0, 4, 1, 5, 2, 3))
+    return six.reshape(G * nd, G * nd, Wc, C)
+
+
+def add_eff_mass(cprof: ClusterProfile, raw: jnp.ndarray,
+                 mvec: jnp.ndarray, c1: float, c2: float) -> jnp.ndarray:
+    """Newmark effective matrix on the assembled slots:
+    raw <- c1*raw + c2*diag(m)  (K_eff = c1 K + c2 M with lumped mass,
+    fstr_dynamic_nlimplicit.f90 K/D/AU/AL scaling block)."""
+    nd, G, C, Wc = cprof.ndof, cprof.G, cprof.C, cprof.Wc
+    N = cprof.n_node
+    n = jnp.arange(N, dtype=jnp.int32)
+    c, off = n // G, n % G
+    src = ((off * G + off) * Wc + cprof.diag_wc[c]) * C + c
+    raw = raw * c1
+    m2 = mvec.reshape(N, nd).astype(raw.dtype)
+    for i in range(nd):
+        raw = raw.at[src, i * nd + i].add(c2 * m2[:, i])
+    return raw

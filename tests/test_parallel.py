@@ -228,3 +228,69 @@ def test_sharded_amg_newton_matches(monkeypatch):
     u8 = run()
     np.testing.assert_allclose(u8, u1, rtol=1e-7,
                                atol=1e-9 * np.abs(u1).max())
+
+
+def test_sharded_implicit_dynamics_matches(monkeypatch):
+    """Newmark implicit dynamics under FRONTISTR_TPU_SHARDS equals
+    single-device: the effective solve c1 K + c2 M routes through the
+    GSPMD cluster-ELL solver with the lumped mass folded into the
+    assembled slots, preconditioner, and AMG inputs."""
+    import textwrap
+    import tempfile
+
+    import numpy as np
+
+    from frontistr_tpu.analysis.dynamic import run_dynamic
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.meshgen import box_tet4
+
+    cnt_text = textwrap.dedent("""\
+        !VERSION
+         3
+        !SOLUTION, TYPE=DYNAMIC
+        !DYNAMIC
+         1, 1
+         0.0, 0.03, 3, 0.01
+         0.5, 0.25
+         1, 1, 0.5, 0.0
+         10
+        !BOUNDARY, GRPID=1
+         X0, 1, 3, 0.0
+        !CLOAD, GRPID=1
+         X1, 3, -1.5
+        !STEP, SUBSTEPS=1, CONVERG=1.0e-8
+         BOUNDARY, 1
+         LOAD, 1
+        !MATERIAL, NAME=M1
+        !ELASTIC
+         500.0, 0.3
+        !DENSITY
+         2.0
+        !SOLVER,METHOD=CG,PRECOND=1,ITERLOG=NO,TIMELOG=NO
+         10000, 1
+         1.0e-12, 1.0, 0.0
+        !END
+    """)
+
+    def run(path):
+        cfg = read_cnt(path)
+        model = build_struct_model(box_tet4(3, 3, 3), cfg)
+        out = run_dynamic(model)
+        return np.asarray(out.u), np.asarray(out.vel)
+
+    with tempfile.NamedTemporaryFile("w", suffix=".cnt",
+                                     delete=False) as fh:
+        fh.write(cnt_text)
+        path = fh.name
+
+    monkeypatch.delenv("FRONTISTR_TPU_SHARDS", raising=False)
+    u1, v1 = run(path)
+    monkeypatch.setenv("FRONTISTR_TPU_SHARDS", "8")
+    u8, v8 = run(path)
+
+    assert np.abs(u1).max() > 1e-8
+    np.testing.assert_allclose(u8, u1, rtol=1e-7,
+                               atol=1e-10 * np.abs(u1).max())
+    np.testing.assert_allclose(v8, v1, rtol=1e-7,
+                               atol=1e-10 * max(np.abs(v1).max(), 1.0))
