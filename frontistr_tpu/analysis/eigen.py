@@ -81,8 +81,27 @@ def run_eigen(model: StructModel, log_path: Optional[str] = None):
                          tol=1e-10, maxiter=model.cfg.solver.nier)
         return res.x * k_act
 
-    def shift_invert(q):
-        return _shift_invert(op, mass_j, k_act, q)
+    # multi-chip Lanczos: FRONTISTR_TPU_SHARDS routes each K^{-1}(M q)
+    # apply through the GSPMD-sharded cluster-ELL + AMG solver (full
+    # f64 — eigenpair accuracy needs the unmixed arm)
+    from frontistr_tpu.parallel import shard as shmod
+    nshard = shmod.requested_shards()
+    if nshard:
+        from frontistr_tpu.analysis.nonlinear import \
+            make_constrained_solver
+        _sh = make_constrained_solver(
+            model, [jnp.asarray(b.dofs) for b in model.blocks],
+            [b.conn.shape[1] for b in model.blocks], jnp.asarray(inc),
+            total_en, k_act, mixed=False, nshard=nshard)
+        _kes_t = tuple(jnp.asarray(k) for k in kes)
+        _zero = jnp.zeros(n)
+
+        def shift_invert(q):
+            b = (mass_j * q) * k_act
+            return _sh(_kes_t, b, _zero) * k_act
+    else:
+        def shift_invert(q):
+            return _shift_invert(op, mass_j, k_act, q)
 
     # --- Lanczos with full reorthogonalization (M-inner product) ----------
     rng = np.random.default_rng(0)

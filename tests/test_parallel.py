@@ -294,3 +294,51 @@ def test_sharded_implicit_dynamics_matches(monkeypatch):
                                atol=1e-10 * np.abs(u1).max())
     np.testing.assert_allclose(v8, v1, rtol=1e-7,
                                atol=1e-10 * max(np.abs(v1).max(), 1.0))
+
+
+def test_sharded_eigen_matches(monkeypatch):
+    """Lanczos under FRONTISTR_TPU_SHARDS equals single-device: every
+    shift-invert apply K^{-1}(M q) routes through the GSPMD solver."""
+    import textwrap
+    import tempfile
+
+    import numpy as np
+
+    from frontistr_tpu.analysis.eigen import run_eigen
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.meshgen import box_tet4
+
+    cnt_text = textwrap.dedent("""\
+        !VERSION
+         3
+        !SOLUTION, TYPE=EIGEN
+        !EIGEN
+         4, 1.0e-10, 60
+        !BOUNDARY
+         X0, 1, 3, 0.0
+        !MATERIAL, NAME=M1
+        !ELASTIC
+         1000.0, 0.3
+        !DENSITY
+         1.0
+        !SOLVER,METHOD=CG,ITERLOG=NO,TIMELOG=NO
+         10000, 1
+         1.0e-10, 1.0, 0.0
+        !END
+    """)
+    with tempfile.NamedTemporaryFile("w", suffix=".cnt",
+                                     delete=False) as fh:
+        fh.write(cnt_text)
+        path = fh.name
+
+    def run(path):
+        cfg = read_cnt(path)
+        model = build_struct_model(box_tet4(3, 3, 3), cfg)
+        return run_eigen(model)
+
+    monkeypatch.delenv("FRONTISTR_TPU_SHARDS", raising=False)
+    r1 = run(path)
+    monkeypatch.setenv("FRONTISTR_TPU_SHARDS", "8")
+    r8 = run(path)
+    np.testing.assert_allclose(r8.freq, r1.freq, rtol=1e-7)
