@@ -144,8 +144,13 @@ class BlockPrograms:
                           mat.HYPERELASTIC_MOONEYRIVLIN,
                           mat.HYPERELASTIC_ARRUDABOYCE):
             from frontistr_tpu.fem.hyper import make_hyper_fns
+            # NEOHOOKE reads the material's (E, nu) — the reference's
+            # law ignores the !HYPERELASTIC card values (see hyper.py)
+            hc = ((m.youngs, m.poisson)
+                  if self.mtype == mat.HYPERELASTIC_NEOHOOKE
+                  else m.hyper_consts)
             self.pk2, self.hyper_tangent = make_hyper_fns(
-                self.mtype, m.hyper_consts)
+                self.mtype, hc)
         if self.mtype == mat.EPLASTIC:
             self.pl = _plastic_params(m)
 

@@ -59,6 +59,21 @@ def w_mooney_rivlin(E_voigt, c10, c01, d):
     return c10 * (I1b - 3.0) + c01 * (I2b - 3.0) + (J - 1.0) ** 2 / d
 
 
+def w_neohooke(E_voigt, ee, nu):
+    """Compressible neo-Hooke in (E, nu) form (ElasticNeoHooke.f90:7-9):
+        W = mu/2 (Ic - 3) - mu ln J + lambda/2 (ln J)^2
+    with Lame constants from the material's ELASTIC properties — the
+    reference's NEOHOOKE law reads M_YOUNGS/M_POISSON (set by the mesh
+    !MATERIAL or the cnt !ELASTIC card) and IGNORES the !HYPERELASTIC
+    card values (fstr_ctrl stores them in the unused PLCONST slots)."""
+    C = right_cauchy_green(E_voigt)
+    I1, I2, I3 = invariants(C)
+    lam = nu * ee / ((1.0 + nu) * (1.0 - 2.0 * nu))
+    mu = ee / (2.0 * (1.0 + nu))
+    lnJ = 0.5 * jnp.log(I3)
+    return 0.5 * mu * (I1 - 3.0) - mu * lnJ + 0.5 * lam * lnJ ** 2
+
+
 def w_arruda_boyce(E_voigt, c1, lm, d):
     C = right_cauchy_green(E_voigt)
     I1, I2, I3 = invariants(C)
@@ -73,7 +88,7 @@ def w_arruda_boyce(E_voigt, c1, lm, d):
 
 
 _W_FUNCS = {
-    "NEOHOOKE": w_mooney_rivlin,       # c01 = 0 (fstr_ctrl_material.f90:199)
+    "NEOHOOKE": w_neohooke,            # (E, nu) log-J form
     "MOONEY-RIVLIN": w_mooney_rivlin,
     "MOONEYRIVLIN": w_mooney_rivlin,
     "ARRUDA-BOYCE": w_arruda_boyce,
@@ -85,11 +100,11 @@ def make_hyper_fns(mtype: str, consts):
     """Returns (pk2(E_batch) -> S_batch, tangent(E_batch) -> D_batch),
     batched over arbitrary leading axes of (..., 6) strain."""
     wf = _W_FUNCS[mtype.upper()]
-    c = [float(v) for v in consts[:3]]
-    if mtype.upper() == "NEOHOOKE" and len(consts) >= 2:
-        # stored as (c10, 0, d)
-        c = [float(consts[0]), 0.0, float(consts[2]) if len(consts) > 2
-             else float(consts[1])]
+    if mtype.upper() == "NEOHOOKE":
+        # caller passes the material's (E, nu); card values unused
+        c = [float(consts[0]), float(consts[1])]
+    else:
+        c = [float(v) for v in consts[:3]]
 
     def w(e):
         return wf(e, *c)

@@ -36,6 +36,13 @@ def _f(tok, default: float = 0.0) -> float:
     try:
         return float(tok)
     except (TypeError, ValueError):
+        pass
+    # Fortran double-precision literals ('7.d0', '1.5D-3') — the
+    # reference's ctrl reader accepts them (fstr_ctrl_util.c strtod on
+    # d/D-exponent forms via Fortran list-directed reads)
+    try:
+        return float(str(tok).lower().replace("d", "e"))
+    except (TypeError, ValueError):
         return default
 
 
