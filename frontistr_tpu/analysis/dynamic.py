@@ -191,6 +191,45 @@ def _external_force(model, t, amp_loads):
     return f
 
 
+def _rate_bc_split(model, cards, make_amp):
+    """Split !VELOCITY / !ACCELERATION cards into (initial, transit)
+    entries.  initial = (dofs, vals); transit = (dofs, vals, amp_fn).
+    Row layout matches !BOUNDARY (group, dof_s, dof_e, value)."""
+    ndof = model.ndof
+    mesh = model.mesh
+    init_d, init_v = [], []
+    tr_d, tr_v, tr_amp = [], [], None
+    for c in cards:
+        typ = (c.param("TYPE", "") or "").upper()
+        amp = make_amp(c.param("AMP", ""))
+        for row in c.data:
+            grp = row[0]
+            d1 = int(float(row[1]))
+            d2 = int(float(row[2])) if len(row) > 2 else d1
+            val = float(row[3]) if len(row) > 3 else 0.0
+            nodes = mesh.node_groups.get(grp)
+            if nodes is None:
+                try:
+                    nodes = [mesh.id2idx[int(grp)]]
+                except (ValueError, KeyError):
+                    continue
+            for nn in np.asarray(nodes).reshape(-1):
+                for d in range(d1, d2 + 1):
+                    dof = int(nn) * ndof + d - 1
+                    if typ.startswith("INIT"):
+                        init_d.append(dof)
+                        init_v.append(val)
+                    else:
+                        tr_d.append(dof)
+                        tr_v.append(val)
+                        tr_amp = amp
+    init = (np.asarray(init_d, np.int64), np.asarray(init_v)) \
+        if init_d else None
+    trans = (np.asarray(tr_d, np.int64), np.asarray(tr_v), tr_amp) \
+        if tr_d else None
+    return init, trans
+
+
 def _postprocess_dyn(model, programs, states, u, vel, acc):
     from frontistr_tpu.analysis.nonlinear import _postprocess
     res = _postprocess(model, programs, states, jnp.asarray(u))
@@ -224,7 +263,6 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
     inc_j = jnp.asarray(inc)
     dofs_j = [jnp.asarray(b.dofs) for b in model.blocks]
     nns = [b.conn.shape[1] for b in model.blocks]
-    free = jnp.asarray(old_ops.make_free_mask(n, model.fixed_dofs))
     amp_loads = _load_groups_with_amp(model.mesh, cfg, ndof, model.n_node)
     make_amp = _amp_factory(model.mesh, cfg)
     bc_amps = [make_amp(c.param("AMP", "")) for c in cfg.boundaries]
@@ -232,6 +270,31 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
     u = jnp.zeros(n)
     vel = jnp.zeros(n)
     acc = jnp.zeros(n)
+    # --- !VELOCITY / !ACCELERATION (dynamic_mat_ass_bc_vl/_ac.f90 +
+    # DYNAMIC_BC_INIT_VL/_AC): TYPE=INITIAL seeds v(0)/a(0); otherwise
+    # the card is a prescribed-rate Dirichlet condition enforced through
+    # the Newmark displacement relation each step ---
+    v_init, v_trans = _rate_bc_split(model, cfg.velocities, make_amp)
+    a_init, a_trans = _rate_bc_split(model, cfg.accelerations, make_amp)
+    if v_init is not None:
+        vel = vel.at[jnp.asarray(v_init[0])].set(jnp.asarray(v_init[1]))
+    if a_init is not None:
+        acc = acc.at[jnp.asarray(a_init[0])].set(jnp.asarray(a_init[1]))
+    extra_fix = np.concatenate(
+        [e[0] for e in (v_trans, a_trans) if e is not None]) \
+        if (v_trans is not None or a_trans is not None) \
+        else np.zeros(0, np.int64)
+    fixed_all = np.concatenate([np.asarray(model.fixed_dofs,
+                                           np.int64).reshape(-1),
+                                extra_fix])
+    free = jnp.asarray(old_ops.make_free_mask(n, fixed_all))
+    # Newmark coefficients of the prescribed-rate displacement relation
+    bv2 = dt * (gamma - beta) / gamma
+    bv3 = dt * dt * (gamma - 2.0 * beta) / (2.0 * gamma)
+    bv4 = dt * beta / gamma
+    ba2 = dt
+    ba3 = dt * dt * (0.5 - beta)
+    ba4 = dt * dt * beta
     mixed = _solve_policy() == "mixed"
     result = None
     from frontistr_tpu.fem.isoparam import det_inv_small
@@ -413,7 +476,24 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
                     B = B - Bc
                     Bres = B
 
-                dirichlet_inc = (u_fix_t - u) if it == 1 else jnp.zeros(n)
+                if it == 1:
+                    dirichlet_inc = u_fix_t - u
+                    # prescribed-rate BCs: Newmark displacement relation
+                    # (dynamic_mat_ass_bc_vl/_ac increment arms)
+                    if v_trans is not None:
+                        d_, v_, af = v_trans
+                        dj = jnp.asarray(d_)
+                        dirichlet_inc = dirichlet_inc.at[dj].set(
+                            bv2 * vel[dj] + bv3 * acc[dj]
+                            + bv4 * jnp.asarray(v_) * af(t))
+                    if a_trans is not None:
+                        d_, v_, af = a_trans
+                        dj = jnp.asarray(d_)
+                        dirichlet_inc = dirichlet_inc.at[dj].set(
+                            ba2 * vel[dj] + ba3 * acc[dj]
+                            + ba4 * jnp.asarray(v_) * af(t))
+                else:
+                    dirichlet_inc = jnp.zeros(n)
 
                 if cm is not None and slag is not None:
                     # geometry coefficients track the deformed config
@@ -571,6 +651,20 @@ def _run_explicit(model: StructModel, log_path, coupler=None):
     vel = jnp.zeros(n)
     acc = jnp.zeros(n)
     u = jnp.zeros(n)
+    # initial velocity/acceleration (DYNAMIC_BC_INIT_VL/_AC): central
+    # difference seeds u_{-1} = -dt v0 + dt^2/2 a0
+    make_amp = _amp_factory(model.mesh, cfg)
+    v_init, v_tr = _rate_bc_split(model, cfg.velocities, make_amp)
+    a_init, a_tr = _rate_bc_split(model, cfg.accelerations, make_amp)
+    if v_tr is not None or a_tr is not None:
+        print("### WARNING: prescribed-rate !VELOCITY/!ACCELERATION not "
+              "implemented for EXPLICIT dynamics; card IGNORED")
+    if v_init is not None:
+        vel = vel.at[jnp.asarray(v_init[0])].set(jnp.asarray(v_init[1]))
+        disp3 = disp3 - dt * vel
+    if a_init is not None:
+        acc = acc.at[jnp.asarray(a_init[0])].set(jnp.asarray(a_init[1]))
+        disp3 = disp3 + (0.5 * dt * dt) * acc
     vec1 = jnp.where(vec1 * free == 0.0, 1.0, vec1)
     Q = jnp.zeros(n)
 
