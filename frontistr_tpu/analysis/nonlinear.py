@@ -1216,12 +1216,34 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
                 coords_def = model.coords + np.asarray(
                     u + du).reshape(model.n_node, model.ndof)
                 proj = cm.search(coords_def)
+                char = float(np.abs(model.coords).max()) or 1.0
+                if slag is not None:
+                    # active-set scan at the converged pass
+                    # (fstr_scan_contact_state): release tensile slots,
+                    # re-activate penetrating ones; rerun the pass if
+                    # the set changed or penetration remains
+                    cact = cm._last_cact
+                    cn_s = slag.build(proj, cm.all_slaves, cact)
+                    lam_c = np.asarray(slag.lagrange(cn_s, cm._last_B))
+                    scale = max(float(np.abs(lam_c).max()), 1.0)
+                    rel_new = cact & (lam_c < -1e-8 * scale)
+                    act_new = (~cact) & proj["touching"] & \
+                        (proj["gap"] < -1e-5 * char)
+                    cm.slag_released |= rel_new
+                    cm.slag_released &= ~act_new
+                    live = proj["touching"] & ~cm.slag_released
+                    pen = float(np.maximum(-proj["gap"],
+                                           0.0)[live].max()) \
+                        if live.any() else 0.0
+                    if not rel_new.any() and not act_new.any() and \
+                            pen < 1e-5 * char:
+                        break
+                    continue
                 pen = float(np.maximum(-proj["gap"],
                                        0.0)[proj["touching"]].max()) \
                     if proj["touching"].any() else 0.0
                 lam_pre = cm.lam.copy()
                 cm.augment(proj)
-                char = float(np.abs(model.coords).max()) or 1.0
                 # Uzawa convergence: penetration resolved AND the
                 # multiplier update settled — a large |dlam| (e.g. a
                 # slot freed on separation) means the converged config
@@ -1457,29 +1479,45 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
             "DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG") \
             if cm is not None else False
         if cm is not None and slag is not None:
-            # SLAGRANGE: exact gap closure by slave-dof elimination;
-            # active set = touching & closed/penetrating minus released
+            # SLAGRANGE: exact gap closure by slave-dof elimination.
+            # The active set is FROZEN for the whole Newton pass
+            # (fstr_scan_contact_state runs between the outer
+            # loopFORcontactAnalysis passes, never inside Newton —
+            # flipping slots per iteration lets Newton 'converge' onto
+            # an oscillating system); geometry coefficients still track
+            # the deformed configuration per iteration.
             coords_def = model.coords + np.asarray(
                 u + du).reshape(model.n_node, model.ndof)
             proj = cm.search(coords_def)
-            g_tol = 1e-8 * max(float(np.abs(model.coords).max()), 1.0)
-            cact = proj["touching"] & (proj["gap"] <= g_tol) & \
-                ~cm.slag_released
+            if it == 1:
+                g_tol = 1e-8 * max(float(np.abs(model.coords).max()),
+                                   1.0)
+                cact_frozen = proj["touching"] & \
+                    (proj["gap"] <= g_tol) & ~cm.slag_released
+                cm._last_cact = cact_frozen
+            cact = cact_frozen
             cn = slag.build(proj, cm.all_slaves, cact)
             if direct:
                 # METHOD=DIRECT on a contact deck: explicit Lagrange
                 # rows + host saddle-point factorization
-                # (solve_LINEQ_direct_serial_lag.f90)
+                # (solve_LINEQ_direct_serial_lag.f90).  A frictionless
+                # body held only by contact can be exactly singular
+                # (tangential rigid modes) — fall back to the iterative
+                # arm, which solves in the range space, like the
+                # reference's solver-retry path.
                 from frontistr_tpu.contact.slag import lag_rows
                 from frontistr_tpu.solver.direct import solve_direct_lag
                 Bl, grows = lag_rows(proj, cm.all_slaves, cact, ndof, n,
                                      free=np.asarray(free))
-                dx_np, _ = solve_direct_lag(
-                    [np.asarray(k) for k in kes],
-                    [np.asarray(d) for d in dofs_j], n,
-                    np.asarray(free), np.asarray(B), Bl, grows,
-                    u_fix=np.asarray(dirichlet_inc))
-                dx = jnp.asarray(dx_np)
+                try:
+                    dx_np, _ = solve_direct_lag(
+                        [np.asarray(k) for k in kes],
+                        [np.asarray(d) for d in dofs_j], n,
+                        np.asarray(free), np.asarray(B), Bl, grows,
+                        u_fix=np.asarray(dirichlet_inc))
+                    dx = jnp.asarray(dx_np)
+                except RuntimeError:
+                    dx = contact_solve(tuple(kes), B, dirichlet_inc, cn)
             else:
                 dx = contact_solve(tuple(kes), B, dirichlet_inc, cn)
         elif cm is not None:
@@ -1528,16 +1566,9 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
         Q_cur = Q
         Bres = (gl - Q) * free
         if cm is not None and slag is not None:
-            # reduced-space residual: slave rows carry -lambda c0 by
-            # construction; lambda < 0 (tension) releases the slot
-            coords_def = model.coords + np.asarray(
-                u + du).reshape(model.n_node, model.ndof)
-            proj_n = cm.search(coords_def)
-            lam_c = np.asarray(slag.lagrange(cn, gl - Q))
-            scale = max(float(np.abs(lam_c).max()), 1.0)
-            cm.slag_released |= lam_c < -1e-8 * scale
-            # re-activate released slots that penetrate again
-            cm.slag_released &= ~(proj_n["gap"] < -1e-10)
+            # reduced-space residual (active set stays frozen; the
+            # tension/penetration scan runs in the outer contact loop)
+            cm._last_B = gl - Q
             Bres = np.asarray(slag.Tt(cn, gl - Q)) * np.asarray(free)
             Bres = jnp.asarray(Bres)
         elif cm is not None:

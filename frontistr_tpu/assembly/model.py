@@ -62,6 +62,11 @@ def _resolve_material(mesh: Mesh, cnt_mats: Dict[str, CntMaterial],
         if it3:
             m.expansion = it3[0][0]
     cm = cnt_mats.get(name)
+    if cm is None and "" in cnt_mats:
+        # header-less material cards (!HYPERELASTIC/!DENSITY/... with no
+        # preceding !MATERIAL, e.g. tutorial/13): the reference binds
+        # them to the (single) mesh-defined material
+        cm = cnt_mats[""]
     if cm is not None:
         def _flag(card, default):
             # CAUCHY/KIRCHHOFF/INFINITE params (fstr_ctrl_material.f90)

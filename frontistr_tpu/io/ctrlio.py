@@ -379,6 +379,39 @@ def read_cnt(path: str) -> AnalysisConfig:
             name = c.param("NAME", f"MAT{len(cfg.materials)+1}")
             cur_mat = CntMaterial(name)
             cfg.materials[name] = cur_mat
+        elif n in ("ELASTIC", "PLASTIC", "HYPERELASTIC", "VISCOELASTIC",
+                   "TRS", "CREEP", "DENSITY", "EXPANSION_COEFF",
+                   "EXPANSION", "USER_MATERIAL",
+                   "FLUID") and cur_mat is None:
+            # header-less property cards (tutorial/13: !DENSITY +
+            # !HYPERELASTIC with no !MATERIAL): the reference attaches
+            # them to the mesh-defined material — collect under the
+            # anonymous name, bound at model build (_resolve_material)
+            cur_mat = CntMaterial("")
+            cfg.materials[""] = cur_mat
+            continue_card = c
+            n2 = n
+            # fall through by re-dispatching the same card
+            if n2 == "ELASTIC":
+                cur_mat.elastic = continue_card
+            elif n2 == "PLASTIC":
+                cur_mat.plastic = continue_card
+            elif n2 == "HYPERELASTIC":
+                cur_mat.hyperelastic = continue_card
+            elif n2 == "VISCOELASTIC":
+                cur_mat.viscoelastic = continue_card
+            elif n2 == "TRS":
+                cur_mat.trs = continue_card
+            elif n2 == "CREEP":
+                cur_mat.creep = continue_card
+            elif n2 == "DENSITY":
+                cur_mat.density = continue_card
+            elif n2 in ("EXPANSION_COEFF", "EXPANSION"):
+                cur_mat.expansion = continue_card
+            elif n2 == "USER_MATERIAL":
+                cur_mat.user_material = continue_card
+            elif n2 == "FLUID":
+                cur_mat.fluid = continue_card
         elif n == "ELASTIC" and cur_mat:
             cur_mat.elastic = c
         elif n == "PLASTIC" and cur_mat:

@@ -1,0 +1,90 @@
+"""Tutorials 11/12/13: SLag contact statics on real meshes, linear
+explicit dynamics, nonlinear (neo-Hooke) implicit dynamics — run-only
+fixtures (no goldens shipped), asserted on physics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_reference, REFERENCE
+
+TUT = os.path.join(REFERENCE, "tutorial")
+
+
+@requires_reference
+def test_tutorial11_two_beam_contact():
+    """Crossed beams, SLAGRANGE contact, plasticity, prescribed -3.0 on
+    the upper beam end (shortened to 10 substeps): the load transmits
+    through the contact to the lower beam, which deflects downward."""
+    from frontistr_tpu.io.meshio import read_mesh
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
+    d = os.path.join(TUT, "11_contact_2beam")
+    mesh = read_mesh(os.path.join(d, "2beams.msh"))
+    cfg = read_cnt(os.path.join(d, "2beams.cnt"))
+    cfg.steps[0].num_substep = 10
+    cfg.steps[0].initdt = 0.1
+    model = build_struct_model(mesh, cfg)
+    res = run_nonlinear_static(model)
+    assert np.isfinite(res.u).all()
+    # driven end reached the prescribed displacement
+    ng3 = mesh.node_groups["ng3"]
+    np.testing.assert_allclose(res.u[ng3, 2], -3.0, rtol=1e-6)
+    # the lower beam picked up load through the interface: nodes NOT in
+    # the driven group moved down too
+    others = np.setdiff1d(np.arange(mesh.n_node),
+                          np.concatenate([ng3,
+                                          mesh.node_groups["ng1"],
+                                          mesh.node_groups["ng2"]]))
+    assert res.u[others, 2].min() < -0.1
+    # plasticity engaged (yield 500, hardening 10)
+    assert res.nodal_mises.max() > 500.0
+    assert res.elem_mises.max() < 1500.0
+
+
+@requires_reference
+def test_tutorial12_linear_explicit_beam():
+    """Linear explicit dynamics (central difference, 500k steps in the
+    deck — shortened): tip loaded downward via AMP ramp, beam starts
+    moving down, energy stays bounded."""
+    from frontistr_tpu.io.meshio import read_mesh
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.dynamic import run_dynamic
+    d = os.path.join(TUT, "12_dynamic_beam")
+    mesh = read_mesh(os.path.join(d, "beam.msh"))
+    cfg = read_cnt(os.path.join(d, "beam.cnt"))
+    cfg.dynamic.n_step = 2000
+    model = build_struct_model(mesh, cfg)
+    out = run_dynamic(model)
+    assert np.isfinite(out.u).all() and np.isfinite(out.vel).all()
+    cl1 = mesh.node_groups["CL1"]
+    assert out.u[cl1, 2].mean() < 0.0        # tip moving down
+    fix = mesh.node_groups["FIX"]
+    assert np.abs(out.u[fix]).max() < 1e-14  # clamp holds
+
+
+@requires_reference
+def test_tutorial13_neohooke_implicit_beam():
+    """Nonlinear implicit dynamics with the (E, nu)-form neo-Hooke
+    material bound from header-less cnt cards (shortened)."""
+    from frontistr_tpu.io.meshio import read_mesh
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.dynamic import run_dynamic
+    d = os.path.join(TUT, "13_dynamic_beam_nonlinear")
+    mesh = read_mesh(os.path.join(d, "beam.msh"))
+    cfg = read_cnt(os.path.join(d, "beam.cnt"))
+    # header-less !HYPERELASTIC/!DENSITY bound to the mesh material
+    assert "" in cfg.materials
+    assert cfg.materials[""].hyperelastic is not None
+    cfg.dynamic.n_step = 25
+    model = build_struct_model(mesh, cfg)
+    assert model.blocks[0].material.mtype == "NEOHOOKE" or \
+        "NEOHOOKE" in str(model.blocks[0].material.mtype).upper()
+    out = run_dynamic(model)
+    assert np.isfinite(out.u).all()
+    cl1 = mesh.node_groups["CL1"]
+    assert out.u[cl1, 2].mean() < 0.0
