@@ -43,13 +43,23 @@ def run_frequency(model: StructModel, f_start: float, f_end: float,
     w = eigen_result.ang_freq                      # (nmode,)
 
     if fload is None:
-        # !FLOAD cards: rows (grp, dof, value) like CLOAD
-        fload = collect_cload(model.mesh, model.cfg.floads, model.ndof,
-                              model.n_node)
-        if not np.any(fload):
-            fload = np.asarray(model.f_ext)
-    fre = fload
-    fim = np.zeros_like(fload)
+        # !FLOAD cards: rows (grp, dof, value) like CLOAD;
+        # LOAD CASE=1 -> real part, =2 -> imaginary part
+        # (fstr_frequency_analysis FLOAD assembly)
+        re_cards = [c for c in model.cfg.floads
+                    if c.iparam("LOAD CASE", c.iparam("LOADCASE", 1)) != 2]
+        im_cards = [c for c in model.cfg.floads
+                    if c.iparam("LOAD CASE", c.iparam("LOADCASE", 1)) == 2]
+        fre = collect_cload(model.mesh, re_cards, model.ndof,
+                            model.n_node)
+        fim = collect_cload(model.mesh, im_cards, model.ndof,
+                            model.n_node)
+        if not np.any(fre) and not np.any(fim):
+            fre = np.asarray(model.f_ext)
+    else:
+        fre = fload
+        fim = np.zeros_like(fload)
+    del fload
 
     freqs = np.linspace(f_start, f_end, n_freq)
     n = model.n_dof_total

@@ -213,6 +213,7 @@ class AnalysisConfig:
     velocities: List[Card] = dataclasses.field(default_factory=list)
     accelerations: List[Card] = dataclasses.field(default_factory=list)
     floads: List[Card] = dataclasses.field(default_factory=list)
+    eigenread: Optional[Card] = None
     # contact
     contact_algo: str = "SLAGRANGE"
     contacts: List[Card] = dataclasses.field(default_factory=list)
@@ -558,6 +559,12 @@ def read_cnt(path: str) -> AnalysisConfig:
             cfg.accelerations.append(c)
         elif n == "FLOAD":
             cfg.floads.append(c)
+        elif n == "EIGENREAD":
+            # frequency-response eigen import (fstr_frequency_analysis
+            # eigenlog_filename + mode range); modes are recomputed
+            # in-process by the freq driver, the card is kept for the
+            # mode-range selection
+            cfg.eigenread = c
         elif n == "CONTACT_ALGO":
             cfg.contact_algo = (c.param("TYPE") or "SLAGRANGE").upper()
         elif n == "CONTACT":

@@ -163,6 +163,33 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
         model = build_struct_model(mesh, cfg)
         out["eigen"] = run_eigen(model, log_path=log_path)
         out["model"] = model
+    elif sol == "DYNAMIC" and cfg.dynamic is not None \
+            and cfg.dynamic.idx_resp == 2:
+        # frequency response (fstr_frequency_analysis): the !DYNAMIC
+        # row-2 fields are the frequency window (f_start, f_end,
+        # n_points, f_vis); Rayleigh from row 4.  Modes come from an
+        # in-process Lanczos run (the !EIGENREAD log/result import is
+        # superseded — same modes, no file round-trip).
+        from frontistr_tpu.assembly.model import build_struct_model
+        from frontistr_tpu.analysis.freq import run_frequency
+        d = cfg.dynamic
+        model = build_struct_model(mesh, cfg)
+        fr = run_frequency(model, d.t_start, d.t_end,
+                           n_freq=max(d.n_step, 1),
+                           ray_alpha=d.ray_m, ray_beta=d.ray_k)
+        out["freq"] = fr
+        out["model"] = model
+        with open(log_path, "w") as fh:
+            fh.write(" FREQUENCY RESPONSE (modal superposition)\n")
+            if cfg.eigenread is not None:
+                fh.write("  modes recomputed in-process (EIGENREAD "
+                         "import superseded)\n")
+            fh.write("  freq        disp_amp_max  vel_amp_max   "
+                     "acc_amp_max\n")
+            for k in range(len(fr.freqs)):
+                fh.write(f"  {fr.freqs[k]:12.4E}{fr.disp_amp_max[k]:14.6E}"
+                         f"{fr.vel_amp_max[k]:14.6E}"
+                         f"{fr.acc_amp_max[k]:14.6E}\n")
     elif sol == "DYNAMIC":
         if any(b.etype == 3414 for b in mesh.blocks):
             # u-p flow meshes route to the SUPG/PSPG stepper

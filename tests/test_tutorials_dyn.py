@@ -88,3 +88,44 @@ def test_tutorial13_neohooke_implicit_beam():
     assert np.isfinite(out.u).all()
     cl1 = mesh.node_groups["CL1"]
     assert out.u[cl1, 2].mean() < 0.0
+
+
+@requires_reference
+def test_tutorial17_frequency_response():
+    """Tutorial 17: frequency-response deck (!DYNAMIC 11,2 + !FLOAD
+    LOAD CASE=2) through the CLI dispatch — the modal-superposition
+    sweep over [14 kHz, 16 kHz] must resonate at an in-window
+    eigenfrequency."""
+    import shutil
+    import tempfile
+    from frontistr_tpu.run import run_directory
+    d = os.path.join(TUT, "17_freq_beam")
+    with tempfile.TemporaryDirectory() as td:
+        shutil.copy(os.path.join(d, "beam.msh"), td)
+        shutil.copy(os.path.join(d, "beam_freq.cnt"), td)
+        with open(os.path.join(td, "hecmw_ctrl.dat"), "w") as fh:
+            fh.write("!MESH, NAME=fstrMSH,TYPE=HECMW-ENTIRE\n beam.msh\n"
+                     "!CONTROL,NAME=fstrCNT\n beam_freq.cnt\n"
+                     "!RESULT,NAME=fstrRES,IO=OUT\n beam.res\n")
+        out = run_directory(td)
+        fr = out["freq"]
+        assert len(fr.freqs) == 20
+        assert fr.freqs[0] == 14000.0 and fr.freqs[-1] == 16000.0
+        assert np.isfinite(fr.disp_amp_max).all()
+        # an eigenmode lies inside the window: the response peaks
+        # strictly inside and dominates the edges
+        k = int(np.argmax(fr.disp_amp_max))
+        assert 0 < k < 19, fr.disp_amp_max
+        # Rayleigh beta 7.2e-7 gives zeta ~ 0.034 at 15 kHz: a broad
+        # resonance — peak ~2x the window edges, centered on the mode
+        assert fr.disp_amp_max[k] > 1.5 * min(fr.disp_amp_max[0],
+                                              fr.disp_amp_max[-1])
+        # eigenfrequency consistency: the peak is the mode nearest the
+        # window
+        w = out["freq"].eigen.freq
+        inwin = w[(w > 14000) & (w < 16000)]
+        assert len(inwin) >= 1
+        assert abs(fr.freqs[k] - inwin[0]) < 2 * (2000.0 / 19)
+        # 0.log table written
+        log = open(os.path.join(td, "0.log")).read()
+        assert "FREQUENCY RESPONSE" in log
