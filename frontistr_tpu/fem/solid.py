@@ -58,6 +58,18 @@ def _chunked(fn, *arrays, chunk: int = None):
     return out.reshape(-1, *trail)[:E]
 
 
+
+def _expand_D(D_e, E):
+    """Lazily broadcast a constant-D block (leading dim 1, the carry
+    compression of BlockPrograms) to E elements.  Inside a chunk this is
+    a fused broadcast op; passing the FULL broadcast through _chunked
+    would materialize it (reshape + lax.map need real buffers — a
+    21x-padded f64 (E,6,6) is 11 GB at 1M-dof tet)."""
+    if D_e.shape[0] == 1 and E != 1:
+        return jnp.broadcast_to(D_e, (E,) + D_e.shape[1:])
+    return D_e
+
+
 def stiffness_linear_iso(table: ElementTable, coords_e: jnp.ndarray,
                          lam, mu) -> jnp.ndarray:
     """Isotropic small-strain stiffness via the gram-matrix closed form.
@@ -110,8 +122,13 @@ def stiffness_linear(table: ElementTable, coords_e: jnp.ndarray,
     Returns: (E, nn*dim, nn*dim) element stiffness.
     """
     if coords_e.shape[0] > CHUNK:
+        if D_e.shape[0] == 1:     # constant-D: close over, don't chunk
+            return _chunked(lambda c, _u: stiffness_linear(
+                table, c, D_e, thick), coords_e,
+                jnp.zeros((coords_e.shape[0], 1), coords_e.dtype))
         return _chunked(lambda c, D: stiffness_linear(table, c, D, thick),
                         coords_e, D_e)
+    D_e = _expand_D(D_e, coords_e.shape[0])
     dt = coords_e.dtype
     dN = jnp.asarray(table.dN, dt)
     det, gderiv = jacobians(dN, coords_e)
@@ -202,6 +219,7 @@ def stiffness_hex8fbar(table: ElementTable, coords_e, D_e):
     volume-averaged dilatation  B̄ = B + (ḡ - g)/3 on direction columns.
     Differs from B-bar only in using the volume average instead of the
     centroid value as the dilatation reference."""
+    D_e = _expand_D(D_e, coords_e.shape[0])
     dt = coords_e.dtype
     dN = jnp.asarray(table.dN, dt)
     g_ave, det, gderiv = volavg_gderiv(table, coords_e)
@@ -233,6 +251,7 @@ def stiffness_nlgeom_fbar(table: ElementTable, coords_e, u_e, D_e,
     B̄ = Jr²(B0+B1)+B2 (TL) / B+B2 (UL), initial-stress part BNᵀ S BN with
     the F-bar-corrected BN, and the d(dFbar) second-variation block."""
     from frontistr_tpu.fem.material import TOTALLAG, UPDATELAG
+    D_e = _expand_D(D_e, coords_e.shape[0])
     dt = coords_e.dtype
     dN = jnp.asarray(table.dN, dt)
     E, nn, dim = coords_e.shape
@@ -352,10 +371,16 @@ def stiffness_nlgeom(table: ElementTable, coords_e, u_e, D_e, stress_e,
         # DB temporaries at 1M-dof tet otherwise materialize with
         # (3,3)-minor tiled layouts and exceed HBM (the tangent is the
         # production Newton hot op — same guard as stiffness_linear)
+        if D_e.shape[0] == 1:     # constant-D: close over, don't chunk
+            return _chunked(
+                lambda c, u, s: stiffness_nlgeom(
+                    table, c, u, D_e, s, flag, thick=thick, bbar=bbar),
+                coords_e, u_e, stress_e)
         return _chunked(
             lambda c, u, D, s: stiffness_nlgeom(
                 table, c, u, D, s, flag, thick=thick, bbar=bbar),
             coords_e, u_e, D_e, stress_e)
+    D_e = _expand_D(D_e, coords_e.shape[0])
     dN = jnp.asarray(table.dN, coords_e.dtype)
     elem = coords_e + u_e if flag == UPDATELAG else coords_e
     det, gderiv = jacobians(dN, elem)
@@ -455,6 +480,7 @@ def _hex8ic_k_full(table: ElementTable, coords_e, D_e):
 def stiffness_hex8ic(table: ElementTable, coords_e, D_e):
     """Statically-condensed incompatible-mode hex8 stiffness
     (STF_C3D8IC, static_LIB_3dIC.f90): K = Kdd - Kda Kaa^{-1} Kad."""
+    D_e = _expand_D(D_e, coords_e.shape[0])
     k, _ = _hex8ic_k_full(table, coords_e, D_e)
     nd = 24
     from frontistr_tpu.utils.linalg import gauss_jordan_inv
