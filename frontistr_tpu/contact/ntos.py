@@ -92,11 +92,17 @@ class ContactManager:
                 self.pairs.append(ContactPair(
                     np.asarray(slave, np.int64), np.stack(faces),
                     np.asarray(fnn), np.asarray(fsign), mu=mu, kt=kt))
-        # penalty: scaled from material stiffness (fstr default derives
-        # from the contact stiffness input; 100x E gives ~1e-3 rel. pen.)
+        # penalty: scaled from material stiffness (fstr: mu = cdotp *
+        # max K diag with cdotp default 1e3, fstr_contact.f90:19,46;
+        # here the scale base is E, factor 100 ~ 1e-3 rel. penetration).
+        # '!CONTACT, NPENALTY=x' overrides the scale factor (the
+        # reference's cdotp override, fstr_setup.f90:429).
         e_avg = max(float(np.mean([b.material.youngs
                                    for b in model.blocks])), 1.0)
-        self.kn = 100.0 * e_avg
+        npen = 0.0
+        for c in cfg.contacts:
+            npen = max(npen, c.fparam("NPENALTY", 0.0))
+        self.kn = (npen if npen > 0 else 100.0) * e_avg
         ns_tot = sum(len(p.slave_nodes) for p in self.pairs)
         self.lam = np.zeros(ns_tot)
         # friction state: tangential AL multiplier + reference relative
