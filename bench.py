@@ -448,6 +448,13 @@ def main():
     # unstructured-tet production-path arm (shuffled numbering -> reorder
     # -> cluster-ELL + AMG + mixed precision): the numbers real meshes see
     if os.environ.get("BENCH_TET", "1") != "0":
+        # the box arm's device buffers (SoA operators, f64 vectors,
+        # grids) are several GB of the 16 GB chip — release them before
+        # the tet arm allocates its own working set
+        import gc
+        del keT32, keTc32, x32, u, f, free32, free64, coords32, coords64
+        del mesh, conn, coords_c32
+        gc.collect()
         try:
             out.update(_tet_arm(verbose=verbose))
         except Exception as e:               # never lose the box metric
