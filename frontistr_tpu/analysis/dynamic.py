@@ -556,14 +556,14 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
                 scale = max(float(np.abs(lam_c).max()), 1.0)
                 rel_new = cact & (lam_c < -1e-8 * scale)
                 act_new = (~cact) & proj["touching"] & \
-                    (proj["gap"] < -1e-5 * char)
+                    (proj["gap"] < -(cm.ntol if cm.ntol > 0 else 1e-5) * char)
                 cm.slag_released |= rel_new
                 cm.slag_released &= ~act_new
                 live = proj["touching"] & ~cm.slag_released
                 pen = float(np.maximum(-proj["gap"], 0.0)[live].max()) \
                     if live.any() else 0.0
                 if not rel_new.any() and not act_new.any() and \
-                        pen < 1e-5 * char:
+                        pen < (cm.ntol if cm.ntol > 0 else 1e-5) * char:
                     break
                 continue
             # AL augmentation: update multipliers at the converged
@@ -578,7 +578,7 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
             cm.augment(proj)
             dlam = float(np.abs(cm.lam - lam_pre).max()) \
                 if cm.lam.size else 0.0
-            if pen < 1e-5 * char and dlam <= cm.kn * 1e-5 * char:
+            if pen < (cm.ntol if cm.ntol > 0 else 1e-5) * char and dlam <= cm.kn * (cm.ntol if cm.ntol > 0 else 1e-5) * char:
                 break
         # Newmark velocity/acceleration update
         acc_new = -a1 * acc - a2 * vel + a3 * du

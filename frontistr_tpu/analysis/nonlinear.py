@@ -1228,7 +1228,7 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
                     scale = max(float(np.abs(lam_c).max()), 1.0)
                     rel_new = cact & (lam_c < -1e-8 * scale)
                     act_new = (~cact) & proj["touching"] & \
-                        (proj["gap"] < -1e-5 * char)
+                        (proj["gap"] < -(cm.ntol if cm.ntol > 0 else 1e-5) * char)
                     cm.slag_released |= rel_new
                     cm.slag_released &= ~act_new
                     live = proj["touching"] & ~cm.slag_released
@@ -1236,7 +1236,7 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
                                            0.0)[live].max()) \
                         if live.any() else 0.0
                     if not rel_new.any() and not act_new.any() and \
-                            pen < 1e-5 * char:
+                            pen < (cm.ntol if cm.ntol > 0 else 1e-5) * char:
                         break
                     continue
                 pen = float(np.maximum(-proj["gap"],
@@ -1251,7 +1251,7 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
                 # needs another Newton pass
                 dlam = float(np.abs(cm.lam - lam_pre).max()) \
                     if cm.lam.size else 0.0
-                if pen < 1e-5 * char and dlam <= cm.kn * 1e-5 * char:
+                if pen < (cm.ntol if cm.ntol > 0 else 1e-5) * char and dlam <= cm.kn * (cm.ntol if cm.ntol > 0 else 1e-5) * char:
                     break
             stats.total_iters += iters
             stats.max_iters = max(stats.max_iters, iters)

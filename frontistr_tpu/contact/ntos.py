@@ -100,8 +100,12 @@ class ContactManager:
         e_avg = max(float(np.mean([b.material.youngs
                                    for b in model.blocks])), 1.0)
         npen = 0.0
+        self.ntol = 0.0          # penetration convergence (cgn override)
+        self.ttol = 0.0          # tangent-slip convergence (cgt override)
         for c in cfg.contacts:
             npen = max(npen, c.fparam("NPENALTY", 0.0))
+            self.ntol = max(self.ntol, c.fparam("NTOL", 0.0))
+            self.ttol = max(self.ttol, c.fparam("TTOL", 0.0))
         self.kn = (npen if npen > 0 else 100.0) * e_avg
         ns_tot = sum(len(p.slave_nodes) for p in self.pairs)
         self.lam = np.zeros(ns_tot)
