@@ -160,7 +160,7 @@ def _tet_arm(verbose=False):
     }
 
 
-def main():
+def _box_arm(verbose=False):
     import jax
     cache = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
     try:
@@ -335,7 +335,7 @@ def main():
             return op.matvec(v)
         return jax.lax.fori_loop(0, 50, body, x)
 
-    verbose = os.environ.get("BENCH_VERBOSE", "") == "1"
+    verbose = verbose or os.environ.get("BENCH_VERBOSE", "") == "1"
 
     def newton_step():
         """assemble (f32 + f64) + refined CG to true f64 relres <= 1e-8.
@@ -445,22 +445,129 @@ def main():
     out = {"metric": "newton_step_1mdof_wall", "value": round(value, 4),
            "unit": "s", "vs_baseline": round(vs_baseline, 4)}
     out.update(extras)
+    # the box arm's device buffers (SoA operators, f64 vectors, grids)
+    # are several GB of the 16 GB chip — release them before the tet arm
+    # allocates its own working set
+    import gc
+    del keT32, keTc32, x32, u, f, free32, free64, coords32, coords64
+    del mesh, conn, coords_c32
+    gc.collect()
+    return out
+
+
+def _probe_backend(timeout_s, attempts):
+    """Initialize the JAX backend in a SUBPROCESS with a hard timeout.
+
+    Round 3 lost its entire perf artifact because the axon TPU backend
+    hung ~20 min in init and then died at the first device_put — with no
+    probe, no retry, and no fallback JSON.  A subprocess probe is the
+    only way to bound a hang inside backend init (it happens before any
+    Python-level signal handling can fire in-process).
+    Returns the probe's stdout line on success, None on failure.
+    """
+    import subprocess
+    import sys
+    code = ("import jax, jax.numpy as jnp; "
+            "d = jax.devices(); "
+            "x = jnp.ones((256, 256)); "
+            "v = float((x @ x)[0, 0]); "
+            "print('PROBE_OK', d[0].platform, v)")
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+            if r.returncode == 0 and "PROBE_OK" in r.stdout:
+                return r.stdout.strip().splitlines()[-1]
+            sys.stderr.write(f"[bench] probe attempt {i + 1}/{attempts} "
+                             f"rc={r.returncode}: "
+                             f"{(r.stderr or '')[-400:]}\n")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"[bench] probe attempt {i + 1}/{attempts} "
+                             f"timed out after {timeout_s}s\n")
+        except Exception as e:
+            sys.stderr.write(f"[bench] probe attempt {i + 1}/{attempts} "
+                             f"failed: {e}\n")
+    return None
+
+
+def _force_cpu():
+    """The container's sitecustomize force-registers the axon TPU backend
+    and overwrites JAX_PLATFORMS at interpreter startup — when the TPU is
+    down that registration HANGS at the first device op even under
+    JAX_PLATFORMS=cpu.  jax.config is the reliable override (same trick
+    as tests/conftest.py)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    """Always prints ONE JSON line and exits 0 — the artifact survives a
+    dead TPU (error + clearly-labeled small-N CPU sanity arm), a box-arm
+    crash (tet arm still tries), and a tet-arm crash (box metric kept)."""
+    import sys
+    verbose = os.environ.get("BENCH_VERBOSE", "") == "1"
+    out = {"metric": "newton_step_1mdof_wall", "value": None,
+           "unit": "s", "vs_baseline": None}
+
+    probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", "420"))
+    attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
+    forced_cpu = (os.environ.get("BENCH_CPU", "") == "1"
+                  or os.environ.get("JAX_PLATFORMS", "") == "cpu")
+    if forced_cpu:
+        _force_cpu()
+    probe = (None if forced_cpu
+             else _probe_backend(probe_timeout, attempts))
+
+    if probe is None and not forced_cpu:
+        # TPU down: never exit empty — emit the error plus a small-N CPU
+        # sanity arm so the artifact still certifies the code path runs.
+        out["error"] = "tpu_unavailable"
+        _force_cpu()
+        os.environ.setdefault("BENCH_N", "12")
+        os.environ.setdefault("BENCH_TET_N", "10")
+        os.environ.setdefault("BENCH_CG_CHUNK", "300")
+        try:
+            sanity = _box_arm(verbose=verbose)
+            out["cpu_sanity"] = {
+                k: sanity[k] for k in ("value", "n_dofs", "cg_iters",
+                                       "true_relres", "assembly_s")
+                if k in sanity}
+            out["cpu_sanity"]["note"] = (
+                "small-N CPU fallback, NOT a TPU perf number")
+        except Exception as e:
+            out["cpu_sanity_error"] = f"{type(e).__name__}: {e}"
+        try:
+            tet = _tet_arm(verbose=verbose)
+            out["cpu_sanity_tet"] = {
+                "value": tet.get("newton_step_1mdof_tet_wall"),
+                "n_dofs": tet.get("tet_n_dofs"),
+                "cg_iters": tet.get("tet_cg_iters"),
+                "true_relres": tet.get("tet_true_relres"),
+                "note": "small-N CPU fallback, NOT a TPU perf number"}
+        except Exception as e:
+            out["cpu_sanity_tet_error"] = f"{type(e).__name__}: {e}"
+        print(json.dumps(out))
+        return 0
+
+    if probe is not None:
+        out["probe"] = probe
+    try:
+        out.update(_box_arm(verbose=verbose))
+    except Exception as e:
+        out["box_error"] = f"{type(e).__name__}: {e}"
     # unstructured-tet production-path arm (shuffled numbering -> reorder
     # -> cluster-ELL + AMG + mixed precision): the numbers real meshes see
     if os.environ.get("BENCH_TET", "1") != "0":
-        # the box arm's device buffers (SoA operators, f64 vectors,
-        # grids) are several GB of the 16 GB chip — release them before
-        # the tet arm allocates its own working set
-        import gc
-        del keT32, keTc32, x32, u, f, free32, free64, coords32, coords64
-        del mesh, conn, coords_c32
-        gc.collect()
         try:
             out.update(_tet_arm(verbose=verbose))
         except Exception as e:               # never lose the box metric
             out["tet_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(out))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    sys.exit(main())
