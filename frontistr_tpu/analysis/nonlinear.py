@@ -271,8 +271,14 @@ class BlockPrograms:
                                       bbar=self.bbar)
 
     def _De(self):
-        """Full-shape elastic D (lazily broadcast if compressed)."""
-        return jnp.broadcast_to(self.D_e, self._De_shape)
+        """Full-shape elastic D (lazily broadcast if compressed).
+        _E_pad overrides the element count when the sharded Newton
+        engine runs this program over a padded element axis."""
+        shp = self._De_shape
+        ep = getattr(self, "_E_pad", None)
+        if ep:
+            shp = (ep,) + tuple(shp[1:])
+        return jnp.broadcast_to(self.D_e, shp)
 
     def _material_D(self, state, time=0.0, dtime=0.0):
         if self.mtype == mat.ELASTIC:
@@ -863,6 +869,15 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
         prof_d = prof.device()
         cprof_d = cprof.device()
         coords_j = jnp.asarray(model.coords)
+    # !EQUATION handling: exact dependent-dof elimination T K T^t
+    # (hecmw_mat_ass_equation / hecmw_local_matrix.f90 trimatmul) folded
+    # into the jitted solve — arrays ride as args, so the SAME path runs
+    # sharded (the mask is row-sharded with the vectors).
+    from frontistr_tpu.assembly import extras as exmod
+    mpc_a = exmod.mpc_arrays(model.mesh, ndof, n_node * ndof)
+    if mpc_a is not None and nshard:
+        mpc_a = {k: jax.device_put(v, row if k == "mask" else rep)
+                 for k, v in mpc_a.items()}
     nns_t = tuple(nns)
     # MXU segment-sum assembly (f32): ~6x the XLA scatter per Newton
     # iteration at 1M dof.  Aux arrays ride through _solve as args.
@@ -909,8 +924,8 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     if mixed:
         @jax.jit
         def _solve(profile, cprofile, am, ctx, kes, B, dirichlet_inc,
-                   pal_a, mass_v):
-            dofs, inc, free_m, coords = ctx
+                   pal_a, mass_v, gfac):
+            dofs, inc, free_m, coords, mpc = ctx
             op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
                                   n_node, ndof, free_m)
 
@@ -932,21 +947,27 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
             # at 1M-dof tet); f64 true residual via gather op
             cop32, raw = _cluster_op(cprofile, kes, free_m, jnp.float32,
                                      pal_a, mass_v)
-            res = refined_cg(A64,
-                             cop32.apply_constrained,
+            A64_cg, A32_cg = A64, cop32.apply_constrained
+            if mpc is not None:
+                b_c = exmod.mpc_reduce_rhs(mpc, A64, b_c, gfac)
+                A64_cg = exmod.mpc_wrap(mpc, A64)
+                A32_cg = exmod.mpc_wrap(mpc, cop32.apply_constrained)
+            res = refined_cg(A64_cg, A32_cg,
                              _precond(cop32, cprofile, raw, profile, am,
                                       coords), b_c,
                              tol=sv.resid, inner_tol=1e-6,
                              maxiter=sv.nier, max_passes=2)
             x = res.x
+            if mpc is not None:
+                x = exmod.mpc_recover(mpc, x, gfac)
             if cons is not None:
-                x = cons(x)[:n_real]
+                x = cons(x)
             return x, res.iters
     else:
         @jax.jit
         def _solve(profile, cprofile, am, ctx, kes, B, dirichlet_inc,
-                   pal_a, mass_v):
-            dofs, inc, free_m, coords = ctx
+                   pal_a, mass_v, gfac):
+            dofs, inc, free_m, coords, mpc = ctx
             op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
                                   n_node, ndof, free_m)
 
@@ -962,16 +983,25 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                 b_c = cons(b_c, "x")
             cop, raw = _cluster_op(cprofile, kes, free_m, b_c.dtype,
                                    pal_a, mass_v)
-            res = krylov.pcg(cop.apply_constrained, b_c,
+            A_cg = cop.apply_constrained
+            if mpc is not None:
+                def A64c(x):
+                    xm = x * free_m
+                    return mv64(xm) * free_m + x * (1.0 - free_m)
+                b_c = exmod.mpc_reduce_rhs(mpc, A64c, b_c, gfac)
+                A_cg = exmod.mpc_wrap(mpc, cop.apply_constrained)
+            res = krylov.pcg(A_cg, b_c,
                              M=_precond(cop, cprofile, raw, profile, am,
                                         coords), tol=sv.resid,
                              maxiter=sv.nier)
             x = res.x
+            if mpc is not None:
+                x = exmod.mpc_recover(mpc, x, gfac)
             if cons is not None:
-                x = cons(x)[:n_real]
+                x = cons(x)
             return x, res.iters
 
-    ctx = (list(dofs_j), inc_j, free, coords_j)
+    ctx = (list(dofs_j), inc_j, free, coords_j, mpc_a)
 
     if nshard:
         dev0 = jax.devices()[0]
@@ -982,7 +1012,7 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
             m_np[:n_real] = np.asarray(mass)
             mass_d = jax.device_put(jnp.asarray(m_np), row)
 
-        def solve(kes, B, dirichlet_inc):
+        def solve(kes, B, dirichlet_inc, gfac=0.0):
             # element-sharded matrices: zero-pad the phantom elements
             # then split the element axis over the mesh
             kes_s = tuple(jax.device_put(
@@ -993,21 +1023,275 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
             Bp = jax.device_put(jnp.pad(B, (0, npad)), row)
             dp = jax.device_put(jnp.pad(dirichlet_inc, (0, npad)), row)
             x, it = _solve(prof_d, cprof_d, amaps, ctx, kes_s, Bp, dp,
-                           pal_args, mass_d)
+                           pal_args, mass_d, jnp.asarray(float(gfac)))
             solve.last_iters = it         # device scalar, no host sync
-            # back to the driver's single default device (the Newton
-            # update/qforce passes are per-element vmaps on one chip)
-            return jax.device_put(x, dev0)
+            # back to the driver's single default device (legacy path;
+            # the fully-sharded Newton engine uses solve.sharded instead)
+            return jax.device_put(x[:n_real], dev0)
+
+        def solve_sharded(kes_s, Bp, dp, gfac):
+            """In-graph arm for the sharded Newton engine: inputs are
+            already padded + element/row-sharded, output stays the
+            PADDED row-sharded solution (no device round trip)."""
+            return _solve(prof_d, cprof_d, amaps, ctx, kes_s, Bp, dp,
+                          pal_args, mass_d, gfac)
+
+        solve.sharded = solve_sharded
+        # everything the sharded element pipeline (ShardedNewton) needs
+        # to run tangent/update under the same mesh.  sharded_fn/args let
+        # the engine's outer jit call _solve with its big arrays as traced
+        # ARGUMENTS (closing over them would inline multi-100MB literals
+        # into the lowered module — the remote-compile payload overflow).
+        solve.sharded_fn = _solve
+        solve.sharded_args = (prof_d, cprof_d, amaps, ctx, pal_args,
+                              mass_d)
+        solve.sharded_ctx = dict(
+            nshard=nshard, jmesh=jmesh, row=row, row_e=row_e, rep=rep,
+            conns_p=conns, e_pads=e_pads, n_node_pad=n_node, npad=npad,
+            n_real=n_real, free_pad=free, inc_j=inc_j, total_en=total_en,
+            dofs_j=dofs_j)
     else:
         mass_d = jnp.asarray(mass) if eff is not None else None
 
-        def solve(kes, B, dirichlet_inc):
+        def solve(kes, B, dirichlet_inc, gfac=0.0):
             x, it = _solve(prof_d, cprof_d, amaps, ctx, kes, B,
-                           dirichlet_inc, pal_args, mass_d)
+                           dirichlet_inc, pal_args, mass_d,
+                           jnp.asarray(float(gfac)))
             solve.last_iters = it         # device scalar, no host sync
             return x
 
+    solve.has_mpc = mpc_a is not None
     return solve
+
+
+class ShardedNewton:
+    """Element pipeline under the device mesh: per-iteration tangent,
+    linear solve, stress/QFORCE update, and convergence norms run as ONE
+    jitted GSPMD program over padded element/node axes — no full-model
+    array moves to a single device inside the Newton loop.  This is the
+    TPU re-expression of the reference's per-rank element ownership
+    (fstr_StiffMatrix.f90:53-57 OpenMP assembly per rank +
+    fstr_Update.f90:25-293 re-integration per rank): each device owns an
+    element shard AND a node-row shard; XLA inserts the collectives.
+
+    Padding contract: phantom elements repeat each block's element 0
+    (valid geometry — a degenerate phantom would NaN the Jacobian
+    inverse, and NaN * 0 mask is still NaN); a per-block element mask
+    then zeroes their ke/qf so they contribute exactly nothing — the
+    in-graph equivalent of the explicit zero padding in
+    make_constrained_solver's legacy solve() wrapper.  Gauss states are
+    padded the same way and stay sharded across substeps; they are
+    un-padded only at output/restart boundaries.
+    """
+
+    def __init__(self, model, programs, solver, ex_kes):
+        sc = solver.sharded_ctx
+        self.model = model
+        self.programs = programs
+        self.n_real = sc["n_real"]
+        self.npad = sc["npad"]
+        self.n_node_pad = sc["n_node_pad"]
+        self.ndof = model.ndof
+        self.row, self.row_e, self.rep = sc["row"], sc["row_e"], sc["rep"]
+        self._sfn = solver.sharded_fn
+        self._sargs = solver.sharded_args
+        nb = len(model.blocks)
+        conns_p, e_pads = sc["conns_p"], sc["e_pads"]
+        self.E_orig = [len(b.elem_ids) for b in model.blocks]
+        self.e_pads_blocks = list(e_pads[:nb])
+        carries, masks, conns = [], [], []
+        for i, p in enumerate(programs):
+            cp, ep, E = conns_p[i], e_pads[i], self.E_orig[i]
+            p._E_pad = cp.shape[0]   # _De() broadcasts to the padded E
+            conns.append(jax.device_put(jnp.asarray(cp), self.row_e))
+            m = np.ones(cp.shape[0])
+            m[E:] = 0.0
+            masks.append(jax.device_put(jnp.asarray(m), self.row_e))
+            cd = {}
+            for k, v in p._carry.items():
+                a = jnp.asarray(v)
+                if a.ndim >= 1 and a.shape[0] == E and ep:
+                    a = jnp.concatenate(
+                        [a, jnp.repeat(a[:1], ep, axis=0)])
+                sh = self.row_e if (a.ndim >= 1
+                                    and a.shape[0] == E + ep) else self.rep
+                cd[k] = jax.device_put(a, sh)
+            carries.append(cd)
+        ex_p = []
+        for j, k in enumerate(ex_kes):
+            ep = e_pads[nb + j]
+            kp = jnp.concatenate(
+                [k, jnp.zeros((ep,) + k.shape[1:], k.dtype)]) if ep else k
+            ex_p.append(jax.device_put(kp, self.row_e))
+        self._aux = dict(carries=carries, masks=masks, conns=conns,
+                         exkes=ex_p,
+                         exdofs=[sc["dofs_j"][nb + j]
+                                 for j in range(len(ex_kes))],
+                         inc=sc["inc_j"], free=sc["free_pad"])
+        self._iter = jax.jit(self._iter_impl)
+        self._q0 = jax.jit(self._q0_impl)
+        self.pad_puts = 0      # transfer-guard instrumentation for tests
+        self.n_iters = 0
+
+    # ---- padding helpers (substep boundaries only) --------------------
+    def pad_vec(self, v):
+        self.pad_puts += 1
+        return jax.device_put(jnp.pad(jnp.asarray(v), (0, self.npad)),
+                              self.row)
+
+    def zeros(self):
+        return jax.device_put(
+            jnp.zeros(self.n_real + self.npad), self.row)
+
+    def unpad_vec(self, v):
+        return jax.device_put(v[:self.n_real], jax.devices()[0])
+
+    def pad_states(self, states):
+        """Idempotent: already-padded leading axes pass through."""
+        out = []
+        for st, E, ep in zip(states, self.E_orig, self.e_pads_blocks):
+            if not st:
+                out.append(st)
+                continue
+            d = {}
+            for k, v in st.items():
+                if v is None:
+                    d[k] = v
+                    continue
+                a = jnp.asarray(v)
+                if a.ndim >= 1 and a.shape[0] == E and ep:
+                    a = jnp.concatenate(
+                        [a, jnp.repeat(a[:1], ep, axis=0)])
+                if a.ndim >= 1 and a.shape[0] == E + ep:
+                    a = jax.device_put(a, self.row_e)
+                d[k] = a
+            out.append(d)
+        return out
+
+    def unpad_states(self, states):
+        out = []
+        for st, E in zip(states, self.E_orig):
+            if not st:
+                out.append(st)
+                continue
+            out.append({k: (v[:E] if (v is not None
+                                      and hasattr(v, "ndim")
+                                      and v.ndim >= 1
+                                      and v.shape[0] >= E) else v)
+                        for k, v in st.items()})
+        return out
+
+    # ---- traced bodies -------------------------------------------------
+    def _update_all(self, aux, u, du, states, t, dt):
+        nd = self.ndof
+        U = u.reshape(self.n_node_pad, nd)
+        DU = du.reshape(self.n_node_pad, nd)
+        flats, new_states = [], []
+        for p, carry, conn, mask, st in zip(
+                self.programs, aux["carries"], aux["conns"],
+                aux["masks"], states):
+            ns_, qf = p._update(carry, U[conn], DU[conn], st, t, dt)
+            new_states.append(ns_)
+            flats.append(
+                (qf * mask.reshape((-1,) + (1,) * (qf.ndim - 1)))
+                .reshape(-1))
+        tot = u + du
+        for ke_x, d_x in zip(aux["exkes"], aux["exdofs"]):
+            flats.append(jnp.einsum("eij,ej->ei", ke_x,
+                                    tot[d_x]).reshape(-1))
+        flats.append(jnp.zeros(nd, u.dtype))
+        flat = jnp.concatenate(flats)
+        idx = aux["inc"][:, :, None] * nd + jnp.arange(nd)[None, None, :]
+        Q = flat[idx].sum(axis=1).reshape(-1)
+        return new_states, Q
+
+    def _q0_impl(self, aux, u, du, states, t, dt):
+        _, Q = self._update_all(aux, u, du, states, t, dt)
+        return Q
+
+    def _iter_impl(self, aux, sargs, u, du, states, gl, dinc, Q_cur,
+                   t, dt, gfac):
+        nd = self.ndof
+        U = u.reshape(self.n_node_pad, nd)
+        DU = du.reshape(self.n_node_pad, nd)
+        kes = []
+        for p, carry, conn, mask, st in zip(
+                self.programs, aux["carries"], aux["conns"],
+                aux["masks"], states):
+            ke = p._tangent(carry, U[conn], DU[conn], st, t, dt)
+            kes.append(ke * mask.reshape((-1,) + (1,) * (ke.ndim - 1)))
+        kes.extend(aux["exkes"])
+        B = gl - Q_cur
+        prof_d, cprof_d, amaps, ctx, pal_args, mass_d = sargs
+        dx, _cg = self._sfn(prof_d, cprof_d, amaps, ctx, tuple(kes), B,
+                            dinc, pal_args, mass_d, gfac)
+        du2 = du + dx
+        new_states, Q = self._update_all(aux, u, du2, states, t, dt)
+        Bres = gl - Q
+        mpc = ctx[4]
+        if mpc is not None:
+            # reduced-space residual (fstr_Update_NDForce_MPC analog)
+            from frontistr_tpu.assembly import extras as exmod
+            Bres = exmod.mpc_Tt(mpc, Bres)
+        Bres = Bres * aux["free"]
+        norms = jnp.sqrt(jnp.stack(
+            [jnp.vdot(Bres, Bres), jnp.vdot(Q, Q),
+             jnp.vdot(dx, dx), jnp.vdot(du2, du2)]))
+        return du2, new_states, Q, norms
+
+    # ---- public per-substep API ---------------------------------------
+    def qforce(self, u, du, states, t, dt):
+        return self._q0(self._aux, u, du, states, jnp.asarray(float(t)),
+                        jnp.asarray(float(dt)))
+
+    def iterate(self, u, du, states, gl, dinc, Q_cur, t, dt, gfac=0.0):
+        self.n_iters += 1
+        return self._iter(self._aux, self._sargs, u, du, states, gl,
+                          dinc, Q_cur, jnp.asarray(float(t)),
+                          jnp.asarray(float(dt)),
+                          jnp.asarray(float(gfac)))
+
+
+def _newton_substep_sharded(eng, model, programs, states, u, gl, dufix,
+                            step, ctime, tincr, gfac=0.0):
+    """Sharded twin of the _newton_substep iteration loop (no contact,
+    no follower loads): one host fetch per iteration (the four norms),
+    everything else stays on the mesh."""
+    up = eng.pad_vec(u)
+    glp = eng.pad_vec(gl)
+    dfp = eng.pad_vec(dufix)
+    zero = eng.zeros()
+    du = zero
+    states_cur = states
+    Q = eng.qforce(up, du, states_cur, ctime, tincr)
+    conv = False
+    iters = 0
+    for it in range(1, step.max_iter + 1):
+        iters = it
+        dinc = dfp if it == 1 else zero
+        du, states_cur, Q, norms = eng.iterate(
+            up, du, states_cur, glp, dinc, Q, ctime, tincr,
+            gfac if it == 1 else 0.0)
+        res_n, qnrm, xnrm, dunrm = (float(v) for v in np.asarray(norms))
+        if qnrm < 1e-8:
+            qnrm = 1.0
+        if it == 1:
+            dunrm = xnrm
+        rres = res_n / qnrm
+        rxnrm = xnrm / max(dunrm, 1e-300)
+        if os.environ.get("FRONTISTR_TPU_DEBUG_NEWTON"):
+            print(f" Newton it={it:3d}  rres={rres:.6e}  "
+                  f"rxnrm={rxnrm:.6e}  [sharded]")
+        if not model.nlgeom and _all_linear(programs):
+            conv = True
+            break
+        if rres < step.converg or rxnrm < step.converg:
+            conv = True
+            break
+        if rres > step.maxres:
+            return False, eng.unpad_vec(du), states_cur, iters, \
+                eng.unpad_vec(Q)
+    return conv, eng.unpad_vec(du), states_cur, iters, eng.unpad_vec(Q)
 
 
 def _load_group_universe(cfg):
@@ -1057,6 +1341,19 @@ def _assemble_loads_sel(model, cfg, sel, coords=None):
         if T is not None:
             f = f + thermal_load(model, T)
     return f
+
+
+def _maybe_engine(model, programs, solver, ex_kes_j, cm):
+    """Build the fully-sharded Newton engine when the sharded solver is
+    active and the deck qualifies (no contact — warned off earlier; no
+    follower loads, whose gl re-assembly is host-side per iteration)."""
+    if cm is not None or getattr(solver, "sharded_ctx", None) is None:
+        return None
+    if model.nlgeom and model.dload_grp is not None:
+        return None
+    eng = ShardedNewton(model, programs, solver, ex_kes_j)
+    solver.engine = eng
+    return eng
 
 
 @dataclasses.dataclass
@@ -1130,6 +1427,12 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
         cm = ContactManager(model.mesh, model, cfg)
         if not cm.active:
             cm = None
+    if cm is not None and model.mesh.equations:
+        print("### WARNING: !EQUATION constraints are not applied to "
+              "the contact solver arms; MPC ignored for this run")
+    engine = _maybe_engine(model, programs, solver, ex_kes_j, cm)
+    if engine is not None:
+        states = engine.pad_states(states)
     contact_solver = None
     slag = None
     if cm is not None:
@@ -1169,6 +1472,9 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
             solver = make_constrained_solver(model, dofs_j, nns, inc_j,
                                              total_en, free, mixed,
                                              nshard=nshard)
+            engine = _maybe_engine(model, programs, solver, ex_kes_j, cm)
+            if engine is not None:
+                states = engine.pad_states(states)
             if cm is not None:
                 if cm.algo == "SLAGRANGE" and not cm.has_friction:
                     contact_solver, slag = make_slag_contact_solver(
@@ -1290,14 +1596,18 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
             if restart_path and restart_freq > 0 and \
                     step_count % restart_freq == 0:
                 from frontistr_tpu.io.restart import save_restart
+                st_out = engine.unpad_states(states) \
+                    if engine is not None else states
                 save_restart(restart_path, dict(
                     u=np.asarray(u), t=np.asarray(t),
                     step_count=np.asarray(step_count),
                     states=[{k: np.asarray(v) for k, v in s.items()}
-                            for s in states]))
+                            for s in st_out]))
             if log_path is not None or result_writer is not None:
-                result = _postprocess(model, programs, states, u,
-                                      Q=Q_last)
+                result = _postprocess(
+                    model, programs,
+                    engine.unpad_states(states) if engine is not None
+                    else states, u, Q=Q_last)
                 if log_path is not None:
                     _append_log(log_path, model, result, step_count)
                 if result_writer is not None:
@@ -1322,7 +1632,10 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
                     dt = max(dt * ainc["Rs"], step.mindt)
 
     if result is None:
-        result = _postprocess(model, programs, states, u, Q=Q_last)
+        result = _postprocess(
+            model, programs,
+            engine.unpad_states(states) if engine is not None else states,
+            u, Q=Q_last)
         if log_path is not None:
             _append_log(log_path, model, result, max(step_count, 1))
     if sta_path:
@@ -1439,6 +1752,13 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
         if not fol_dev.ok:
             fol_dev = None
     f_base_j = jnp.asarray(model.f_base) if fol_dev is not None else None
+    eng = getattr(solve, "engine", None)
+    if eng is not None and cm is None and not follow:
+        # fully-sharded element pipeline: states arrive (and return)
+        # padded + element-sharded; u/gl/dufix are padded once here
+        return _newton_substep_sharded(eng, model, programs, states, u,
+                                       gl, dufix, step, ctime, tincr,
+                                       gfac=lam2 - lam1)
 
     def _follow_gl(u_now):
         if fol_dev is not None:
@@ -1544,7 +1864,8 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
             if solve is None:
                 solve = make_constrained_solver(model, dofs_j, nns, inc_j,
                                                 total_en, free, mixed)
-            dx = solve(tuple(kes), B, dirichlet_inc)
+            dx = solve(tuple(kes), B, dirichlet_inc,
+                       (lam2 - lam1) if it == 1 else 0.0)
         du = du + dx
         # stress/state update + internal force (one pass per block)
         new_states = []
@@ -1565,6 +1886,16 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
         Q = flat[idx].sum(axis=1).reshape(-1)
         Q_cur = Q
         Bres = (gl - Q) * free
+        if cm is None and getattr(solve, "has_mpc", False):
+            # !EQUATION: reduced-space residual so constraint-carrying
+            # forces cancel between dependent and master dofs
+            # (fstr_Update_NDForce_MPC)
+            from frontistr_tpu.assembly import extras as exmod
+            mpc_h = getattr(solve, "_mpc_h", None)
+            if mpc_h is None:
+                mpc_h = exmod.mpc_arrays(model.mesh, ndof, n)
+                solve._mpc_h = mpc_h
+            Bres = exmod.mpc_Tt(mpc_h, gl - Q) * free
         if cm is not None and slag is not None:
             # reduced-space residual (active set stays frozen; the
             # tension/penetration scan runs in the outer contact loop)

@@ -140,6 +140,107 @@ def test_sharded_nonlinear_newton_matches(monkeypatch):
                                atol=1e-9 * np.abs(u1).max())
 
 
+def test_sharded_element_pipeline_engine(monkeypatch):
+    """The fully-sharded element pipeline (ShardedNewton): (a) it is the
+    path actually taken under FRONTISTR_TPU_SHARDS, (b) NO full-model
+    array is device_put to a single device inside the Newton loop (only
+    at substep boundaries), (c) a path-dependent elastoplastic
+    multi-substep run still equals single-device bit-for-tolerance."""
+    import textwrap
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from frontistr_tpu.analysis import nonlinear as nl
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.meshgen import box_tet4
+
+    cnt_text = textwrap.dedent("""\
+        !VERSION
+         3
+        !SOLUTION, TYPE=NLSTATIC
+        !BOUNDARY
+         X0, 1, 3, 0.0
+        !CLOAD
+         X1, 3, -0.8
+        !MATERIAL, NAME=M1
+        !ELASTIC
+         1000.0, 0.3
+        !PLASTIC, YIELD=MISES, HARDEN=BILINEAR
+         5.0, 100.0
+        !STEP, SUBSTEPS=2
+         BOUNDARY, 1
+         LOAD, 1
+        !SOLVER, METHOD=CG, ITERLOG=NO, TIMELOG=NO
+         10000, 1
+         1.0e-10, 1.0, 0.0
+        !END
+    """)
+    with tempfile.NamedTemporaryFile("w", suffix=".cnt",
+                                     delete=False) as fh:
+        fh.write(cnt_text)
+        path = fh.name
+
+    def run():
+        cfg = read_cnt(path)
+        model = build_struct_model(box_tet4(3, 3, 3), cfg)
+        return np.asarray(nl.run_nonlinear_static(model).u), model
+
+    monkeypatch.delenv("FRONTISTR_TPU_SHARDS", raising=False)
+    u1, model1 = run()
+
+    engines = []
+    orig_engine = nl.ShardedNewton
+
+    class SpyEngine(orig_engine):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            engines.append(self)
+
+    monkeypatch.setattr(nl, "ShardedNewton", SpyEngine)
+
+    # transfer guard: record every device_put onto a SINGLE device of an
+    # array as large as the full dof vector
+    n_dofs = model1.n_dof_total
+    big_single_puts = []
+    orig_put = jax.device_put
+
+    def spy_put(x, device=None, **kw):
+        try:
+            from jax.sharding import SingleDeviceSharding
+            single = isinstance(device, SingleDeviceSharding) or \
+                (device is not None and not hasattr(device, "spec")
+                 and not isinstance(device, (list, tuple)))
+            if single and getattr(x, "size", 0) >= n_dofs:
+                big_single_puts.append(getattr(x, "shape", None))
+        except Exception:
+            pass
+        return orig_put(x, device=device, **kw)
+
+    monkeypatch.setattr(jax, "device_put", spy_put)
+    monkeypatch.setenv("FRONTISTR_TPU_SHARDS", "8")
+    u8, _ = run()
+    monkeypatch.setattr(jax, "device_put", orig_put)
+
+    assert len(engines) == 1, "sharded element pipeline was not engaged"
+    eng = engines[0]
+    # pad_vec runs exactly 3x per substep attempt (u, gl, dufix);
+    # unpad_vec exactly 2x (du, Q).  Any EXTRA single-device put of a
+    # full-dof array would mean a per-iteration round trip.
+    attempts = eng.pad_puts // 3
+    assert attempts >= 2 and eng.pad_puts == 3 * attempts
+    assert eng.n_iters > attempts, "Newton loop did not iterate"
+    assert len(big_single_puts) == 2 * attempts, (
+        "per-iteration device_put round trip detected",
+        len(big_single_puts), attempts)
+
+    assert np.abs(u1).max() > 1e-6
+    np.testing.assert_allclose(u8, u1, rtol=1e-7,
+                               atol=1e-9 * np.abs(u1).max())
+
+
 def test_sharded_heat_transient_matches(monkeypatch, tmp_path):
     """Transient heat under FRONTISTR_TPU_SHARDS equals single-device
     (sharded backward-Euler CG, _HeatSolver nshard arm)."""
