@@ -301,12 +301,23 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
 
     nns_t = tuple(nns)
 
+    # !EQUATION on dynamics decks: the same exact dependent-dof
+    # elimination as the static solvers, wrapped around the Newmark
+    # effective operator (reference: hecmw_mat_ass_equation applied
+    # before EVERY solve, middleware-level)
+    from frontistr_tpu.assembly import extras as exmod
+    mpc_a = exmod.mpc_arrays(model.mesh, ndof, n)
+    if mpc_a is not None and float(np.abs(np.asarray(
+            mpc_a["const"])).max()) > 0.0:
+        print("### WARNING: !EQUATION with nonzero CONST is enforced "
+              "homogeneously in dynamics (rate form)")
+
     @jax.jit
     def _solve_eff(ctx, kes, B, dirichlet_inc):
         """K_eff = c1 K + c2 M solve, compiled once for the whole run.
         Arrays ride through as pytree args (closure arrays would be
         inlined as module literals — remote-compile payload blowup)."""
-        dofs_a, inc_a, free, mass = ctx
+        dofs_a, inc_a, free, mass, mpc = ctx
         op = femop.FEOperator(list(kes), list(dofs_a), nns_t, inc_a,
                               total_en, model.n_node, ndof, free)
 
@@ -333,10 +344,17 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
             return jnp.einsum("nij,nj->ni", Dinv,
                               r.reshape(model.n_node, ndof)).reshape(-1)
 
-        return krylov.pcg(A_eff, b_c, M=M, tol=cfg.solver.resid,
-                          maxiter=cfg.solver.nier).x
+        A_cg = A_eff
+        if mpc is not None:
+            b_c = exmod.mpc_reduce_rhs(mpc, A_eff, b_c)
+            A_cg = exmod.mpc_wrap(mpc, A_eff)
+        x = krylov.pcg(A_cg, b_c, M=M, tol=cfg.solver.resid,
+                       maxiter=cfg.solver.nier).x
+        if mpc is not None:
+            x = exmod.mpc_recover(mpc, x)
+        return x
 
-    _ctx = (list(dofs_j), inc_j, free, mass)
+    _ctx = (list(dofs_j), inc_j, free, mass, mpc_a)
 
     # multi-chip Newmark: FRONTISTR_TPU_SHARDS=n routes the effective
     # solve c1 K + c2 M through the GSPMD-sharded cluster-ELL + AMG
@@ -369,6 +387,9 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
         cm = ContactManager(model.mesh, model, cfg)
         if not cm.active:
             cm = None
+        if cm is not None and mpc_a is not None:
+            print("### WARNING: !EQUATION constraints are not applied "
+                  "to the contact solver arms; MPC ignored for this run")
         elif cm.algo == "SLAGRANGE" and not cm.has_friction:
             contact_solver, slag = make_slag_contact_solver(
                 model, dofs_j, nns, inc_j, total_en, free,
@@ -380,7 +401,7 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
 
     @jax.jit
     def _matvec_k(ctx, kes, x):
-        dofs_a, inc_a, free_a, _ = ctx
+        dofs_a, inc_a, free_a = ctx[0], ctx[1], ctx[2]
         op = femop.FEOperator(list(kes), list(dofs_a), nns_t, inc_a,
                               total_en, model.n_node, ndof, free_a)
         return op.matvec(x)
@@ -466,6 +487,10 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
                     proj = cm.search(coords_def)
 
                 Bres = B
+                if cm is None and mpc_a is not None:
+                    # reduced-space convergence residual: constraint
+                    # forces cancel dependent-vs-master
+                    Bres = exmod.mpc_Tt(mpc_a, B)
                 cdofs_j = cke_j = None
                 if cm is not None and slag is None:
                     cdofs, cke, cqf, _, _ = cm.device_blocks(proj)
@@ -659,6 +684,9 @@ def _run_explicit(model: StructModel, log_path, coupler=None):
     if v_tr is not None or a_tr is not None:
         print("### WARNING: prescribed-rate !VELOCITY/!ACCELERATION not "
               "implemented for EXPLICIT dynamics; card IGNORED")
+    if model.mesh.equations:
+        print("### WARNING: !EQUATION not applied in EXPLICIT dynamics "
+              "(no solve to eliminate through); constraints IGNORED")
     if v_init is not None:
         vel = vel.at[jnp.asarray(v_init[0])].set(jnp.asarray(v_init[1]))
         disp3 = disp3 - dt * vel

@@ -71,15 +71,29 @@ def run_eigen(model: StructModel, log_path: Optional[str] = None):
         free_mask=jnp.asarray(k_active.astype(np.float64)))
     k_act = jnp.asarray(k_active.astype(np.float64))
 
+    # !EQUATION: dependent-dof elimination folded into the shift-invert
+    # apply — Lanczos then runs on the reduced pencil (T^t K T, T^t M T)
+    # with all vectors kept in range(T) (reference: middleware-level
+    # hecmw_mat_ass_equation before every solve)
+    from frontistr_tpu.assembly import extras as exmod
+    mpc_a = exmod.mpc_arrays(model.mesh, model.ndof, n)
+
     @jax.jit
-    def _shift_invert(op, mass_j, k_act, q):
+    def _shift_invert(op, mass_j, k_act, mpc, q):
         """w = K^{-1} (M q) on the Dirichlet-constrained system.  The
         operator rides through jit as a pytree arg (closure arrays are
         inlined as module literals — payload overflow at scale)."""
         b = (mass_j * q) * k_act
-        res = krylov.pcg(op.apply_constrained, b, M=op.block_jacobi(),
+        A = op.apply_constrained
+        if mpc is not None:
+            b = exmod.mpc_Tt(mpc, b)
+            A = exmod.mpc_wrap(mpc, op.apply_constrained)
+        res = krylov.pcg(A, b, M=op.block_jacobi(),
                          tol=1e-10, maxiter=model.cfg.solver.nier)
-        return res.x * k_act
+        x = res.x
+        if mpc is not None:
+            x = exmod.mpc_recover(mpc, x)
+        return x * k_act
 
     # multi-chip Lanczos: FRONTISTR_TPU_SHARDS routes each K^{-1}(M q)
     # apply through the GSPMD-sharded cluster-ELL + AMG solver (full
@@ -97,15 +111,19 @@ def run_eigen(model: StructModel, log_path: Optional[str] = None):
         _zero = jnp.zeros(n)
 
         def shift_invert(q):
+            # the sharded solver reduces/recovers MPC internally
             b = (mass_j * q) * k_act
             return _sh(_kes_t, b, _zero) * k_act
     else:
         def shift_invert(q):
-            return _shift_invert(op, mass_j, k_act, q)
+            return _shift_invert(op, mass_j, k_act, mpc_a, q)
 
     # --- Lanczos with full reorthogonalization (M-inner product) ----------
     rng = np.random.default_rng(0)
     q = act * jnp.asarray(rng.standard_normal(n))
+    if mpc_a is not None:
+        # seed inside the constraint subspace range(T)
+        q = exmod.mpc_recover(mpc_a, q) * act
     q = q / jnp.sqrt(jnp.vdot(mass_j * q, q))
     V = [q]
     alphas: List[float] = []

@@ -444,13 +444,20 @@ class _HeatSolver:
             self.dofs = dofs
         sv = model.cfg.solver
         nns_t = tuple(nns)
+        # !EQUATION on heat decks (temperature ties, ndof=1): the same
+        # exact elimination as the structural solvers
+        from frontistr_tpu.assembly import extras as exmod
+        mpc_a = exmod.mpc_arrays(model.mesh, 1, npn)
+        if mpc_a is not None and nshard:
+            mpc_a = {k: jax.device_put(v, row if k == "mask" else rep)
+                     for k, v in mpc_a.items()}
 
         # all arrays ride through the jit boundary as pytree ARGS
         # (closure arrays are inlined as module literals: payload
         # overflow on the remote-compile path at scale)
         @jax.jit
         def _solve(ctx, kes, f, dt_inv_C):
-            dofs_a, inc_a, free_j, u_fix_j = ctx
+            dofs_a, inc_a, free_j, u_fix_j, mpc = ctx
             op = femop.FEOperator(
                 kes=list(kes), dofs=list(dofs_a), nns=nns_t, inc=inc_a,
                 total_en=total_en, n_node=npn, ndof=1, free_mask=free_j)
@@ -466,14 +473,23 @@ class _HeatSolver:
             D = op.diag_blocks().reshape(-1) + dt_inv_C
             D = D * free_j ** 2
             D = jnp.where(D == 0, 1.0, D)
-            res = krylov.pcg(A, b_c, M=lambda r: r / D, tol=sv.resid,
+            A_cg = A
+            if mpc is not None:
+                # steady/transient ties: T_dep = sum c T_m + const holds
+                # every solve (factor 1 — temperatures are total, not
+                # incremental)
+                b_c = exmod.mpc_reduce_rhs(mpc, A, b_c, 1.0)
+                A_cg = exmod.mpc_wrap(mpc, A)
+            res = krylov.pcg(A_cg, b_c, M=lambda r: r / D, tol=sv.resid,
                              maxiter=max(sv.nier, 2000))
             x = res.x
+            if mpc is not None:
+                x = exmod.mpc_recover(mpc, x, 1.0)
             if cons is not None:
                 x = cons(x)[:n]
             return x
 
-        ctx = (list(dofs), self.inc, self.free, self.u_fix)
+        ctx = (list(dofs), self.inc, self.free, self.u_fix, mpc_a)
         if nshard:
             dev0 = jax.devices()[0]
             npad = npn - n

@@ -55,6 +55,64 @@ def collect_extras(model, grpid_filter=None):
     return conns, dofs, kes, nns
 
 
+def mpc_arrays(mesh, ndof: int, n_dof_total: int):
+    """!EQUATION elimination tables in pytree-argument form for jitted
+    solvers (None when the mesh has no equations).
+
+    The traced helpers below (mpc_T/mpc_Tt/mpc_wrap/mpc_reduce_rhs/
+    mpc_recover) are the stateless twins of MPCEliminator — every array
+    rides through the jit boundary as an argument, so the same code path
+    works single-device and GSPMD-sharded.  n_dof_total may be PADDED
+    (sharded solvers): dof indices are in real numbering, padded rows are
+    never dependent (mask = 1 there)."""
+    elim = MPCEliminator(mesh, ndof, n_dof_total)
+    if not elim.active:
+        return None
+    import jax.numpy as jnp
+    mask = np.ones(n_dof_total)
+    mask[np.asarray(elim.dep)] = 0.0
+    return dict(dep=elim.dep, mast=elim.mast, coef=elim.coef,
+                const=elim.const, mask=jnp.asarray(mask))
+
+
+def mpc_T(m, x):
+    """Expand: set dependent dofs from masters (u = T u_r)."""
+    vals = (m["coef"].astype(x.dtype) * x[m["mast"]]).sum(axis=1)
+    return x.at[m["dep"]].set(vals)
+
+
+def mpc_Tt(m, y):
+    """Reduce: accumulate dependent rows into masters, zero them."""
+    add = m["coef"].astype(y.dtype) * y[m["dep"]][:, None]
+    y = y.at[m["mast"].reshape(-1)].add(add.reshape(-1))
+    return y * m["mask"].astype(y.dtype)
+
+
+def mpc_g(m, x_like, factor):
+    import jax.numpy as jnp
+    g = jnp.zeros_like(x_like)
+    return g.at[m["dep"]].set(m["const"].astype(g.dtype) * factor)
+
+
+def mpc_wrap(m, A):
+    """A_r(x) = T^T A T (x masked) + identity on dependent dofs."""
+    if m is None:
+        return A
+
+    def apply(x):
+        mask = m["mask"].astype(x.dtype)
+        return mpc_Tt(m, A(mpc_T(m, x * mask))) + x * (1.0 - mask)
+    return apply
+
+
+def mpc_reduce_rhs(m, A, b, factor=0.0):
+    return mpc_Tt(m, b - A(mpc_g(m, b, factor)))
+
+
+def mpc_recover(m, x, factor=0.0):
+    return mpc_T(m, x * m["mask"].astype(x.dtype)) + mpc_g(m, x, factor)
+
+
 class MPCEliminator:
     """!EQUATION handling by dependent-dof elimination:
         u = T u_r + g,   K_r = T^T K T,   b_r = T^T (b - K g)
@@ -69,6 +127,11 @@ class MPCEliminator:
         maxm = 1
         for eq in mesh.equations:
             if len(eq.nodes) == 0:
+                continue
+            if int(np.max(eq.dofs)) > ndof:
+                # e.g. structural-dof equations on a heat (ndof=1) run
+                print("### WARNING: !EQUATION references dof "
+                      f"{int(np.max(eq.dofs))} > ndof {ndof}; skipped")
                 continue
             d0 = int(eq.nodes[0]) * ndof + int(eq.dofs[0]) - 1
             c0 = float(eq.coefs[0])

@@ -31,18 +31,62 @@ def test_spring_boundary_golden():
     assert not errs, "; ".join(errs)
 
 
-def test_mpc_ties_dofs():
-    """A bar split into two disconnected halves tied by !EQUATION behaves
-    like the continuous bar."""
+def _split_tied_box(nx=2, ny=1, nz=1, lx=2.0, xcut=1.0, ndofs=(1, 2, 3)):
+    """(mesh_continuous, mesh_split_tied, nn0): the split mesh duplicates
+    the x=xcut interface nodes and ties them back with 1:-1 !EQUATIONs —
+    the reduced system T^t K T is then EXACTLY the continuous system."""
     from frontistr_tpu.meshgen import box_hex8
     from frontistr_tpu.io.meshio import Equation
+
+    mesh_ref = box_hex8(nx, ny, nz, lx=lx)
+    mesh2 = box_hex8(nx, ny, nz, lx=lx)
+    nn0 = mesh2.n_node
+    mid = mesh2.node_groups["ALL"][np.isclose(mesh2.coords[:, 0], xcut)]
+    dup_map = {}
+    new_coords = [mesh2.coords]
+    for k, nidx in enumerate(mid):
+        dup_map[int(nidx)] = nn0 + k
+        new_coords.append(mesh2.coords[nidx][None])
+    mesh2.coords = np.concatenate(new_coords, axis=0)
+    mesh2.node_ids = np.arange(1, len(mesh2.coords) + 1)
+    mesh2.id2idx = {int(i): int(i) - 1 for i in mesh2.node_ids}
+    blk = mesh2.blocks[0]
+    conn = blk.conn.copy()
+    for e in range(conn.shape[0]):
+        xc = mesh2.coords[conn[e]][:, 0]
+        if xc.mean() > xcut:
+            for a in range(conn.shape[1]):
+                if int(conn[e, a]) in dup_map and \
+                        np.isclose(mesh2.coords[conn[e, a], 0], xcut):
+                    conn[e, a] = dup_map[int(conn[e, a])]
+    blk.conn = conn
+    blk.conn_hecmw = conn
+    mesh2.node_groups["ALL"] = np.arange(len(mesh2.coords))
+    eqs = []
+    for orig, dup in dup_map.items():
+        for d in ndofs:
+            eqs.append(Equation(np.asarray([dup, orig]),
+                                np.asarray([d, d]),
+                                np.asarray([1.0, -1.0]), 0.0))
+    mesh2.equations = eqs
+    return mesh_ref, mesh2, nn0
+
+
+def _write_cnt(tmp, text):
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".cnt",
+                                     delete=False) as f:
+        f.write(text)
+        return f.name
+
+
+def test_mpc_ties_dofs():
+    """A bar split into two disconnected halves tied by !EQUATION behaves
+    like the continuous bar (linear-static elimination path)."""
     from frontistr_tpu.io.ctrlio import read_cnt
     from frontistr_tpu.assembly.model import build_struct_model
     from frontistr_tpu.analysis.static import run_linear_static
-    import tempfile
 
-    # continuous reference: 2x1x1 bar
-    mesh_ref = box_hex8(2, 1, 1, lx=2.0)
     cnt = """!VERSION
  3
 !SOLUTION, TYPE=STATIC
@@ -55,49 +99,163 @@ def test_mpc_ties_dofs():
  1.0e-10, 1.0, 0.0
 !END
 """
-    with tempfile.NamedTemporaryFile("w", suffix=".cnt",
-                                     delete=False) as f:
-        f.write(cnt)
-        p = f.name
+    p = _write_cnt(None, cnt)
     cfg = read_cnt(p)
     os.unlink(p)
+    mesh_ref, mesh2, nn0 = _split_tied_box()
     ref = run_linear_static(build_struct_model(mesh_ref, cfg))
-
-    # split mesh: duplicate the interface nodes, tie with equations
-    mesh2 = box_hex8(2, 1, 1, lx=2.0)
-    nn0 = mesh2.n_node
-    mid = mesh2.node_groups["ALL"][
-        np.isclose(mesh2.coords[:, 0], 1.0)]
-    dup_map = {}
-    new_coords = [mesh2.coords]
-    for k, nidx in enumerate(mid):
-        dup_map[int(nidx)] = nn0 + k
-        new_coords.append(mesh2.coords[nidx][None])
-    mesh2.coords = np.concatenate(new_coords, axis=0)
-    mesh2.node_ids = np.arange(1, len(mesh2.coords) + 1)
-    mesh2.id2idx = {int(i): int(i) - 1 for i in mesh2.node_ids}
-    blk = mesh2.blocks[0]
-    conn = blk.conn.copy()
-    # second element (x in [1,2]) uses duplicated interface nodes
-    for e in range(conn.shape[0]):
-        xc = mesh2.coords[conn[e]][:, 0]
-        if xc.mean() > 1.0:
-            for a in range(conn.shape[1]):
-                if int(conn[e, a]) in dup_map and \
-                        np.isclose(mesh2.coords[conn[e, a], 0], 1.0):
-                    conn[e, a] = dup_map[int(conn[e, a])]
-    blk.conn = conn
-    blk.conn_hecmw = conn
-    mesh2.node_groups["ALL"] = np.arange(len(mesh2.coords))
-    eqs = []
-    for orig, dup in dup_map.items():
-        for d in (1, 2, 3):
-            eqs.append(Equation(np.asarray([dup, orig]),
-                                np.asarray([d, d]),
-                                np.asarray([1.0, -1.0]), 0.0))
-    mesh2.equations = eqs
     res = run_linear_static(build_struct_model(mesh2, cfg))
     np.testing.assert_allclose(res.u[:nn0], ref.u, rtol=1e-7, atol=1e-12)
+
+
+def test_mpc_nonlinear_and_sharded(monkeypatch):
+    """!EQUATION through the NONLINEAR driver (VERDICT r3 #3): the tied
+    split bar under NLGEOM matches the continuous bar, single-device AND
+    GSPMD-sharded (the elimination rides inside the jitted solve)."""
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
+
+    cnt = """!VERSION
+ 3
+!SOLUTION, TYPE=NLSTATIC
+!STATIC, TYPE=NLGEOM
+!BOUNDARY
+ X0, 1, 3, 0.0
+!CLOAD
+ X1, 1, 0.5
+!MATERIAL, NAME=M1
+!ELASTIC
+ 1000.0, 0.3
+!STEP, SUBSTEPS=2
+ BOUNDARY, 1
+ LOAD, 1
+!SOLVER,METHOD=CG,ITERLOG=NO,TIMELOG=NO
+ 10000, 1
+ 1.0e-10, 1.0, 0.0
+!END
+"""
+    p = _write_cnt(None, cnt)
+    cfg = read_cnt(p)
+    mesh_ref, mesh2, nn0 = _split_tied_box(nx=2, ny=2, nz=2)
+
+    monkeypatch.delenv("FRONTISTR_TPU_SHARDS", raising=False)
+    ref = run_nonlinear_static(build_struct_model(mesh_ref,
+                                                  read_cnt(p)))
+    res = run_nonlinear_static(build_struct_model(mesh2, read_cnt(p)))
+    assert np.abs(ref.u).max() > 1e-6
+    np.testing.assert_allclose(res.u[:nn0], ref.u, rtol=1e-6,
+                               atol=1e-10 * np.abs(ref.u).max())
+
+    monkeypatch.setenv("FRONTISTR_TPU_SHARDS", "8")
+    res8 = run_nonlinear_static(build_struct_model(mesh2, read_cnt(p)))
+    os.unlink(p)
+    np.testing.assert_allclose(res8.u[:nn0], ref.u, rtol=1e-6,
+                               atol=1e-10 * np.abs(ref.u).max())
+
+
+def test_mpc_dynamic(monkeypatch):
+    """!EQUATION through the IMPLICIT DYNAMICS driver: tied split bar
+    under Newmark matches the continuous bar step for step."""
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.dynamic import run_dynamic
+
+    cnt = """!VERSION
+ 3
+!SOLUTION, TYPE=DYNAMIC
+!DYNAMIC
+ 1, 1
+ 0.0, 0.03, 3, 0.01
+ 0.5, 0.25
+ 1, 1, 0.5, 0.0
+ 10
+!BOUNDARY, GRPID=1
+ X0, 1, 3, 0.0
+!CLOAD, GRPID=1
+ X1, 1, 1.5
+!STEP, SUBSTEPS=1, CONVERG=1.0e-8
+ BOUNDARY, 1
+ LOAD, 1
+!MATERIAL, NAME=M1
+!ELASTIC
+ 500.0, 0.3
+!DENSITY
+ 2.0
+!SOLVER,METHOD=CG,PRECOND=1,ITERLOG=NO,TIMELOG=NO
+ 10000, 1
+ 1.0e-12, 1.0, 0.0
+!END
+"""
+    p = _write_cnt(None, cnt)
+    monkeypatch.delenv("FRONTISTR_TPU_SHARDS", raising=False)
+    mesh_ref, mesh2, nn0 = _split_tied_box(nx=2, ny=2, nz=2)
+    ref = run_dynamic(build_struct_model(mesh_ref, read_cnt(p)))
+    res = run_dynamic(build_struct_model(mesh2, read_cnt(p)))
+    os.unlink(p)
+    u_ref = np.asarray(ref.u).reshape(-1, 3)
+    u_res = np.asarray(res.u).reshape(-1, 3)[:nn0]
+    assert np.abs(u_ref).max() > 1e-8
+    np.testing.assert_allclose(u_res, u_ref, rtol=1e-6,
+                               atol=1e-9 * np.abs(u_ref).max())
+
+
+def test_mpc_eigen():
+    """!EQUATION through the EIGEN driver: tied split bar frequencies
+    match the continuous bar."""
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.eigen import run_eigen
+
+    cnt = """!VERSION
+ 3
+!SOLUTION, TYPE=EIGEN
+!EIGEN
+ 3, 1.0e-10, 60
+!BOUNDARY
+ X0, 1, 3, 0.0
+!MATERIAL, NAME=M1
+!ELASTIC
+ 1000.0, 0.3
+!DENSITY
+ 1.0
+!SOLVER,METHOD=CG,ITERLOG=NO,TIMELOG=NO
+ 10000, 1
+ 1.0e-10, 1.0, 0.0
+!END
+"""
+    p = _write_cnt(None, cnt)
+    mesh_ref, mesh2, nn0 = _split_tied_box(nx=2, ny=2, nz=2)
+    ref = run_eigen(build_struct_model(mesh_ref, read_cnt(p)))
+    res = run_eigen(build_struct_model(mesh2, read_cnt(p)))
+    os.unlink(p)
+    np.testing.assert_allclose(res.freq, ref.freq, rtol=1e-5)
+
+
+def test_mpc_heat(tmp_path):
+    """!EQUATION through the HEAT driver: tied split bar transient
+    temperatures match the continuous bar."""
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.analysis.heat import run_heat
+
+    cnt = tmp_path / "h.cnt"
+    cnt.write_text(
+        "!VERSION\n 3\n!SOLUTION, TYPE=HEAT\n"
+        "!HEAT\n 0.1, 0.5\n"
+        "!FIXTEMP\n X0, 100.0\n"
+        "!CFLUX\n X1, 5.0\n"
+        "!SOLVER, METHOD=CG\n 10000, 1\n 1.0e-10, 1.0, 0.0\n!END\n")
+    mesh_ref, mesh2, nn0 = _split_tied_box(nx=2, ny=2, nz=2, ndofs=(1,))
+    for m in (mesh_ref, mesh2):
+        m.materials["M1"].items[1] = [[7.85e-6]]
+        m.materials["M1"].items[2] = [[4.61e2]]
+        m.materials["M1"].items[3] = [[5.0e1]]
+    cfg = read_cnt(str(cnt))
+    T_ref = run_heat(mesh_ref, cfg, str(tmp_path)).T
+    T_res = run_heat(mesh2, read_cnt(str(cnt)), str(tmp_path)).T
+    assert np.abs(T_ref).max() > 1.0
+    np.testing.assert_allclose(np.asarray(T_res)[:nn0],
+                               np.asarray(T_ref), rtol=1e-6)
 
 
 def test_spring_stiffness_analytic():
