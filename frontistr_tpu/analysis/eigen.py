@@ -37,7 +37,10 @@ class EigenResult:
     iters: int
 
 
-def run_eigen(model: StructModel, log_path: Optional[str] = None):
+def run_eigen(model: StructModel, log_path: Optional[str] = None,
+              kes=None, log_append: bool = False):
+    """kes overrides the element stiffness (STATICEIGEN passes the
+    tangent about the converged deformed state)."""
     cfg = model.cfg
     ec = cfg.eigen
     nget = ec.nget if ec else 5
@@ -45,7 +48,8 @@ def run_eigen(model: StructModel, log_path: Optional[str] = None):
     maxiter = ec.maxiter if ec else 60
 
     n = model.n_dof_total
-    kes = compute_element_stiffness(model)
+    if kes is None:
+        kes = compute_element_stiffness(model)
     inc, total_en = femop.build_incidence([b.conn for b in model.blocks],
                                           model.n_node)
     free = old_ops.make_free_mask(n, model.fixed_dofs)
@@ -187,14 +191,15 @@ def run_eigen(model: StructModel, log_path: Optional[str] = None):
         freq=np.sqrt(np.abs(lam)) / (2 * np.pi), eigenvectors=phi,
         partfactor=pf, effmass=em, total_mass=total_mass, iters=it_used)
     if log_path:
-        write_eigen_log(log_path, res, ndof)
+        write_eigen_log(log_path, res, ndof, append=log_append)
     return res
 
 
-def write_eigen_log(path: str, res: EigenResult, ndof: int):
+def write_eigen_log(path: str, res: EigenResult, ndof: int,
+                    append: bool = False):
     """RESULT OF EIGEN VALUE ANALYSIS block (EGLIST format,
     fstr_EIG_output.f90)."""
-    with open(path, "w") as f:
+    with open(path, "a" if append else "w") as f:
         f.write(" fstr_setup: OK\n \n")
         f.write("********************************\n")
         f.write("*RESULT OF EIGEN VALUE ANALYSIS*\n")

@@ -86,10 +86,27 @@ def run_frequency(model: StructModel, f_start: float, f_end: float,
 
 
 def run_static_eigen(model: StructModel, log_path=None):
-    """!SOLUTION TYPE=STATICEIGEN: nonlinear static then eigen about the
-    deformed state (fstr_main kstSTATICEIGEN path)."""
-    from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
+    """!SOLUTION TYPE=STATICEIGEN (fstr_static_eigen_analysis): nonlinear
+    static, then Lanczos on the TANGENT stiffness about the converged
+    deformed state (fstr_solve_eigen after NLGEOM re-runs
+    fstr_StiffMatrix at the converged displacement).
+
+    The gauss state is re-integrated from zero in one pass at the
+    converged u — exact for elastic/hyperelastic (path-independent)
+    tangents; path-dependent (plastic) states use the single-pass
+    approximation."""
+    import jax.numpy as jnp
+    from frontistr_tpu.analysis import nonlinear as nl
     from frontistr_tpu.analysis.eigen import run_eigen
-    static_res = run_nonlinear_static(model, log_path=log_path)
-    eig = run_eigen(model)
+    static_res = nl.run_nonlinear_static(model, log_path=log_path)
+    u = jnp.asarray(np.asarray(static_res.u).reshape(-1))
+    programs = [nl.BlockPrograms(model, b) for b in model.blocks]
+    states = [nl.init_block_state(b, p.table)
+              for b, p in zip(model.blocks, programs)]
+    kes = []
+    for p, s in zip(programs, states):
+        u_e = u.reshape(model.n_node, model.ndof)[p.block.conn]
+        s2, _ = p.update(u_e * 0.0, u_e, s, 0.0, 0.0)
+        kes.append(np.asarray(p.tangent(u_e, u_e * 0.0, s2, 0.0, 0.0)))
+    eig = run_eigen(model, log_path=log_path, kes=kes, log_append=True)
     return static_res, eig

@@ -86,3 +86,46 @@ def precheck(mesh, dim=None) -> PrecheckReport:
         max_a = max(max_a, float(aspect.max()))
         ndeg += deg
     return PrecheckReport(total_v, min_v, min_j, max_a, ndeg, per_block)
+
+
+def nzprof(mesh, workdir: str, rank: int = 0) -> dict:
+    """!SOLUTION TYPE=NZPROF: dump the node-graph nonzero profile as
+    nonzero.dat.<rank> (i j pairs, both triangles) plus a gnuplot script
+    nonzero.plt.<rank> (hecmw_nonzero_profile,
+    fistr1/src/common/fstr_precheck.f90:47 + the writer below it)."""
+    import os
+
+    n = mesh.n_node
+    pairs = set()
+    for b in mesh.blocks:
+        conn = np.asarray(b.conn)
+        nn = conn.shape[1]
+        for a in range(nn):
+            for c in range(a + 1, nn):
+                lo = np.minimum(conn[:, a], conn[:, c])
+                hi = np.maximum(conn[:, a], conn[:, c])
+                for i, j in zip(lo.tolist(), hi.tolist()):
+                    if i != j:
+                        pairs.add((i, j))
+    fid = f"{rank:03d}"
+    dat = os.path.join(workdir, f"nonzero.dat.{fid}")
+    with open(dat, "w") as fh:
+        for i in range(1, n + 1):
+            fh.write(f"{i}  {i}\n")
+        for (i, j) in sorted(pairs):
+            fh.write(f"{i + 1}  {j + 1}\n")
+            fh.write(f"{j + 1}  {i + 1}\n")
+    nnz = n + 2 * len(pairs)
+    dens = 100.0 * nnz / max(float(n) * n, 1.0)
+    rnum = (7.21 + 0.01 * np.log10(max(n, 1))) * 10.0 / max(n, 1)
+    plt = os.path.join(workdir, f"nonzero.plt.{fid}")
+    with open(plt, "w") as fh:
+        fh.write("set terminal png size 1500,1500\n")
+        fh.write("unset key\nunset xtics\nunset ytics\n")
+        fh.write("set size ratio 1.0\nset border lw 1.0\n")
+        fh.write(f"set xrange[0.5:{n}.5]\n")
+        fh.write(f"set yrange[0.5:{n}.5] reverse \n")
+        fh.write(f'set out "image.{fid}.png"\n')
+        fh.write(f'plot "nonzero.dat.{fid}" pointtype 5 pointsize '
+                 f"{rnum:12.5f} linecolor rgb \"#F96566\"\n")
+    return dict(n=n, nnz=nnz, density_pct=dens, dat=dat, plt=plt)

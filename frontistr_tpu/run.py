@@ -203,6 +203,36 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
             model = build_struct_model(mesh, cfg)
             out["dynamic"] = run_dynamic(model, log_path=log_path, **rkw)
             out["model"] = model
+    elif sol == "STATICEIGEN":
+        # fstr_main kstSTATICEIGEN (fistr_main.f90:84-85): nonlinear
+        # static, then Lanczos about the deformed tangent; EGLIST block
+        # appended to the same 0.log
+        from frontistr_tpu.assembly.model import build_struct_model
+        from frontistr_tpu.analysis.freq import run_static_eigen
+        model = build_struct_model(mesh, cfg)
+        res, eig = run_static_eigen(model, log_path=log_path)
+        out["static"] = res
+        out["eigen"] = eig
+        out["model"] = model
+    elif sol in ("ELEMCHECK", "PRECHECK", "NZPROF"):
+        # fstr_main kstPRECHECK/kstNZPROF (fistr_main.f90:86 ->
+        # fstr_precheck.f90): element quality summary; NZPROF also dumps
+        # the node-graph nonzero profile + gnuplot script
+        from frontistr_tpu.precheck import precheck, nzprof
+        rep = precheck(mesh)
+        out["precheck"] = rep
+        print(" ****   STAGE PreCheck  **")
+        print(rep.summary())
+        with open(log_path, "w") as fh:
+            fh.write(" ****   STAGE PreCheck  **\n")
+            fh.write(rep.summary() + "\n")
+        if sol == "NZPROF":
+            prof = nzprof(mesh, workdir)
+            out["nzprof"] = prof
+            print(f" ### nonzero profile: N={prof['n']} "
+                  f"NNZ={prof['nnz']} density={prof['density_pct']:.3e}%")
+            print(' ### Command recommendation')
+            print(f' gnuplot -persist "{os.path.basename(prof["plt"])}"')
     else:
         raise NotImplementedError(f"solution type {sol}")
 
