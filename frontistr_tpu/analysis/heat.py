@@ -45,6 +45,9 @@ class HeatBlock:
     cond_table: np.ndarray      # (n, 2) (value, temp) rows
     rho_table: np.ndarray
     cp_table: np.ndarray
+    # interface element (541): (thick, hh, rr1, rr2) from
+    # !SECTION TYPE=INTERFACE; None for volume elements
+    iface: Optional[tuple] = None
 
 
 @dataclasses.dataclass
@@ -110,11 +113,23 @@ def build_heat_model(mesh: Mesh, cfg: AnalysisConfig) -> HeatModel:
     dim = max(ETYPE_INFO[b.etype][0] for b in mesh.blocks
               if b.etype in ETYPE_INFO)
     for b in mesh.blocks:
-        if b.etype not in ETYPE_INFO:
-            continue
         sec = mesh.sections[b.section_id] if mesh.sections else None
         md = mesh.materials.get(sec.material) if sec else None
         thick = sec.values[0] if sec and sec.values else 1.0
+        if b.etype == 541:
+            # gap/interface element: !SECTION TYPE=INTERFACE carries
+            # (thickness, conductance, rr1, rr2)
+            # (heat_mat_ass_conductivity.f90:123-129)
+            v = list(sec.values) + [0.0] * 4 if sec else [1.0, 0.0, 0, 0]
+            blocks.append(HeatBlock(
+                b.etype, b.elem_ids, b.conn, v[0],
+                cond_table=_mat_table(md, 3),
+                rho_table=_mat_table(md, 1),
+                cp_table=_mat_table(md, 2),
+                iface=(v[0], v[1], v[2], v[3])))
+            continue
+        if b.etype not in ETYPE_INFO:
+            continue
         blocks.append(HeatBlock(
             b.etype, b.elem_ids, b.conn, thick,
             cond_table=_mat_table(md, 3),
@@ -358,6 +373,44 @@ def conduct_ke(table, coords_e, T_e, cond_table, thick, dim):
     return jnp.einsum("eqnj,eqmj,eq->enm", gderiv, gderiv, wdet)
 
 
+def interface_ke_541(coords_e, T_e, tzero, thick, hh, rr1, rr2):
+    """8-node gap interface conductance (heat_THERMAL_541,
+    heat_LIB_THERMAL.f90:902-1007): nodes 1-4 / 5-8 are the paired quad
+    faces; coupling = gap conductance hh/thick plus radiation linearized
+    about the current absolute temperatures (T - tzero, tzero = !ZERO),
+    with face areas SA/SB by 2x2 Gauss (heat_get_area)."""
+    dt = coords_e.dtype
+    qt = get_table(241)
+
+    def _qarea(fc):
+        a = jnp.zeros(fc.shape[0], dt)
+        for q in range(qt.nq):
+            g = jnp.einsum("end,nf->edf", fc, jnp.asarray(qt.dN[q], dt))
+            a = a + jnp.asarray(qt.weights[q], dt) * jnp.linalg.norm(
+                jnp.cross(g[:, :, 0], g[:, :, 1], axis=1), axis=1)
+        return a
+
+    SA = _qarea(coords_e[:, :4])
+    SB = _qarea(coords_e[:, 4:])
+    tz = T_e - tzero
+    r1 = rr1 ** 0.25
+    r2 = rr2 ** 0.25
+    ta, tb = tz[:, :4], tz[:, 4:]
+    common = ((r1 * ta) ** 2 + (r2 * tb) ** 2) * (r1 * ta + r2 * tb)
+    HA = common * r1
+    HB = common * r2
+    HHH = hh / thick
+    E = coords_e.shape[0]
+    K = jnp.zeros((E, 8, 8), dt)
+    i = jnp.arange(4)
+    K = K.at[:, i, i].set((HHH + HA) * SA[:, None] * 0.25)
+    K = K.at[:, i + 4, i + 4].set((HHH + HB) * SB[:, None] * 0.25)
+    off = -(HHH + 0.5 * (HA + HB)) * (0.5 * (SA + SB))[:, None] * 0.25
+    K = K.at[:, i, i + 4].set(off)
+    K = K.at[:, i + 4, i].set(off)
+    return K
+
+
 def lumped_capacity(table, coords_e, T_e, rho_table, cp_table, thick, dim):
     """Lumped capacity diag: int rho(T) c(T) N_i dV (heat_LIB_CAPACITY)."""
     dt = coords_e.dtype
@@ -510,9 +563,15 @@ class _HeatSolver:
         n = model.n_node
         kes = []
         for b in model.blocks:
-            table = get_table(b.etype)
             coords_e = jnp.asarray(model.coords[b.conn])
             T_e = T[jnp.asarray(b.conn)]
+            if b.iface is not None:
+                th, hh, rr1, rr2 = b.iface
+                kes.append(interface_ke_541(coords_e, T_e,
+                                            model.zero_temp, th, hh,
+                                            rr1, rr2))
+                continue
+            table = get_table(b.etype)
             kes.append(conduct_ke(table, coords_e, T_e, b.cond_table,
                                   b.thick, model.dim))
         f = jnp.asarray(model.f_const)
@@ -632,6 +691,8 @@ def run_heat(mesh: Mesh, cfg: AnalysisConfig, workdir: str,
             # lumped capacity at current T
             C = jnp.zeros(n)
             for b in model.blocks:
+                if b.iface is not None:
+                    continue          # gap interfaces carry no capacity
                 table = get_table(b.etype)
                 coords_e = jnp.asarray(model.coords[b.conn])
                 T_e = T[jnp.asarray(b.conn)]

@@ -508,6 +508,10 @@ def read_cnt(path: str) -> AnalysisConfig:
             cfg.eigen = e
         elif n == "DYNAMIC":
             d = DynamicConfig()
+            # '!DYNAMIC, TYPE=NONLINEAR' switches the run to finite
+            # strain (fstr_ctrl_dynamic.f90:131-134: nlgeom=(nlflag==2))
+            if (c.param("TYPE") or "").upper() == "NONLINEAR":
+                cfg.nlgeom = True
             rows = c.data
             if rows:
                 r = [float(v) for v in rows[0]]

@@ -50,6 +50,7 @@ _CASES = [
     ("exQ", "Q231", "Q230.cnt"),   # FILM
     ("exR", "R231", "R230.cnt"),   # RADIATE
     ("exS", "S231", "S.cnt"),      # body heat generation
+    ("exT", "T541", "T.cnt"),      # 541 gap interface elements
 ]
 
 
@@ -81,3 +82,21 @@ def test_heat_transient_smoke():
     assert res.steps == 10
     assert np.isfinite(res.T).all()
     assert res.T.max() > 100.0  # DFLUX heats the XMIN side above FIXTEMP
+
+
+@requires_reference
+@pytest.mark.parametrize("name", ["V361", "V342"])
+def test_heat_exv_transient_smoke(name):
+    """exV goldens record only the step cadence (no temperatures); run a
+    shortened transient and check the same physics as exU."""
+    from frontistr_tpu.io.meshio import read_mesh
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.analysis.heat import run_heat
+    d = os.path.join(HEAT, "exV")
+    mesh = read_mesh(os.path.join(d, name + ".msh"))
+    cfg = read_cnt(os.path.join(d, name + ".cnt"))
+    cfg.heat.total_time = cfg.heat.fixed_dt * 5
+    res = run_heat(mesh, cfg, d)
+    assert res.steps == 5
+    assert np.isfinite(res.T).all()
+    assert res.T.max() > 100.0   # DFLUX side heats above the FIXTEMP 100
