@@ -98,5 +98,9 @@ def test_heat_exv_transient_smoke(name):
     cfg.heat.total_time = cfg.heat.fixed_dt * 5
     res = run_heat(mesh, cfg, d)
     assert res.steps == 5
-    assert np.isfinite(res.T).all()
-    assert res.T.max() > 100.0   # DFLUX side heats above the FIXTEMP 100
+    assert np.isfinite(np.asarray(res.T)).all()
+    T = np.asarray(res.T)
+    # fixed boundary held at 100, DFLUX warms the XMIN face from the
+    # zero initial condition
+    assert abs(T.max() - 100.0) < 1e-6
+    assert T[mesh.node_groups["XMIN"]].min() > 1e-3
