@@ -411,8 +411,15 @@ def interface_ke_541(coords_e, T_e, tzero, thick, hh, rr1, rr2):
     return K
 
 
-def lumped_capacity(table, coords_e, T_e, rho_table, cp_table, thick, dim):
-    """Lumped capacity diag: int rho(T) c(T) N_i dV (heat_LIB_CAPACITY)."""
+def lumped_capacity(table, coords_e, T_e, rho_table, cp_table, thick, dim,
+                    hrz=False):
+    """Lumped capacity diag: int rho(T) c(T) N_i dV (heat_LIB_CAPACITY).
+
+    hrz=True uses HRZ lumping — the consistent diagonal int N_i^2 scaled
+    by total/diagonal mass, S0(J) = M_JJ*(2*TOTM-TOTD)/TOTD in
+    heat_CAPACITY_342 etc. — which the reference applies to the
+    SECOND-order etypes, whose row-sum corner integrals go negative
+    (negative lumped capacity = unstable transient)."""
     dt = coords_e.dtype
     dN = jnp.asarray(table.dN, dt)
     det, _ = jacobians(dN, coords_e)
@@ -423,6 +430,10 @@ def lumped_capacity(table, coords_e, T_e, rho_table, cp_table, thick, dim):
     rc = _interp(rho_table, Tq) * _interp(cp_table, Tq)
     scale = thick if dim == 2 else 1.0
     wdet = (w * scale)[None, :] * det * rc
+    if hrz:
+        diag = jnp.einsum("qn,eq->en", N * N, wdet)
+        tot = wdet.sum(axis=1)
+        return diag * (tot / diag.sum(axis=1))[:, None]
     return jnp.einsum("qn,eq->en", N, wdet)
 
 
@@ -697,7 +708,9 @@ def run_heat(mesh: Mesh, cfg: AnalysisConfig, workdir: str,
                 coords_e = jnp.asarray(model.coords[b.conn])
                 T_e = T[jnp.asarray(b.conn)]
                 ce = lumped_capacity(table, coords_e, T_e, b.rho_table,
-                                     b.cp_table, b.thick, model.dim)
+                                     b.cp_table, b.thick, model.dim,
+                                     hrz=b.etype in (232, 242, 342,
+                                                     352, 362))
                 C = C.at[jnp.asarray(b.conn).reshape(-1)].add(
                     ce.reshape(-1))
             dt_inv_C = C / dt_cur

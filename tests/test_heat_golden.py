@@ -104,4 +104,5 @@ def test_heat_exv_transient_smoke(name):
     # zero initial condition
     assert abs(T.max() - 100.0) < 1e-6
     xmin_nodes = mesh.coords[:, 0] <= mesh.coords[:, 0].min() + 1e-9
-    assert T[xmin_nodes].min() > 1e-3
+    assert T[xmin_nodes].max() > 1e-3    # DFLUX warms the loaded face
+    assert T.min() > -1e-6               # no lumped-capacity undershoot
