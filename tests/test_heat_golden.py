@@ -105,4 +105,7 @@ def test_heat_exv_transient_smoke(name):
     assert abs(T.max() - 100.0) < 1e-6
     xmin_nodes = mesh.coords[:, 0] <= mesh.coords[:, 0].min() + 1e-9
     assert T[xmin_nodes].max() > 1e-3    # DFLUX warms the loaded face
-    assert T.min() > -1e-6               # no lumped-capacity undershoot
+    # quadratic elements have no discrete maximum principle: small
+    # undershoot at the sharp front is expected, runaway is not
+    # (pre-HRZ lumping this diverged at -5.26 and growing)
+    assert T.min() > -0.05 * 100.0
