@@ -165,7 +165,10 @@ class DynamicResult:
 
 def run_dynamic(model: StructModel, log_path: Optional[str] = None,
                 restart_path: Optional[str] = None, restart_freq: int = 0,
-                coupler=None):
+                coupler=None, on_interval=None):
+    """on_interval(step, t, u, vel, acc) fires after every committed
+    time step — the runner uses it for per-interval result files +
+    in-situ visualization (fstr_solve_dynamic result/vis cadence)."""
     cfg = model.cfg
     d = cfg.dynamic
     if d is None:
@@ -174,9 +177,11 @@ def run_dynamic(model: StructModel, log_path: Optional[str] = None,
         from frontistr_tpu.couple.rcap import driver_from_env
         coupler = driver_from_env(model, model.mesh, cfg)
     if d.idx_eqa == 11:
-        return _run_explicit(model, log_path, coupler=coupler)
+        return _run_explicit(model, log_path, coupler=coupler,
+                             on_interval=on_interval)
     return _run_implicit(model, log_path, restart_path=restart_path,
-                         restart_freq=restart_freq, coupler=coupler)
+                         restart_freq=restart_freq, coupler=coupler,
+                         on_interval=on_interval)
 
 
 def _external_force(model, t, amp_loads):
@@ -237,7 +242,7 @@ def _postprocess_dyn(model, programs, states, u, vel, acc):
 
 
 def _run_implicit(model: StructModel, log_path, restart_path=None,
-                  restart_freq=0, coupler=None):
+                  restart_freq=0, coupler=None, on_interval=None):
     cfg = model.cfg
     d = cfg.dynamic
     step = cfg.steps[0]
@@ -612,6 +617,9 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
         u = u + du
         states = [_commit_state(s) for s in states]
         mon.record(i, t, u, vel, acc)
+        if on_interval is not None:
+            on_interval(i, t, np.asarray(u), np.asarray(vel),
+                        np.asarray(acc))
         if coupler is not None:
             # publish interface motion to the peer (fstr_rcap_send)
             coupler.publish_state(i, u, vel, acc)
@@ -648,7 +656,8 @@ def _qforce_dyn(model, programs, states, u, du, inc_j, ndof):
     return flat[idx].sum(axis=1).reshape(-1)
 
 
-def _run_explicit(model: StructModel, log_path, coupler=None):
+def _run_explicit(model: StructModel, log_path, coupler=None,
+                  on_interval=None):
     cfg = model.cfg
     d = cfg.dynamic
     ndof = model.ndof
@@ -726,6 +735,9 @@ def _run_explicit(model: StructModel, log_path, coupler=None):
         disp1 = X
         u = X
         mon.record(i, t, u, vel, acc)
+        if on_interval is not None:
+            on_interval(i, t, np.asarray(u), np.asarray(vel),
+                        np.asarray(acc))
         if coupler is not None:
             coupler.publish_state(i, u, vel, acc)
 

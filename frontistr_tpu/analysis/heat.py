@@ -647,7 +647,11 @@ def _surface_film_terms(ft, fc, T_f, coef, sink, kind, tzero, thick, dim):
 def run_heat(mesh: Mesh, cfg: AnalysisConfig, workdir: str,
              log_path: Optional[str] = None,
              restart_path: Optional[str] = None,
-             restart_freq: int = 0) -> HeatResult:
+             restart_freq: int = 0,
+             on_interval=None) -> HeatResult:
+    """on_interval(step, t, T) fires after every committed time step —
+    the runner uses it for per-interval result files + in-situ
+    visualization (heat_solve_TRAN.f90:268-270)."""
     model = build_heat_model(mesh, cfg)
     h = cfg.heat or __import__(
         "frontistr_tpu.io.ctrlio", fromlist=["HeatConfig"]).HeatConfig()
@@ -680,6 +684,8 @@ def run_heat(mesh: Mesh, cfg: AnalysisConfig, workdir: str,
         times = [0.0]
         if log_path:
             _write_heat_log(log_path, model, np.asarray(T), 1, 0.0)
+        if on_interval is not None:
+            on_interval(1, 0.0, np.asarray(T))
     else:
         dt = h.fixed_dt
         t_total = h.total_time
@@ -735,6 +741,8 @@ def run_heat(mesh: Mesh, cfg: AnalysisConfig, workdir: str,
                 _write_heat_log(log_path, model, np.asarray(T), steps, t,
                                 append=not first)
                 first = False
+            if on_interval is not None:
+                on_interval(steps, t, np.asarray(T))
 
     Tn = np.asarray(T)
     return HeatResult(Tn, steps, total_iters, times)

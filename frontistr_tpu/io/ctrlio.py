@@ -191,6 +191,12 @@ class AnalysisConfig:
     reftemp: float = 0.0
     write_result: bool = False
     write_visual: bool = False
+    # '!WRITE,RESULT,FREQUENCY=n' / '!WRITE,VISUAL,FREQUENCY=n': emit a
+    # result file / render every n (time-)steps in transient analyses
+    # (fstr_setup.f90 fstr_setup_WRITE; heat_solve_TRAN.f90:268-270
+    # calls both per interval)
+    result_frequency: int = 1
+    visual_frequency: int = 1
     visual: dict = dataclasses.field(default_factory=dict)
     write_log: bool = True
     output_res: List[Card] = dataclasses.field(default_factory=list)
@@ -440,16 +446,22 @@ def read_cnt(path: str) -> AnalysisConfig:
         elif n == "VISUAL":
             cfg.visual["method"] = (c.param("METHOD") or "PSR").upper()
             in_visual = True
-        elif in_visual and "=" in c.raw:
+        elif in_visual and "=" in c.raw.split(",")[0]:
             # visualizer sub-directives: "!key = value"
-            # (hecmw_vis_read_control.c grammar)
+            # (hecmw_vis_read_control.c grammar).  Only lines whose FIRST
+            # field carries the '=' qualify — '!DYNAMIC, TYPE=…'-style
+            # cards that follow a !VISUAL block must fall through to
+            # their own handlers.
             k, _, v = c.raw.lstrip("!").partition("=")
             cfg.visual[k.strip().lower()] = v.strip()
         elif n == "WRITE":
+            freq = max(c.iparam("FREQUENCY", 1), 1)
             if c.has("RESULT"):
                 cfg.write_result = True
+                cfg.result_frequency = freq
             if c.has("VISUAL"):
                 cfg.write_visual = True
+                cfg.visual_frequency = freq
             if c.has("LOG"):
                 cfg.write_log = True
         elif n == "OUTPUT_RES":

@@ -645,6 +645,28 @@ def dist_from_subdomain(mesh, subs, rank: int, part=None) -> DistMesh:
         idx.append(len(item))
     m.node_grp = (tuple(names), np.asarray(idx, np.int64),
                   np.asarray(item, np.int64))
+    # element / surface groups restricted to local elements (the
+    # reference partitioner carries every group into each rank's file,
+    # hecmw_part_copy_groups): local element position (1-based) keyed
+    # by global elem id
+    ge2l = {int(g): k + 1 for k, g in enumerate(m.global_elem_ID)}
+    names, idx, item = [], [0], []
+    for gname, geids in getattr(mesh, "elem_groups", {}).items():
+        names.append(gname)
+        item.extend(ge2l[int(g)] for g in np.asarray(geids).reshape(-1)
+                    if int(g) in ge2l)
+        idx.append(len(item))
+    m.elem_grp = (tuple(names), np.asarray(idx, np.int64),
+                  np.asarray(item, np.int64))
+    names, idx, item = [], [0], []
+    for gname, pairs in getattr(mesh, "surf_groups", {}).items():
+        names.append(gname)
+        for eid, face in np.asarray(pairs).reshape(-1, 2):
+            if int(eid) in ge2l:
+                item.extend((ge2l[int(eid)], int(face)))
+        idx.append(len(item) // 2)
+    m.surf_grp = (tuple(names), np.asarray(idx, np.int64),
+                  np.asarray(item, np.int64))
     # sections (sect_R carries thickness values)
     ns = len(mesh.sections)
     if ns:
@@ -738,6 +760,20 @@ def mesh_from_dist(dm: DistMesh):
     for k, nm in enumerate(names):
         node_groups[nm] = np.asarray(
             item[idx[k]:idx[k + 1]] - 1, np.int64)
+    # elem/surf groups: local element position (1-based) -> global id
+    elem_groups, surf_groups = {}, {}
+    names, idx, item = dm.elem_grp
+    for k, nm in enumerate(names):
+        loc = np.asarray(item[idx[k]:idx[k + 1]], np.int64) - 1
+        elem_groups[nm] = np.asarray(dm.global_elem_ID)[loc]
+    names, idx, item = dm.surf_grp
+    for k, nm in enumerate(names):
+        pairs = np.asarray(item[2 * idx[k]:2 * idx[k + 1]],
+                           np.int64).reshape(-1, 2)
+        surf_groups[nm] = np.stack(
+            [np.asarray(dm.global_elem_ID)[pairs[:, 0] - 1],
+             pairs[:, 1]], axis=1) if len(pairs) else \
+            np.zeros((0, 2), np.int64)
     sections = []
     if dm.sect_type is not None:
         stmap = {1: "SOLID", 2: "SHELL", 3: "BEAM", 4: "INTERFACE"}
@@ -777,6 +813,116 @@ def mesh_from_dist(dm: DistMesh):
         header=dm.header, coords=coords, node_ids=node_ids,
         id2idx={int(g): i for i, g in enumerate(node_ids)},
         blocks=blocks, sections=sections, materials=materials,
-        node_groups=node_groups, elem_groups={}, surf_groups={},
+        node_groups=node_groups, elem_groups=elem_groups,
+        surf_groups=surf_groups,
         amplitudes={}, equations=[], contact_pairs=[],
         initial_conditions={}, zero_temp=dm.zero_temp)
+
+
+def mesh_from_dist_ranks(dms: List[DistMesh]):
+    """Whole-model Mesh reassembled from EVERY rank of a partitioned
+    workdir, plus the ownership info the runner uses to emit per-rank
+    result files.
+
+    The reference runs one MPI process per DIST file and each rank
+    computes its overlapped subdomain (hecmw_dist_copy_f2c + per-rank
+    fstr_solve); on TPU the whole model is reassembled from the global
+    node/element IDs and solved under one device mesh — the partition
+    survives as the ownership map driving per-rank result output (and,
+    under GSPMD, the shard layout).
+
+    Returns (mesh, partinfo) with partinfo = None for a single rank or
+    {"n_ranks", "node_rank" (merged node order), "elem_rank" (dict
+    global elem id -> rank)}.
+    """
+    metas = [mesh_from_dist(dm) for dm in dms]
+    if len(dms) == 1:
+        return metas[0], None
+    from frontistr_tpu.io.meshio import Mesh, ElemBlock
+
+    # merged node table ordered by global id (the entire-mesh read order
+    # for reference-generated meshes)
+    gids = np.unique(np.concatenate([m.node_ids for m in metas]))
+    gid2idx = {int(g): i for i, g in enumerate(gids)}
+    coords = np.zeros((len(gids), metas[0].coords.shape[1]))
+    node_rank = np.zeros(len(gids), np.int64)
+    for dm, mm in zip(dms, metas):
+        loc = np.asarray([gid2idx[int(g)] for g in mm.node_ids])
+        coords[loc] = mm.coords
+        owners = np.asarray(dm.node_ID, np.int64).reshape(-1, 2)[:, 1]
+        node_rank[loc] = owners
+
+    # internal elements of every rank, deduped by global elem id and
+    # grouped by (etype, section) — each overlapped element has exactly
+    # one owner (elem_ID[2e+1])
+    by_key = {}
+    elem_rank = {}
+    for dm, mm in zip(dms, metas):
+        owners = np.asarray(dm.elem_ID, np.int64).reshape(-1, 2)[:, 1]
+        pos = 0
+        for b in mm.blocks:
+            nb = len(b.elem_ids)
+            own = owners[pos:pos + nb] == dm.my_rank
+            pos += nb
+            if not own.any():
+                continue
+            key = (b.etype, b.section_id)
+            dst = by_key.setdefault(key, {})
+            conn_g = mm.node_ids[b.conn[own]]      # global node ids
+            hec_g = mm.node_ids[b.conn_hecmw[own]] \
+                if b.conn_hecmw is not None else conn_g
+            for eid, cg, hg in zip(b.elem_ids[own], conn_g, hec_g):
+                if int(eid) not in dst:
+                    dst[int(eid)] = (cg, hg)
+                    elem_rank[int(eid)] = int(dm.my_rank)
+    blocks = []
+    for (etype, sid), dst in sorted(
+            by_key.items(), key=lambda kv: min(kv[1])):
+        eids = np.asarray(sorted(dst), np.int64)
+        conn = np.asarray([[gid2idx[int(g)] for g in dst[int(e)][0]]
+                           for e in eids], np.int64)
+        hec = np.asarray([[gid2idx[int(g)] for g in dst[int(e)][1]]
+                          for e in eids], np.int64)
+        blocks.append(ElemBlock(etype, eids, conn, hec, section_id=sid))
+
+    # groups: union across ranks in merged indexing
+    node_groups = {}
+    for mm in metas:
+        for nm, sel in mm.node_groups.items():
+            g = mm.node_ids[sel]
+            node_groups.setdefault(nm, set()).update(int(v) for v in g)
+    node_groups = {nm: np.asarray([gid2idx[g] for g in sorted(v)
+                                   if g in gid2idx], np.int64)
+                   for nm, v in node_groups.items()}
+    elem_groups = {}
+    for mm in metas:
+        for nm, geids in mm.elem_groups.items():
+            elem_groups.setdefault(nm, set()).update(
+                int(v) for v in geids)
+    elem_groups = {nm: np.asarray(sorted(v), np.int64)
+                   for nm, v in elem_groups.items()}
+    surf_groups = {}
+    for mm in metas:
+        for nm, pairs in mm.surf_groups.items():
+            surf_groups.setdefault(nm, set()).update(
+                (int(a), int(b)) for a, b in np.asarray(pairs))
+    surf_groups = {nm: np.asarray(sorted(v), np.int64).reshape(-1, 2)
+                   for nm, v in surf_groups.items()}
+
+    m0 = metas[0]
+    mesh = Mesh(
+        header=m0.header, coords=coords,
+        node_ids=gids, id2idx=gid2idx,
+        blocks=blocks, sections=m0.sections, materials=m0.materials,
+        node_groups=node_groups, elem_groups=elem_groups,
+        surf_groups=surf_groups, amplitudes=m0.amplitudes,
+        equations=m0.equations, contact_pairs=m0.contact_pairs,
+        initial_conditions=m0.initial_conditions,
+        zero_temp=m0.zero_temp)
+    # ownership keyed by GLOBAL id — stable across any later node
+    # reordering in the run path
+    partinfo = {"n_ranks": len(dms),
+                "node_rank": {int(g): int(r)
+                              for g, r in zip(gids, node_rank)},
+                "elem_rank": elem_rank}
+    return mesh, partinfo

@@ -38,13 +38,25 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
         from frontistr_tpu.io.geofemio import read_geofem
         mesh = read_geofem(ctrl.path(mb))
     elif mtype == "HECMW-DIST":
-        # per-rank distributed mesh ('<base>.<rank>'; single-process run
-        # loads rank 0 — multi-rank runs shard in-memory instead)
-        from frontistr_tpu.io.distio import read_dist, mesh_from_dist
+        # partitioned workdir ('<base>.<rank>'): read EVERY rank and
+        # reassemble the whole model (the reference runs one MPI process
+        # per file; here one device mesh solves the reassembled model
+        # and the partition drives per-rank result output)
+        from frontistr_tpu.io.distio import read_dist, mesh_from_dist_ranks
         p = ctrl.path(mb)
-        if not os.path.exists(p) and os.path.exists(p + ".0"):
-            p = p + ".0"
-        mesh = mesh_from_dist(read_dist(p))
+        if os.path.exists(p):
+            paths = [p]
+        else:
+            paths = []
+            while os.path.exists(f"{p}.{len(paths)}"):
+                paths.append(f"{p}.{len(paths)}")
+            if not paths:
+                raise FileNotFoundError(p)
+        mesh, partinfo = mesh_from_dist_ranks(
+            [read_dist(q) for q in paths])
+        if partinfo:
+            print(f"### HECMW-DIST: reassembled {len(paths)} ranks -> "
+                  f"{mesh.n_node} nodes, {mesh.n_elem} elements")
     elif mtype in ("HECMW-ENTIRE", ""):
         mesh = read_mesh(ctrl.path(mb))
     else:
@@ -155,8 +167,10 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
         out["model"] = model
     elif sol == "HEAT":
         from frontistr_tpu.analysis.heat import run_heat
+        cb, written = _snapshot_cb(ctrl, cfg, mesh, workdir, "heat")
         out["heat"] = run_heat(mesh, cfg, workdir, log_path=log_path,
-                               **rkw)
+                               on_interval=cb, **rkw)
+        out["_snapshots"] = written
     elif sol == "EIGEN":
         from frontistr_tpu.assembly.model import build_struct_model
         from frontistr_tpu.analysis.eigen import run_eigen
@@ -201,8 +215,11 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
             from frontistr_tpu.assembly.model import build_struct_model
             from frontistr_tpu.analysis.dynamic import run_dynamic
             model = build_struct_model(mesh, cfg)
-            out["dynamic"] = run_dynamic(model, log_path=log_path, **rkw)
+            cb, written = _snapshot_cb(ctrl, cfg, mesh, workdir, "dynamic")
+            out["dynamic"] = run_dynamic(model, log_path=log_path,
+                                         on_interval=cb, **rkw)
             out["model"] = model
+            out["_snapshots"] = written
     elif sol == "STATICEIGEN":
         # fstr_main kstSTATICEIGEN (fistr_main.f90:84-85): nonlinear
         # static, then Lanczos about the deformed tangent; EGLIST block
@@ -258,30 +275,36 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
         binary = (rb.params.get("TYPE", "TEXT").upper() == "BINARY")
         if binary:
             write_result = write_result_bin
+        snaps = out.get("_snapshots", set())
         if "static" in out:
             write_static_result(base + ".0.1", mesh, out["model"],
                                 out["static"], step=1, binary=binary)
         elif "heat" in out:
+            # per-interval snapshots already written via _snapshot_cb;
+            # guarantee at least the final state exists
             hr = out["heat"]
-            write_result(base + ".0.1", "*fstrresult heat step=1",
-                         mesh.node_ids,
-                         np.concatenate([b.elem_ids
-                                         for b in mesh.blocks]),
-                         [("TEMPERATURE", np.asarray(
-                             hr.T).reshape(-1, 1))], [])
+            if hr.steps not in snaps:
+                write_result(base + f".0.{hr.steps}",
+                             f"*fstrresult heat step={hr.steps}",
+                             mesh.node_ids,
+                             np.concatenate([b.elem_ids
+                                             for b in mesh.blocks]),
+                             [("TEMPERATURE", np.asarray(
+                                 hr.T).reshape(-1, 1))], [])
         elif "dynamic" in out:
             dr = out["dynamic"]
-            nd = np.asarray(dr.u).reshape(mesh.n_node, -1)
-            nv = np.asarray(dr.vel).reshape(mesh.n_node, -1)
-            na = np.asarray(dr.acc).reshape(mesh.n_node, -1)
-            write_result(base + f".0.{dr.steps}",
-                         f"*fstrresult dynamic step={dr.steps}",
-                         mesh.node_ids,
-                         np.concatenate([b.elem_ids
-                                         for b in mesh.blocks]),
-                         [("DISPLACEMENT", nd[:, :3]),
-                          ("VELOCITY", nv[:, :3]),
-                          ("ACCELERATION", na[:, :3])], [])
+            if dr.steps not in snaps:
+                nd = np.asarray(dr.u).reshape(mesh.n_node, -1)
+                nv = np.asarray(dr.vel).reshape(mesh.n_node, -1)
+                na = np.asarray(dr.acc).reshape(mesh.n_node, -1)
+                write_result(base + f".0.{dr.steps}",
+                             f"*fstrresult dynamic step={dr.steps}",
+                             mesh.node_ids,
+                             np.concatenate([b.elem_ids
+                                             for b in mesh.blocks]),
+                             [("DISPLACEMENT", nd[:, :3]),
+                              ("VELOCITY", nv[:, :3]),
+                              ("ACCELERATION", na[:, :3])], [])
         elif "flow" in out:
             from frontistr_tpu.analysis.flow import write_flow_result
             fr = out["flow"]
@@ -305,6 +328,60 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
     _write_msg(workdir, t_pre - t_start, out["total_time"])
     dbg(f"analysis completed ({out['total_time']:.2f} s)")
     return out
+
+
+def _snapshot_cb(ctrl, cfg, mesh, workdir, kind):
+    """Per-interval !WRITE RESULT/VISUAL emission for transient analyses
+    (heat_solve_TRAN.f90:268-270 writes the result file AND calls the
+    visualizer every interval; dynamics likewise in fstr_solve_dynamic).
+    Returns (callback, written_steps) — written_steps records the result
+    snapshots so run_directory's final block doesn't duplicate them."""
+    rb = ctrl.result()
+    rfreq = cfg.result_frequency if (cfg.write_result and rb is not None) \
+        else 0
+    vfreq = cfg.visual_frequency if cfg.write_visual else 0
+    written: set = set()
+    if not rfreq and not vfreq:
+        return None, written
+    base = ctrl.path(rb) if rfreq else None
+    binary = rfreq and (rb.params.get("TYPE", "TEXT").upper() == "BINARY")
+    eids = np.concatenate([b.elem_ids for b in mesh.blocks])
+
+    def cb(step, t, *fields):
+        if rfreq and step % rfreq == 0:
+            from frontistr_tpu.io.resfile import (write_result,
+                                                  write_result_bin)
+            wr = write_result_bin if binary else write_result
+            if kind == "heat":
+                (T,) = fields
+                wr(base + f".0.{step}",
+                   f"*fstrresult heat step={step} time={t:.6e}",
+                   mesh.node_ids, eids,
+                   [("TEMPERATURE", np.asarray(T).reshape(-1, 1))], [])
+            else:
+                u, v, a = (np.asarray(x).reshape(mesh.n_node, -1)
+                           for x in fields)
+                wr(base + f".0.{step}",
+                   f"*fstrresult dynamic step={step} time={t:.6e}",
+                   mesh.node_ids, eids,
+                   [("DISPLACEMENT", u[:, :3]), ("VELOCITY", v[:, :3]),
+                    ("ACCELERATION", a[:, :3])], [])
+            written.add(step)
+        if vfreq and step % vfreq == 0:
+            try:
+                from frontistr_tpu.vis import psf
+                if kind == "heat":
+                    psf.visualize_scalar(mesh, fields[0], workdir, cfg,
+                                         basename=f"result.{step}")
+                else:
+                    import types
+                    shim = types.SimpleNamespace(
+                        u=np.asarray(fields[0]).reshape(mesh.n_node, -1))
+                    psf.visualize(mesh, None, shim, workdir, cfg,
+                                  basename=f"result.{step}")
+            except Exception as e:          # vis must never kill FEM
+                print(f"### visualizer skipped at step {step}: {e}")
+    return cb, written
 
 
 def _write_msg(workdir: str, t_pre: float, t_total: float) -> None:

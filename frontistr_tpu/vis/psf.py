@@ -181,16 +181,39 @@ def render_surface(coords, tris, values, out_path,
 _COMP_INDEX = {"1": 0, "2": 1, "3": 2, "4": 3, "5": 4, "6": 5}
 
 
-def visualize(mesh, model, result, workdir, cfg, basename="result"):
-    """!WRITE,VISUAL entry: render the deformed, colored surface to
-    <workdir>/<basename>.bmp (fstr static_output.f90:74-76 calls the
-    visualizer in-situ the same way)."""
+def _vis_params(cfg):
     vis = getattr(cfg, "visual", {}) or {}
     width = int(float(vis.get("x_resolution", 500)))
     height = int(float(vis.get("y_resolution", 500)))
     vp = vis.get("viewpoint")
     viewpoint = tuple(float(t) for t in vp.split()) if vp else \
         (1.0, -2.0, 1.0)
+    return vis, width, height, viewpoint
+
+
+def visualize_scalar(mesh, vals, workdir, cfg, basename="result"):
+    """Scalar nodal-field render (temperature, pressure, …) on the
+    undeformed surface — the transient-heat in-situ arm
+    (heat_solve_TRAN.f90:268-270 → hecmw_visualize per interval)."""
+    vis, width, height, viewpoint = _vis_params(cfg)
+    coords = mesh.coords[:, :3]
+    vals = np.asarray(vals, float).reshape(-1)
+    out = os.path.join(workdir, basename + ".bmp")
+    if (vis.get("method") or "PSR").upper() == "PVR":
+        from frontistr_tpu.vis.pvr import render_pvr
+        return render_pvr(coords, vals, out, width=width, height=height,
+                          viewpoint=viewpoint)
+    tris = extract_surface(mesh)
+    render_surface(coords, tris, vals, out, width=width, height=height,
+                   viewpoint=viewpoint)
+    return out
+
+
+def visualize(mesh, model, result, workdir, cfg, basename="result"):
+    """!WRITE,VISUAL entry: render the deformed, colored surface to
+    <workdir>/<basename>.bmp (fstr static_output.f90:74-76 calls the
+    visualizer in-situ the same way)."""
+    vis, width, height, viewpoint = _vis_params(cfg)
     comp = (vis.get("color_comp_name", "DISPLACEMENT") or "").upper()
     sub = int(float(vis.get("color_subcomp", 1)))
 
