@@ -76,11 +76,15 @@ def write_result(path: str, header: str,
 
 
 def write_static_result(path: str, mesh, model, res, step: int = 1,
-                        binary: bool = False):
+                        binary: bool = False, node_sel=None,
+                        elem_sel=None):
     """Default static result set (DISPLACEMENT + nodal/elemental
     strain/stress/mises, static_make_result.f90 default outinfo).
     binary=True emits the reference HECMW_BINARY_RESULT format
-    (!RESULT ... TYPE=BINARY, hecmw_control.c:1267-1271)."""
+    (!RESULT ... TYPE=BINARY, hecmw_control.c:1267-1271).
+    node_sel/elem_sel restrict the rows to one partition rank's owned
+    nodes/elements (per-rank '<name>.<rank>.<step>' files that
+    fstr_rmerge reassembles)."""
     node_comps = [
         ("DISPLACEMENT", np.asarray(res.u)),
         ("NodalSTRAIN", res.nodal_strain),
@@ -95,8 +99,17 @@ def write_static_result(path: str, mesh, model, res, step: int = 1,
         ("ElementalSTRESS", res.elem_stress),
         ("ElementalMISES", res.elem_mises[:, None]),
     ]
+    node_ids, elem_ids = mesh.node_ids, res.elem_ids
+    if node_sel is not None:
+        node_ids = node_ids[node_sel]
+        node_comps = [(n, np.asarray(a)[node_sel])
+                      for n, a in node_comps]
+    if elem_sel is not None:
+        elem_ids = np.asarray(elem_ids)[elem_sel]
+        elem_comps = [(n, np.asarray(a)[elem_sel])
+                      for n, a in elem_comps]
     w = write_result_bin if binary else write_result
-    w(path, "*fstrresult", mesh.node_ids, res.elem_ids,
+    w(path, "*fstrresult", node_ids, elem_ids,
       node_comps, elem_comps)
 
 

@@ -27,6 +27,7 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
     dbg_open(workdir)                # FSTR.dbg.<rank> (fistr_main.f90:193)
     ctrl = read_hecmw_ctrl(os.path.join(workdir, "hecmw_ctrl.dat"))
     mb = ctrl.mesh()
+    partinfo = None
     mtype = mb.params.get("TYPE", "HECMW-ENTIRE").upper()
     if mtype == "ABAQUS":
         from frontistr_tpu.io.abaqusio import read_abaqus
@@ -105,7 +106,8 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
                     if idx is not None:
                         T[idx] = v
                 cfg.temp_read_field = T
-    out = {"mesh": mesh, "cfg": cfg, "ctrl": ctrl}
+    out = {"mesh": mesh, "cfg": cfg, "ctrl": ctrl,
+           "partition": partinfo}
     # user plug-in module (uelastic/umat/uload equivalents):
     # FRONTISTR_TPU_USER_MODULE=<path.py> registers hooks before dispatch
     from frontistr_tpu import user as fuser
@@ -276,7 +278,21 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
         if binary:
             write_result = write_result_bin
         snaps = out.get("_snapshots", set())
-        if "static" in out:
+        if "static" in out and partinfo:
+            # partitioned workdir: one result file per rank holding that
+            # rank's OWNED nodes/elements (the reference's per-process
+            # hecmw_result_write_by_name output; fstr_rmerge reassembles)
+            res = out["static"]
+            nrank = np.asarray([partinfo["node_rank"][int(g)]
+                                for g in mesh.node_ids])
+            erank = np.asarray([partinfo["elem_rank"].get(int(e), 0)
+                                for e in np.asarray(res.elem_ids)])
+            for r in range(partinfo["n_ranks"]):
+                write_static_result(base + f".{r}.1", mesh, out["model"],
+                                    res, step=1, binary=binary,
+                                    node_sel=nrank == r,
+                                    elem_sel=erank == r)
+        elif "static" in out:
             write_static_result(base + ".0.1", mesh, out["model"],
                                 out["static"], step=1, binary=binary)
         elif "heat" in out:
@@ -407,8 +423,12 @@ def _needs_newton(model) -> bool:
 
 
 def _write_static_log(log_path, model, res, step=1):
+    # node_count>0 excludes mesh nodes not attached to any element —
+    # the reference summarizes over the analysis model only (unused
+    # nodes would otherwise pin every min at 0, e.g. exA A341 SMS)
     logio.write_static_log(
         log_path, step, model.dim, np.asarray(res.u),
         res.nodal_strain, res.nodal_stress, res.nodal_mises,
         res.elem_strain, res.elem_stress, res.elem_mises,
-        model.mesh.node_ids, res.elem_ids)
+        model.mesh.node_ids, res.elem_ids,
+        node_count=getattr(res, "node_count", None))

@@ -49,7 +49,9 @@ def part_main(argv=None):
     ap.add_argument("-o", "--out", required=True,
                     help="output base; writes '<out>.<rank>'")
     ap.add_argument("-m", "--method", default="RCB",
-                    choices=["RCB", "BLOCK"], help="partitioning method")
+                    choices=["RCB", "BLOCK", "KMETIS"],
+                    help="partitioning method (KMETIS = spectral graph "
+                         "K-way, the METIS-quality option)")
     a = ap.parse_args(argv)
     from frontistr_tpu.parallel.partition import partition_to_files
     mesh = _read_any_mesh(a.mesh)
