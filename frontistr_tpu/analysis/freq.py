@@ -110,3 +110,89 @@ def run_static_eigen(model: StructModel, log_path=None):
         kes.append(np.asarray(p.tangent(u_e, u_e * 0.0, s2, 0.0, 0.0)))
     eig = run_eigen(model, log_path=log_path, kes=kes, log_append=True)
     return static_res, eig
+
+
+def load_eigenread(card, workdir, ctrl, model):
+    """'!EIGENREAD' import: eigen frequencies from a previous eigen
+    run's 0.log EIGENVALUE table and mode shapes from its result
+    snapshots '<base>.0.<mode>' — the reference's decoupled workflow
+    (fstr_frequency_analysis.f90:264-372 read_eigen_values /
+    read_eigen_vector_res).  Vectors are re-normalized against the
+    lumped mass (scaleEigenVector).  Returns an eigen-result-shaped
+    namespace, or None (with a loud message) when the files are absent
+    so the caller can fall back to the in-process Lanczos solve."""
+    import os
+    import types
+    rows = card.data
+    if not rows:
+        return None
+    logname = str(rows[0][0]).strip()
+    start, end = 1, 0
+    if len(rows) > 1 and len(rows[1]) >= 2:
+        start = int(float(rows[1][0]))
+        end = int(float(rows[1][1]))
+    logp = logname if os.path.isabs(logname) else \
+        os.path.join(workdir, logname)
+    if not os.path.exists(logp):
+        print(f"### EIGENREAD: eigen log '{logname}' not found; "
+              "recomputing modes in-process")
+        return None
+    # frequencies: the reference scans for the EGLIST table header
+    ang, table = [], False
+    for ln in open(logp):
+        if ln.strip().startswith("NO.  EIGENVALUE"):
+            table = True
+            continue
+        t = ln.split()
+        if table and t and t[0].rstrip("-").isdigit():
+            ang.append(float(t[2]))            # ANGLE FREQUENCY column
+        elif table and t and set(t[0]) == {"-"}:
+            continue
+        elif table and not t:
+            break
+    if not ang:
+        print(f"### EIGENREAD: no EIGENVALUE table in '{logname}'; "
+              "recomputing modes in-process")
+        return None
+    if end <= 0:
+        end = len(ang)
+    end = min(end, len(ang))
+    # mode shapes: result snapshots of the eigen run — the
+    # '!RESULT,NAME=result-in,IO=IN' binding of the reference's
+    # tutorial-17 workflow, with fstrEIG/fstrRES fallbacks
+    rb = (ctrl.result("result-in") or ctrl.result("fstrEIG")
+          or ctrl.result())
+    base = ctrl.path(rb) if rb is not None else None
+    from frontistr_tpu.io.resfile import read_result_any
+    mesh = model.mesh
+    ndof = model.ndof
+    phis, angs = [], []
+    for k in range(start, end + 1):
+        p = f"{base}.0.{k}" if base else None
+        if p is None or not os.path.exists(p):
+            print(f"### EIGENREAD: mode shape file "
+                  f"'{p or '<no result binding>'}' not found; "
+                  "recomputing modes in-process")
+            return None
+        comps = read_result_any(p)
+        names = [n for n, _ in comps["node_comps"]]
+        U = np.asarray(comps["node_comps"][
+            names.index("DISPLACEMENT")][1])
+        phi = np.zeros((mesh.n_node, ndof))
+        for nid, row in zip(comps["node_ids"], U):
+            idx = mesh.id2idx.get(int(nid))
+            if idx is not None:
+                phi[idx, :min(3, ndof)] = row[:min(3, ndof)]
+        phis.append(phi.reshape(-1))
+        angs.append(ang[k - 1])
+    phi = np.stack(phis, axis=1)
+    # mass re-normalization (scaleEigenVector): phi^T M phi = I
+    from frontistr_tpu.analysis.dynamic import lumped_mass_vector
+    m = np.asarray(lumped_mass_vector(model))
+    scale = np.sqrt(np.einsum("nk,n,nk->k", phi, m, phi))
+    phi = phi / np.where(scale == 0, 1.0, scale)[None, :]
+    print(f"### EIGENREAD: imported modes {start}..{end} from "
+          f"'{logname}' + '{os.path.basename(base)}.0.<k>'")
+    return types.SimpleNamespace(
+        eigenvectors=phi, ang_freq=np.asarray(angs),
+        freq=np.asarray(angs) / (2 * np.pi))

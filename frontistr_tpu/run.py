@@ -183,23 +183,31 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
             and cfg.dynamic.idx_resp == 2:
         # frequency response (fstr_frequency_analysis): the !DYNAMIC
         # row-2 fields are the frequency window (f_start, f_end,
-        # n_points, f_vis); Rayleigh from row 4.  Modes come from an
-        # in-process Lanczos run (the !EIGENREAD log/result import is
-        # superseded — same modes, no file round-trip).
+        # n_points, f_vis); Rayleigh from row 4.  Modes come from the
+        # !EIGENREAD log/result import when those files exist (the
+        # reference's decoupled eigen->freq workflow), else from an
+        # in-process Lanczos run.
         from frontistr_tpu.assembly.model import build_struct_model
-        from frontistr_tpu.analysis.freq import run_frequency
+        from frontistr_tpu.analysis.freq import (run_frequency,
+                                                 load_eigenread)
         d = cfg.dynamic
         model = build_struct_model(mesh, cfg)
+        eig_in = None
+        if cfg.eigenread is not None:
+            eig_in = load_eigenread(cfg.eigenread, workdir, ctrl, model)
         fr = run_frequency(model, d.t_start, d.t_end,
                            n_freq=max(d.n_step, 1),
-                           ray_alpha=d.ray_m, ray_beta=d.ray_k)
+                           ray_alpha=d.ray_m, ray_beta=d.ray_k,
+                           eigen_result=eig_in)
         out["freq"] = fr
         out["model"] = model
         with open(log_path, "w") as fh:
             fh.write(" FREQUENCY RESPONSE (modal superposition)\n")
             if cfg.eigenread is not None:
-                fh.write("  modes recomputed in-process (EIGENREAD "
-                         "import superseded)\n")
+                fh.write("  modes imported via !EIGENREAD\n" if eig_in
+                         is not None else
+                         "  EIGENREAD files missing; modes recomputed "
+                         "in-process\n")
             fh.write("  freq        disp_amp_max  vel_amp_max   "
                      "acc_amp_max\n")
             for k in range(len(fr.freqs)):

@@ -129,3 +129,45 @@ def test_tutorial17_frequency_response():
         # 0.log table written
         log = open(os.path.join(td, "0.log")).read()
         assert "FREQUENCY RESPONSE" in log
+
+
+@requires_reference
+def test_tutorial17_eigenread_decoupled_workflow():
+    """Tutorial 17 as the reference's run.sh drives it: EIGEN run ->
+    'mv 0.log eigen_0.log' -> freq run importing modes via !EIGENREAD +
+    the 'result-in' IO=IN binding.  The imported-mode response must
+    match the in-process recompute."""
+    import shutil
+    import tempfile
+    from frontistr_tpu.run import run_directory
+    d = os.path.join(TUT, "17_freq_beam")
+    with tempfile.TemporaryDirectory() as td:
+        for f in ("beam.msh", "beam_eigen.cnt", "beam_freq.cnt"):
+            shutil.copy(os.path.join(d, f), td)
+        shutil.copy(os.path.join(d, "hecmw_ctrl_eigen.dat"),
+                    os.path.join(td, "hecmw_ctrl.dat"))
+        run_directory(td)                        # writes eig_beam.res.0.k
+        os.replace(os.path.join(td, "0.log"),
+                   os.path.join(td, "eigen_0.log"))
+        shutil.copy(os.path.join(d, "hecmw_ctrl_freq.dat"),
+                    os.path.join(td, "hecmw_ctrl.dat"))
+        out = run_directory(td)
+        log = open(os.path.join(td, "0.log")).read()
+        assert "modes imported via !EIGENREAD" in log
+        fr = out["freq"]
+        # recompute in-process for comparison (EIGENREAD files removed)
+        for p in os.listdir(td):
+            if p.startswith("eig_beam.res") or p == "eigen_0.log":
+                os.remove(os.path.join(td, p))
+        out2 = run_directory(td)
+        log2 = open(os.path.join(td, "0.log")).read()
+        assert "modes recomputed in-process" in log2
+        fr2 = out2["freq"]
+        # same resonance structure; file round-trip costs ~1e-4 in the
+        # mode data, amplified near resonance -> few-% tolerance
+        np.testing.assert_allclose(fr.freqs, fr2.freqs)
+        k1 = int(np.argmax(fr.disp_amp_max))
+        k2 = int(np.argmax(fr2.disp_amp_max))
+        assert k1 == k2
+        np.testing.assert_allclose(fr.disp_amp_max, fr2.disp_amp_max,
+                                   rtol=5e-2)
