@@ -21,6 +21,12 @@ Assembly reuses the scalar ELL entry planes (pair order (a, b, e)) with
 a cluster-layout destination map, so the segment-sum cost is identical
 to assembly/ell.py.  The diagonal nd x nd blocks ride along for the
 block-Jacobi / AMG preconditioners.
+
+A retired Pallas variant (ops/ell_spmv.py, removed) windowed the
+gathers by hand inside a kernel; it measured no faster than this
+XLA-gathered layout because the row-rate limit applies to in-kernel
+dynamic slices too — the win comes from the layout (fewer, fatter
+rows), not from hand-scheduling, so the Pallas arm was deleted.
 """
 
 from __future__ import annotations
