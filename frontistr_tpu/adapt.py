@@ -17,6 +17,15 @@ red/green taxonomy on tet4 meshes:
   (any other pattern is promoted to red and the closure re-iterated,
    the GRID_SMOOTH role)
 
+and, per hecmw_adapt_new_cell_351.f90, on prism6 (351) blocks —
+prisms refine IN PLANE only: the three triangle edge PAIRS (bottom
+edge k + its top twin) are the splittable entities, vertical edges
+never split (TYP-1/2/3 = one pair -> 2 children, TYP-4 = all three
+pairs -> 4 children; two pairs is inadmissible and promotes to
+TYP-4).  Mixed tet+prism meshes stay conforming when they meet at
+triangle faces (the boundary-layer + tet-fill layout); a tet split
+that would cut a prism's vertical edge raises.
+
 Marking uses the Zienkiewicz-Zhu recovered-stress indicator: eta_e =
 |sigma*(recovered nodal, averaged over the element) - sigma_e| sqrt(Ve)
 — the recovery-based estimate the reference leaves to the user (its
@@ -72,37 +81,85 @@ def mark_fraction(eta: np.ndarray, elem_ids: np.ndarray,
     return np.asarray(elem_ids)[order]
 
 
-def _closure(conn: np.ndarray, marked: np.ndarray):
-    """Split-edge closure: marked elements split all 6 edges; every
-    element is then promoted to red until its pattern is admissible
-    (0 / 1 edge / 2 same-face / 2 opposite / 3 forming a face)."""
-    E = conn.shape[0]
-    esets = {}
+# prism (351): bottom tri edges pair with their top twins; vertical
+# edges are (0,3) (1,4) (2,5) and never split
+_PEDGES = [((0, 1), (3, 4)), ((1, 2), (4, 5)), ((2, 0), (5, 3))]
+_PVERT = [(0, 3), (1, 4), (2, 5)]
 
-    def ekey(e, i):
-        a, b = _EDGES[i]
-        return (min(conn[e, a], conn[e, b]), max(conn[e, a], conn[e, b]))
+
+def _key(conn_row, a, b):
+    u, v = int(conn_row[a]), int(conn_row[b])
+    return (min(u, v), max(u, v))
+
+
+def _closure(conn: np.ndarray, marked: np.ndarray, is_prism=None):
+    """Split-edge closure over a mixed tet4/prism6 row set: marked
+    elements split all their splittable edges; every element is then
+    promoted to red until its pattern is admissible (tet: 0 / 1 edge /
+    2 same-face / 2 opposite / 3 forming a face; prism: 0 / 1 / 3
+    triangle-edge pairs)."""
+    E = conn.shape[0]
+    if is_prism is None:
+        is_prism = np.zeros(E, bool)
+    frozen = set()
+    for e in np.flatnonzero(is_prism):
+        for (a, b) in _PVERT:
+            frozen.add(_key(conn[e], a, b))
+
+    def tet_keys(e):
+        return [_key(conn[e], *_EDGES[i]) for i in range(6)]
+
+    def prism_pairs(e):
+        return [(_key(conn[e], *lo), _key(conn[e], *hi))
+                for lo, hi in _PEDGES]
 
     split = set()
     red = np.zeros(E, bool)
     red[marked] = True
+
+    def paint(e):
+        if is_prism[e]:
+            for klo, khi in prism_pairs(e):
+                split.add(klo)
+                split.add(khi)
+        else:
+            for k in tet_keys(e):
+                if k in frozen:
+                    raise NotImplementedError(
+                        "adapt_mesh: a tet split would cut a prism's "
+                        "vertical edge — refine the prism layer "
+                        "uniformly instead (hecmw GRID_SMOOTH scope)")
+                split.add(k)
+
     for e in np.flatnonzero(red):
-        for i in range(6):
-            split.add(ekey(e, i))
+        paint(e)
     changed = True
     while changed:
         changed = False
         for e in range(E):
             if red[e]:
                 continue
-            pat = [i for i in range(6) if ekey(e, i) in split]
-            if _pattern(pat) is None:
-                red[e] = True
-                for i in range(6):
-                    k = ekey(e, i)
-                    if k not in split:
-                        split.add(k)
-                        changed = True
+            if is_prism[e]:
+                ns = sum((klo in split or khi in split)
+                         for klo, khi in prism_pairs(e))
+                ok = ns in (0, 1, 3)
+                # pair conformity: both twins must split together
+                for klo, khi in prism_pairs(e):
+                    if (klo in split) != (khi in split):
+                        ok = False
+                if not ok:
+                    red[e] = True
+                    before = len(split)
+                    paint(e)
+                    changed |= len(split) > before
+            else:
+                pat = [i for i, k in enumerate(tet_keys(e))
+                       if k in split]
+                if _pattern(pat) is None:
+                    red[e] = True
+                    before = len(split)
+                    paint(e)
+                    changed |= len(split) > before
     return red, split
 
 
@@ -226,18 +283,58 @@ def _red_children(row, mid):
     return out
 
 
-def adapt_mesh(mesh: Mesh, marked_eids: Sequence[int]) -> Mesh:
-    """Refine the marked tet4 elements (red) with green closure.
-    Node/element/surface groups propagate as in uniform refinement.
+def _prism_children(row, mid, n_pairs):
+    """hecmw_adapt_new_cell_351 templates: n_pairs==1 -> TYP-1/2/3
+    (2 children), n_pairs==3 -> TYP-4 (4 children).  row is the prism's
+    global (n01,n02,n03,n11,n12,n13)."""
+    n = [int(x) for x in row[:6]]
 
-    Multi-block tet4 meshes are supported (closure runs over the union
-    so inter-block faces stay conforming; children return to their
-    parent's block/section).  Non-tet etypes raise (the reference's
-    adaptation covers tet+prism, hecmw_adapt_proc; prism pending)."""
-    if not mesh.blocks or any(bb.etype != 341 for bb in mesh.blocks):
-        raise NotImplementedError("adapt_mesh: tet4 blocks only")
-    conn = np.concatenate([np.asarray(bb.conn, np.int64)
-                           for bb in mesh.blocks])
+    def m(a, b):
+        return mid.get((min(n[a], n[b]), max(n[a], n[b])))
+
+    if n_pairs == 1:
+        if m(0, 1) is not None:                         # TYP-1
+            b4, t4 = m(0, 1), m(3, 4)
+            return [[n[0], b4, n[2], n[3], t4, n[5]],
+                    [b4, n[1], n[2], t4, n[4], n[5]]]
+        if m(1, 2) is not None:                         # TYP-2
+            b4, t4 = m(1, 2), m(4, 5)
+            return [[n[0], b4, n[2], n[3], t4, n[5]],
+                    [n[0], n[1], b4, n[3], n[4], t4]]
+        b4, t4 = m(2, 0), m(5, 3)                       # TYP-3
+        return [[n[0], n[1], b4, n[3], n[4], t4],
+                [b4, n[1], n[2], t4, n[4], n[5]]]
+    # TYP-4
+    b4, b5, b6 = m(0, 1), m(1, 2), m(2, 0)
+    t4, t5, t6 = m(3, 4), m(4, 5), m(5, 3)
+    return [[n[0], b4, b6, n[3], t4, t6],
+            [b4, n[1], b5, t4, n[4], t5],
+            [b6, b5, n[2], t6, t5, n[5]],
+            [b4, b5, b6, t4, t5, t6]]
+
+
+def adapt_mesh(mesh: Mesh, marked_eids: Sequence[int]) -> Mesh:
+    """Refine the marked tet4/prism6 elements with closure.
+    Node/element groups propagate as in uniform refinement.
+
+    Multi-block tet4(+prism6) meshes are supported (closure runs over
+    the union so inter-block faces stay conforming; children return to
+    their parent's block/section).  Other etypes raise (the reference's
+    adaptation covers tet+prism, hecmw_adapt_proc)."""
+    if not mesh.blocks or any(bb.etype not in (341, 351)
+                              for bb in mesh.blocks):
+        raise NotImplementedError("adapt_mesh: tet4/prism6 blocks only")
+    rows = []
+    for bb in mesh.blocks:
+        c = np.asarray(bb.conn, np.int64)
+        if c.shape[1] < 6:
+            c = np.pad(c, ((0, 0), (0, 6 - c.shape[1])),
+                       constant_values=-1)
+        rows.append(c)
+    conn = np.concatenate(rows)
+    is_prism = np.concatenate([
+        np.full(len(bb.elem_ids), bb.etype == 351, bool)
+        for bb in mesh.blocks])
     row_block = np.concatenate([np.full(len(bb.elem_ids), bi, np.int64)
                                 for bi, bb in enumerate(mesh.blocks)])
     all_eids = np.concatenate([np.asarray(bb.elem_ids)
@@ -245,7 +342,7 @@ def adapt_mesh(mesh: Mesh, marked_eids: Sequence[int]) -> Mesh:
     eid2row = {int(e): i for i, e in enumerate(all_eids)}
     marked_rows = np.asarray([eid2row[int(e)] for e in marked_eids],
                              np.int64)
-    red, split = _closure(conn, marked_rows)
+    red, split = _closure(conn, marked_rows, is_prism)
 
     coords = [c for c in mesh.coords]
     mid: Dict[Tuple[int, int], int] = {}
@@ -257,30 +354,41 @@ def adapt_mesh(mesh: Mesh, marked_eids: Sequence[int]) -> Mesh:
     parent_of: List[int] = []
     for e in range(conn.shape[0]):
         row = conn[e]
-        if red[e]:
-            chs = _red_children(row, mid)
+        if is_prism[e]:
+            ns = sum((_key(row, *lo) in mid) for lo, hi in _PEDGES)
+            if ns == 0:
+                chs = [list(map(int, row[:6]))]
+            else:
+                chs = _prism_children(row, mid, ns)
+        elif red[e]:
+            chs = _red_children(row[:4], mid)
         else:
             pat = _pattern([i for i in range(6) if (
                 min(row[_EDGES[i][0]], row[_EDGES[i][1]]),
                 max(row[_EDGES[i][0]], row[_EDGES[i][1]])) in mid])
             if pat[0] == "none":
-                chs = [list(map(int, row))]
+                chs = [list(map(int, row[:4]))]
             elif pat[0] == "red":
                 # all 6 edges split by neighbors: full red even though
                 # the element was never promoted explicitly
-                chs = _red_children(row, mid)
+                chs = _red_children(row[:4], mid)
             else:
-                chs = _green_children(row, pat, mid)
+                chs = _green_children(row[:4], pat, mid)
         for ch in chs:
             conns.append(ch)
             parent_of.append(e)
 
-    conn_new = np.asarray(conns, np.int64)
-    # enforce positive orientation (green templates can flip)
+    conn_new = np.asarray(
+        [ch + [-1] * (6 - len(ch)) for ch in conns], np.int64)
+    # enforce positive tet orientation (green templates can flip)
     x = np.asarray(coords)
-    det = np.linalg.det(x[conn_new[:, 1:]] - x[conn_new[:, :1]])
-    flip = det < 0
-    conn_new[flip] = conn_new[flip][:, [0, 2, 1, 3]]
+    child_prism = is_prism[np.asarray(parent_of)]
+    tsel = np.nonzero(~child_prism)[0]
+    tc = conn_new[tsel][:, :4]
+    det = np.linalg.det(x[tc[:, 1:]] - x[tc[:, :1]])
+    flip = tsel[det < 0]
+    conn_new[flip, 1], conn_new[flip, 2] = \
+        conn_new[flip, 2].copy(), conn_new[flip, 1].copy()
 
     E2 = conn_new.shape[0]
     eids = np.arange(1, E2 + 1, dtype=np.int64)
@@ -288,8 +396,9 @@ def adapt_mesh(mesh: Mesh, marked_eids: Sequence[int]) -> Mesh:
     blocks = []
     for bi, bb in enumerate(mesh.blocks):
         sel = child_block == bi
-        cb = conn_new[sel]
-        blocks.append(ElemBlock(341, eids[sel], cb, cb.copy(),
+        nn = 6 if bb.etype == 351 else 4
+        cb = conn_new[sel][:, :nn]
+        blocks.append(ElemBlock(bb.etype, eids[sel], cb, cb.copy(),
                                 section_id=bb.section_id))
     node_ids = np.arange(1, len(coords) + 1, dtype=np.int64)
     id2idx = {int(i): int(i) - 1 for i in node_ids}

@@ -154,3 +154,134 @@ def test_multiblock_adapt_conforming():
     # global element ids unique
     eids = np.concatenate([bb.elem_ids for bb in out.blocks])
     assert len(np.unique(eids)) == len(eids)
+
+
+def _prism_grid(nx, ny, nz, lx=1.0, ly=1.0, lz=1.0):
+    """Triangulated (nx,ny) layer extruded nz times -> prism6 Mesh."""
+    from frontistr_tpu.io.meshio import Mesh, ElemBlock, Section, MaterialDef
+    xs = np.linspace(0, lx, nx + 1)
+    ys = np.linspace(0, ly, ny + 1)
+    zs = np.linspace(0, lz, nz + 1)
+    coords = np.array([(x, y, z) for z in zs for y in ys for x in xs])
+    nid = lambda i, j, k: k * (nx + 1) * (ny + 1) + j * (nx + 1) + i
+    conns = []
+    for k in range(nz):
+        for j in range(ny):
+            for i in range(nx):
+                a, b = nid(i, j, k), nid(i + 1, j, k)
+                c, d = nid(i + 1, j + 1, k), nid(i, j + 1, k)
+                A, B = nid(i, j, k + 1), nid(i + 1, j, k + 1)
+                C, D = nid(i + 1, j + 1, k + 1), nid(i, j + 1, k + 1)
+                conns.append([a, b, c, A, B, C])
+                conns.append([a, c, d, A, C, D])
+    conn = np.asarray(conns, np.int64)
+    eids = np.arange(1, len(conn) + 1)
+    ids = np.arange(1, len(coords) + 1)
+    md = MaterialDef("M1")
+    md.items[1] = [[210e3, 0.3]]
+    return Mesh(header="", coords=coords, node_ids=ids,
+                id2idx={int(g): int(g) - 1 for g in ids},
+                blocks=[ElemBlock(351, eids, conn, conn.copy())],
+                sections=[Section("SOLID", "ALL", "M1", [])],
+                materials={"M1": md}, node_groups={},
+                elem_groups={}, surf_groups={}, amplitudes={},
+                equations=[], contact_pairs=[], initial_conditions={},
+                zero_temp=0.0)
+
+
+def _prism_vol(coords, conn):
+    # split each prism into 3 tets (volume only; diagonal choice moot)
+    t = np.concatenate([conn[:, [0, 1, 2, 3]], conn[:, [1, 2, 3, 4]],
+                        conn[:, [2, 3, 4, 5]]])
+    return np.abs(np.linalg.det(coords[t[:, 1:]]
+                                - coords[t[:, :1]])).sum() / 6.0
+
+
+def test_prism_adapt_conforming_and_volume():
+    """Mark one prism: TYP-4 on it, TYP-1/2/3 closure on neighbors,
+    vertical edges never split, volume preserved, tri faces conforming
+    (hecmw_adapt_new_cell_351 semantics)."""
+    m = _prism_grid(2, 2, 2)
+    v0 = _prism_vol(m.coords, m.blocks[0].conn)
+    m2 = adapt_mesh(m, [1])
+    conn = np.asarray(m2.blocks[0].conn)
+    assert m2.blocks[0].etype == 351
+    assert conn.shape[0] > m.blocks[0].conn.shape[0]
+    assert np.isclose(_prism_vol(m2.coords, conn), v0)
+    # prisms stay z-aligned columns: top/bottom triangles congruent
+    dz = m2.coords[conn[:, 3:]] - m2.coords[conn[:, :3]]
+    assert np.allclose(dz[:, :, :2], 0.0)
+    assert (dz[:, :, 2] > 1e-12).all()
+    # triangle faces conforming: shared by at most 2 prisms
+    faces = {}
+    for row in conn:
+        for tri in (tuple(sorted(row[:3])), tuple(sorted(row[3:]))):
+            faces[tri] = faces.get(tri, 0) + 1
+    assert max(faces.values()) <= 2
+
+
+def test_mixed_tet_prism_interface_conforming():
+    """One prism with one tet on its top triangle face: marking the
+    prism splits the shared face edges; closure turns the tet green-3
+    and the interface stays conforming."""
+    from frontistr_tpu.io.meshio import Mesh, ElemBlock, Section, MaterialDef
+    coords = np.array([
+        [0, 0, 0], [1, 0, 0], [0, 1, 0],
+        [0, 0, 1], [1, 0, 1], [0, 1, 1],
+        [0.33, 0.33, 2.0]], float)
+    pconn = np.asarray([[0, 1, 2, 3, 4, 5]], np.int64)
+    tconn = np.asarray([[3, 4, 5, 6]], np.int64)
+    md = MaterialDef("M1")
+    md.items[1] = [[210e3, 0.3]]
+    ids = np.arange(1, 8)
+    m = Mesh(header="", coords=coords, node_ids=ids,
+             id2idx={int(g): int(g) - 1 for g in ids},
+             blocks=[ElemBlock(351, np.asarray([1]), pconn,
+                               pconn.copy()),
+                     ElemBlock(341, np.asarray([2]), tconn,
+                               tconn.copy())],
+             sections=[Section("SOLID", "ALL", "M1", [])],
+             materials={"M1": md}, node_groups={}, elem_groups={},
+             surf_groups={}, amplitudes={}, equations=[],
+             contact_pairs=[], initial_conditions={}, zero_temp=0.0)
+    m2 = adapt_mesh(m, [1])                     # mark the prism
+    pb = [b for b in m2.blocks if b.etype == 351][0]
+    tb = [b for b in m2.blocks if b.etype == 341][0]
+    assert len(pb.elem_ids) == 4                # TYP-4
+    assert len(tb.elem_ids) == 4                # green-3
+    # interface conforming: the prism top triangles == tet bottom faces
+    ptop = {tuple(sorted(r[3:])) for r in np.asarray(pb.conn)}
+    iface_z = 1.0
+    tfaces = set()
+    for r in np.asarray(tb.conn):
+        for tri in combinations(sorted(map(int, r)), 3):
+            if np.allclose(m2.coords[list(tri), 2], iface_z):
+                tfaces.add(tri)
+    assert ptop == tfaces
+
+
+def test_tet_cutting_prism_vertical_edge_raises():
+    """A tet sharing a prism's vertical edge cannot be red-split —
+    loud error, not silent non-conformity."""
+    from frontistr_tpu.io.meshio import Mesh, ElemBlock, Section, MaterialDef
+    coords = np.array([
+        [0, 0, 0], [1, 0, 0], [0, 1, 0],
+        [0, 0, 1], [1, 0, 1], [0, 1, 1],
+        [-1.0, 0.0, 0.5]], float)
+    pconn = np.asarray([[0, 1, 2, 3, 4, 5]], np.int64)
+    tconn = np.asarray([[0, 3, 2, 6]], np.int64)   # edge (0,3) vertical
+    md = MaterialDef("M1")
+    md.items[1] = [[210e3, 0.3]]
+    ids = np.arange(1, 8)
+    m = Mesh(header="", coords=coords, node_ids=ids,
+             id2idx={int(g): int(g) - 1 for g in ids},
+             blocks=[ElemBlock(351, np.asarray([1]), pconn,
+                               pconn.copy()),
+                     ElemBlock(341, np.asarray([2]), tconn,
+                               tconn.copy())],
+             sections=[Section("SOLID", "ALL", "M1", [])],
+             materials={"M1": md}, node_groups={}, elem_groups={},
+             surf_groups={}, amplitudes={}, equations=[],
+             contact_pairs=[], initial_conditions={}, zero_temp=0.0)
+    with pytest.raises(NotImplementedError):
+        adapt_mesh(m, [2])
