@@ -206,3 +206,23 @@ def maybe_reorder(mesh, min_nodes: int = 2048, verbose: bool = True):
         print(f"### node reordering ({best}): cluster width {wc0} -> "
               f"{wc_best} ({mesh.n_node} nodes)")
     return permute_mesh(mesh, order)
+
+
+def partition_reorder(mesh, partinfo, verbose: bool = True):
+    """Partition-aware ordering for sharded runs: nodes grouped by
+    their DIST partition rank (so the contiguous GSPMD shard splits
+    fall on partition boundaries — each device owns one subdomain's
+    rows, the way each reference MPI rank owns its subdomain), RCM
+    within each rank's segment for cluster-ELL bandwidth."""
+    node_rank = np.asarray([partinfo["node_rank"][int(g)]
+                            for g in mesh.node_ids])
+    conns = [b.conn for b in mesh.blocks]
+    rcm = rcm_order(conns, mesh.n_node)     # new->old
+    pos = np.empty(mesh.n_node, np.int64)   # old->rcm position
+    pos[rcm] = np.arange(mesh.n_node)
+    order = np.lexsort((pos, node_rank))    # by (rank, rcm pos)
+    if verbose:
+        sizes = np.bincount(node_rank, minlength=partinfo["n_ranks"])
+        print(f"### partition-aware ordering: {partinfo['n_ranks']} "
+              f"rank segments {list(sizes)}, RCM within each")
+    return permute_mesh(mesh, order)

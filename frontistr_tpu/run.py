@@ -70,9 +70,15 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
               f"{mesh.n_elem} elements")
     # production RCM node reordering: the cluster-ELL/AMG fast paths
     # assume banded numbering (hecmw_matrix_ordering_CM.f90 analog);
-    # file output stays keyed by the original node ids
+    # file output stays keyed by the original node ids.  A partitioned
+    # workdir under GSPMD sharding instead orders nodes by (rank, RCM)
+    # so the contiguous shard splits fall on the partition boundaries.
     from frontistr_tpu import ordering
-    mesh = ordering.maybe_reorder(mesh)
+    from frontistr_tpu.parallel import shard as _shmod
+    if partinfo and _shmod.requested_shards():
+        mesh = ordering.partition_reorder(mesh, partinfo)
+    else:
+        mesh = ordering.maybe_reorder(mesh)
     cfg = read_cnt(ctrl.path(ctrl.control()))
     # '!TEMPERATURE, READRESULT=n[,SSTEP=s][,INTERVAL=i]': temperature
     # imported from the fstrTEMP result binding (readtemp.f90

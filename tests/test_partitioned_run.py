@@ -100,3 +100,36 @@ def test_kmetis_spectral_partition_quality():
     # must be in the same class as RCB (and not worse than BLOCK)
     assert parts["KMETIS"] <= parts["BLOCK"]
     assert parts["KMETIS"] <= 1.5 * parts["RCB"], parts
+
+
+@requires_reference
+def test_exa_partitioned_sharded_matches_golden(tmp_path, monkeypatch):
+    """Partitioned workdir under GSPMD sharding: the partition drives
+    the shard layout (nodes ordered by rank, contiguous shard splits on
+    partition boundaries) and the whole-model log still matches the
+    golden."""
+    from frontistr_tpu.tools import cli
+    from frontistr_tpu.run import run_directory
+
+    msh = os.path.join(EXA, "A341.msh")
+    base = str(tmp_path / "A341.dist")
+    assert cli.part_main([msh, "-n", "4", "-m", "KMETIS",
+                          "-o", base]) == 0
+    shutil.copy(os.path.join(EXA, "A300.cnt"), tmp_path / "A300.cnt")
+    (tmp_path / "hecmw_ctrl.dat").write_text(
+        "!MESH, NAME=fstrMSH, TYPE=HECMW-DIST\n A341.dist\n"
+        "!CONTROL, NAME=fstrCNT\n A300.cnt\n"
+        "!RESULT, NAME=fstrRES, IO=OUT\n A341.res\n")
+    monkeypatch.setenv("FRONTISTR_TPU_SHARDS", "4")
+    out = run_directory(str(tmp_path))
+    got = _golden_summary(str(tmp_path / "0.log"))
+    ref = _golden_summary(os.path.join(EXA, "A341_correct.log"))
+    for k, (gmax, gmin) in ref.items():
+        assert abs(got[k][0] - gmax) < 1e-4, (k, got[k])
+        assert abs(got[k][1] - gmin) < 1e-4, (k, got[k])
+    # the ordering is partition-grouped: node_rank is non-decreasing
+    # in mesh order
+    pi = out["partition"]
+    nr = np.asarray([pi["node_rank"][int(g)]
+                     for g in out["mesh"].node_ids])
+    assert (np.diff(nr) >= 0).all()
