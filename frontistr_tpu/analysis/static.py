@@ -227,13 +227,9 @@ def solve_linear(model: StructModel, kes=None,
     # multi-chip path (FRONTISTR_TPU_SHARDS): GSPMD-sharded block-ELL CG
     from frontistr_tpu.parallel import shard as shardmod
     nsh = shardmod.requested_shards()
-    if nsh and model.mesh.equations \
-            and model.cfg.solver.method.upper() in ("CG", "1"):
-        print("### NOTE: linear static with !EQUATION runs the "
-              "single-device elimination path (sharded ELL arm does "
-              "not carry MPC)")
-    if nsh and model.cfg.solver.method.upper() in ("CG", "1") \
-            and not model.mesh.equations:
+    if nsh and model.cfg.solver.method.upper() in ("CG", "1"):
+        # !EQUATION rides the sharded arm too (exact elimination with
+        # pytree-arg mpc tables, same as the sharded heat solver)
         t1 = time.perf_counter()
         x, iters, relres = shardmod.sharded_solve_linear(
             model, kes, np.asarray(f), np.asarray(u_fix), nsh,

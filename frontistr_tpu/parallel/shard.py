@@ -137,6 +137,20 @@ def sharded_solve_linear(model, kes, f, u_fix, nshard: int,
     b_c = eop.constrained_rhs(b, u_fix_j)
     b_cs = pad_shard_vec(b_c, np_dof, jmesh)
     sv = model.cfg.solver
+    # !EQUATION under sharding: the same exact elimination as the heat
+    # sharded arm — mpc arrays ride through jit as pytree args, padded
+    # rows are never dependent
+    from frontistr_tpu.assembly import extras as exmod
+    mpc = exmod.mpc_arrays(model.mesh, model.ndof, np_dof)
+    if mpc is not None:
+        A = seop.apply_constrained
+        b_cs = exmod.mpc_reduce_rhs(mpc, A, b_cs, 1.0)
+        res = krylov.pcg(exmod.mpc_wrap(mpc, A), b_cs,
+                         M=seop.block_jacobi(), tol=sv.resid,
+                         maxiter=sv.nier)
+        xr = exmod.mpc_recover(mpc, res.x, 1.0)
+        x = np.asarray(jax.block_until_ready(xr))[:n_dof]
+        return x, int(res.iters), float(res.relres)
     if mixed:
         res = _sharded_refined(seop, seop.astype(jnp.float32), b_cs,
                                tol=sv.resid, inner_tol=1e-6,

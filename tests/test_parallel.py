@@ -443,3 +443,42 @@ def test_sharded_eigen_matches(monkeypatch):
     monkeypatch.setenv("FRONTISTR_TPU_SHARDS", "8")
     r8 = run(path)
     np.testing.assert_allclose(r8.freq, r1.freq, rtol=1e-7)
+
+
+def test_sharded_linear_mpc_matches(monkeypatch, tmp_path):
+    """!EQUATION on the sharded linear arm: the GSPMD solve with exact
+    MPC elimination equals the single-device elimination path, and the
+    constraint holds in the solution."""
+    from frontistr_tpu.meshgen import box_tet4
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.io.meshio import Equation
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.static import solve_linear
+
+    cnt = tmp_path / "t.cnt"
+    cnt.write_text(
+        "!VERSION\n 3\n!SOLUTION, TYPE=STATIC\n"
+        "!BOUNDARY\n X0, 1, 3, 0.0\n!CLOAD\n X1, 3, -1.0\n"
+        "!SOLVER, METHOD=CG\n 10000, 1\n 1.0e-10, 1.0, 0.0\n!END\n")
+    cfg = read_cnt(str(cnt))
+    mesh = box_tet4(4, 4, 4)
+    # tie uz of two X1-face nodes: u_a - u_b = 0
+    a, b = (int(v) for v in mesh.node_groups["X1"][:2])
+    mesh.equations.append(Equation(
+        np.asarray([a, b]), np.asarray([3, 3]),
+        np.asarray([1.0, -1.0]), 0.0))
+    model = build_struct_model(mesh, cfg)
+
+    monkeypatch.delenv("FRONTISTR_TPU_SHARDS", raising=False)
+    x1, *_ = solve_linear(model)
+    monkeypatch.setenv("FRONTISTR_TPU_SHARDS", "8")
+    x8, it8, rr8, *_ = solve_linear(model)
+
+    assert rr8 <= 1e-7
+    np.testing.assert_allclose(x8, x1, rtol=1e-7,
+                               atol=1e-10 * np.abs(x1).max())
+    assert abs(x8[a * 3 + 2] - x8[b * 3 + 2]) < 1e-12
+    # the tie actually binds: solution differs from the untied one
+    m0 = build_struct_model(box_tet4(4, 4, 4), cfg)
+    x0, *_ = solve_linear(m0)
+    assert np.abs(x8 - x0).max() > 1e-8
