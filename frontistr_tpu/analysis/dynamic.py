@@ -690,10 +690,9 @@ def _run_explicit(model: StructModel, log_path, coupler=None,
     make_amp = _amp_factory(model.mesh, cfg)
     v_init, v_tr = _rate_bc_split(model, cfg.velocities, make_amp)
     a_init, a_tr = _rate_bc_split(model, cfg.accelerations, make_amp)
-    if v_tr is not None or a_tr is not None:
-        print("### WARNING: prescribed-rate !VELOCITY/!ACCELERATION not "
-              "implemented for EXPLICIT dynamics; card IGNORED")
     if model.mesh.equations:
+        # parity: the reference explicit solver has no MPC path either
+        # (no hecmw_mat_ass_equation call in fstr_dynamic_nlexplicit)
         print("### WARNING: !EQUATION not applied in EXPLICIT dynamics "
               "(no solve to eliminate through); constraints IGNORED")
     if v_init is not None:
@@ -714,6 +713,16 @@ def _run_explicit(model: StructModel, log_path, coupler=None,
         B = f_ext - Q + 2.0 * a1 * mass * disp1 + \
             (-a1 + a2 * d.ray_m) * mass * disp3
         X = jnp.where(free > 0, B / vec1, 0.0)
+        # prescribed-rate Dirichlet (dynamic_mat_ass_bc_vl/_ac explicit
+        # branches): u_{n+1} = u_{n-1} + 2 dt v  /  2 u_n - u_{n-1} + dt^2 a
+        if v_tr is not None:
+            vd = jnp.asarray(v_tr[0])
+            X = X.at[vd].set(disp3[vd] +
+                             (2.0 * dt * v_tr[2](t)) * jnp.asarray(v_tr[1]))
+        if a_tr is not None:
+            ad = jnp.asarray(a_tr[0])
+            X = X.at[ad].set(2.0 * disp1[ad] - disp3[ad] +
+                             (dt * dt * a_tr[2](t)) * jnp.asarray(a_tr[1]))
         acc = a1 * (X - 2.0 * disp1 + disp3)
         vel = a2 * (X - disp3)
         # one stress/state update per step (fstr_dynamic_nlexplicit:278-296)

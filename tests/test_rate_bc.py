@@ -147,3 +147,79 @@ def test_tutorial14_plate_impact_smoke():
     # plate fell ~v0*t (some nodes arrested by contact may lag)
     assert uz.min() < -0.5 * 4427.0 * t
     assert uz.min() > -2.0 * 4427.0 * t
+
+
+def test_prescribed_velocity_bc_explicit_tracks_rate():
+    """EXPLICIT (idx_eqa=11) prescribed velocity: the central-difference
+    relation u_{n+1} = u_{n-1} + 2 dt v (dynamic_mat_ass_bc_vl explicit
+    branch) makes driven dofs track u = v*t exactly."""
+    n_step, v = 40, -0.5
+    dt = 1.0e-4            # well under the CFL limit for E=1000, rho=1
+    cnt = f"""!VERSION
+ 3
+!SOLUTION, TYPE=DYNAMIC
+!DYNAMIC
+ 11, 1
+ 0.0, {n_step * dt}, {n_step}, {dt}
+ 0.5, 0.25
+ 1, 1, 0.0, 0.0
+ 10
+!BOUNDARY, GRPID=1
+ Z0, 1, 3, 0.0
+!VELOCITY, GRPID=1
+ Z1, 3, 3, {v}
+!STEP, SUBSTEPS=1
+ BOUNDARY, 1
+!MATERIAL, NAME=M1
+!ELASTIC
+ 1000.0, 0.0
+!DENSITY
+ 1.0
+!SOLVER,METHOD=CG,PRECOND=1
+ 10000, 1
+ 1.0e-12, 1.0, 0.0
+!END
+"""
+    model, out = _run_deck(cnt, mesh=box_hex8(1, 1, 2))
+    top = model.mesh.node_groups["Z1"]
+    # u_{n+1} = u_{n-1} + 2 dt v telescopes to u_n = v * t exactly
+    np.testing.assert_allclose(out.u[top, 2], v * n_step * dt,
+                               rtol=1e-9)
+    np.testing.assert_allclose(out.vel[top, 2], v, rtol=1e-9)
+
+
+def test_prescribed_acceleration_bc_explicit():
+    """EXPLICIT prescribed acceleration: u_{n+1} = 2u_n - u_{n-1} +
+    dt^2 a telescopes to the exact discrete sum u_n = a dt^2 n(n+1)/2
+    (dynamic_mat_ass_bc_ac explicit branch)."""
+    n_step, a = 40, -30.0
+    dt = 1.0e-4
+    cnt = f"""!VERSION
+ 3
+!SOLUTION, TYPE=DYNAMIC
+!DYNAMIC
+ 11, 1
+ 0.0, {n_step * dt}, {n_step}, {dt}
+ 0.5, 0.25
+ 1, 1, 0.0, 0.0
+ 10
+!BOUNDARY, GRPID=1
+ Z0, 1, 3, 0.0
+!ACCELERATION, GRPID=1
+ Z1, 3, 3, {a}
+!STEP, SUBSTEPS=1
+ BOUNDARY, 1
+!MATERIAL, NAME=M1
+!ELASTIC
+ 1000.0, 0.0
+!DENSITY
+ 1.0
+!SOLVER,METHOD=CG,PRECOND=1
+ 10000, 1
+ 1.0e-12, 1.0, 0.0
+!END
+"""
+    model, out = _run_deck(cnt, mesh=box_hex8(1, 1, 2))
+    top = model.mesh.node_groups["Z1"]
+    u_exact = a * dt * dt * n_step * (n_step + 1) / 2.0
+    np.testing.assert_allclose(out.u[top, 2], u_exact, rtol=1e-9)
