@@ -388,21 +388,36 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
     if model.mesh.contact_pairs and cfg.contacts:
         from frontistr_tpu.contact.ntos import ContactManager
         from frontistr_tpu.analysis.nonlinear import (
-            make_contact_solver, make_slag_contact_solver)
+            make_constrained_solver, make_contact_solver,
+            make_slag_contact_solver)
         cm = ContactManager(model.mesh, model, cfg)
         if not cm.active:
             cm = None
         if cm is not None and mpc_a is not None:
             print("### WARNING: !EQUATION constraints are not applied "
                   "to the contact solver arms; MPC ignored for this run")
-        elif cm.algo == "SLAGRANGE" and not cm.has_friction:
+        if cm is not None and cm.algo == "SLAGRANGE" \
+                and not cm.has_friction:
+            if nshard:
+                print("### WARNING: FRONTISTR_TPU_SHARDS not yet "
+                      "supported for SLAGRANGE contact elimination; "
+                      "running single-device")
             contact_solver, slag = make_slag_contact_solver(
                 model, dofs_j, nns, inc_j, total_en, free,
                 eff=(c1, c2), mass=mass)
-        else:
-            contact_solver = make_contact_solver(
-                model, dofs_j, nns, inc_j, total_en, free,
-                friction=cm.has_friction, eff=(c1, c2), mass=mass)
+        elif cm is not None:
+            if nshard:
+                # AL/penalty contact rides the GSPMD effective solve as
+                # replicated slot blocks (make_constrained_solver
+                # contact=True) — same sharded path as the static arm
+                contact_solver = make_constrained_solver(
+                    model, dofs_j, nns, inc_j, total_en, free, mixed,
+                    nshard=nshard, eff=(c1, c2), mass=mass,
+                    contact=True, friction=cm.has_friction)
+            else:
+                contact_solver = make_contact_solver(
+                    model, dofs_j, nns, inc_j, total_en, free,
+                    friction=cm.has_friction, eff=(c1, c2), mass=mass)
 
     @jax.jit
     def _matvec_k(ctx, kes, x):

@@ -760,7 +760,9 @@ def make_slag_contact_solver(model, dofs_j, nns, inc_j, total_en,
 
 def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                             mixed: bool, nshard: int = 0,
-                            eff=None, mass=None):
+                            eff=None, mass=None,
+                            contact: bool = False,
+                            friction: bool = False):
     """One jitted constrained-solve(kes, b_c) for the whole analysis —
     building it per Newton iteration would retrace the Krylov while_loop
     every call.
@@ -789,7 +791,19 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     Newmark effective system c1 K + c2 M instead of K (the multi-chip
     implicit-dynamics arm): the mass enters the assembled cluster slots,
     the diagonal preconditioner, and the AMG Galerkin blocks, so the
-    V-cycle preconditions the true effective operator."""
+    V-cycle preconditions the true effective operator.
+
+    contact=True adds fixed-shape AL/penalty contact slot args
+    (cdofs (Ns, m), cke (Ns, m, m) from ContactManager.device_blocks)
+    to the jitted solve: the slot term rides as a replicated gather →
+    einsum → scatter-add on the row-sharded vectors, so the SAME GSPMD
+    solve covers contact decks (the reference's contact-extended
+    iterative path, solve_LINEQ_contact.f90, runs per-rank the same
+    way).  The preconditioner stays K-only — identical to the
+    single-device make_contact_solver arm.  friction=True switches the
+    Krylov method to BiCGSTAB (nonsymmetric slip tangent)."""
+    if contact and friction:
+        mixed = False        # refined_cg is CG-based; friction → BiCGSTAB
     n_node, ndof = model.n_node, model.ndof
     n_real = model.n_dof_total
     sv = model.cfg.solver
@@ -875,6 +889,8 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     # sharded (the mask is row-sharded with the vectors).
     from frontistr_tpu.assembly import extras as exmod
     mpc_a = exmod.mpc_arrays(model.mesh, ndof, n_node * ndof)
+    if contact:
+        mpc_a = None       # driver warns: MPC ignored on contact decks
     if mpc_a is not None and nshard:
         mpc_a = {k: jax.device_put(v, row if k == "mask" else rep)
                  for k, v in mpc_a.items()}
@@ -921,10 +937,21 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
             am, sb, profile.cols, coords.astype(cop.blocks.dtype),
             cop.free_mask, cop.apply_constrained, cop.block_jacobi())
 
+    def _cwrap(Afn, free_m, cdofs, cke):
+        """Constrained-space contact add-on: Afn(x) + masked slot term."""
+        def A2(x):
+            fm = free_m.astype(x.dtype)
+            xm = x * fm
+            fe = jnp.einsum("eij,ej->ei", cke.astype(x.dtype), xm[cdofs])
+            add = jnp.zeros_like(x).at[cdofs.reshape(-1)].add(
+                fe.reshape(-1))
+            return Afn(x) + add * fm
+        return A2
+
     if mixed:
         @jax.jit
         def _solve(profile, cprofile, am, ctx, kes, B, dirichlet_inc,
-                   pal_a, mass_v, gfac):
+                   pal_a, mass_v, gfac, cdofs, cke):
             dofs, inc, free_m, coords, mpc = ctx
             op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
                                   n_node, ndof, free_m)
@@ -933,6 +960,9 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                 y = op.matvec(x)
                 if eff is not None:
                     y = c1 * y + c2 * mass_v * x
+                if cdofs is not None:
+                    fe = jnp.einsum("eij,ej->ei", cke, x[cdofs])
+                    y = y.at[cdofs.reshape(-1)].add(fe.reshape(-1))
                 return y
 
             def A64(x):
@@ -948,6 +978,8 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
             cop32, raw = _cluster_op(cprofile, kes, free_m, jnp.float32,
                                      pal_a, mass_v)
             A64_cg, A32_cg = A64, cop32.apply_constrained
+            if cdofs is not None:
+                A32_cg = _cwrap(A32_cg, free_m, cdofs, cke)
             if mpc is not None:
                 b_c = exmod.mpc_reduce_rhs(mpc, A64, b_c, gfac)
                 A64_cg = exmod.mpc_wrap(mpc, A64)
@@ -966,7 +998,7 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     else:
         @jax.jit
         def _solve(profile, cprofile, am, ctx, kes, B, dirichlet_inc,
-                   pal_a, mass_v, gfac):
+                   pal_a, mass_v, gfac, cdofs, cke):
             dofs, inc, free_m, coords, mpc = ctx
             op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
                                   n_node, ndof, free_m)
@@ -975,6 +1007,9 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                 y = op.matvec(x)
                 if eff is not None:
                     y = c1 * y + c2 * mass_v * x
+                if cdofs is not None:
+                    fe = jnp.einsum("eij,ej->ei", cke, x[cdofs])
+                    y = y.at[cdofs.reshape(-1)].add(fe.reshape(-1))
                 return y
 
             b_c = (B - mv64(dirichlet_inc)) * free_m + \
@@ -984,16 +1019,20 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
             cop, raw = _cluster_op(cprofile, kes, free_m, b_c.dtype,
                                    pal_a, mass_v)
             A_cg = cop.apply_constrained
+            if cdofs is not None:
+                A_cg = _cwrap(A_cg, free_m, cdofs, cke)
             if mpc is not None:
                 def A64c(x):
                     xm = x * free_m
                     return mv64(xm) * free_m + x * (1.0 - free_m)
                 b_c = exmod.mpc_reduce_rhs(mpc, A64c, b_c, gfac)
                 A_cg = exmod.mpc_wrap(mpc, cop.apply_constrained)
-            res = krylov.pcg(A_cg, b_c,
-                             M=_precond(cop, cprofile, raw, profile, am,
-                                        coords), tol=sv.resid,
-                             maxiter=sv.nier)
+            ksolve = krylov.bicgstab if (contact and friction) \
+                else krylov.pcg
+            res = ksolve(A_cg, b_c,
+                         M=_precond(cop, cprofile, raw, profile, am,
+                                    coords), tol=sv.resid,
+                         maxiter=sv.nier)
             x = res.x
             if mpc is not None:
                 x = exmod.mpc_recover(mpc, x, gfac)
@@ -1012,7 +1051,7 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
             m_np[:n_real] = np.asarray(mass)
             mass_d = jax.device_put(jnp.asarray(m_np), row)
 
-        def solve(kes, B, dirichlet_inc, gfac=0.0):
+        def _pad_inputs(kes, B, dirichlet_inc):
             # element-sharded matrices: zero-pad the phantom elements
             # then split the element axis over the mesh
             kes_s = tuple(jax.device_put(
@@ -1022,8 +1061,27 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                 for k, ep in zip(kes, e_pads))
             Bp = jax.device_put(jnp.pad(B, (0, npad)), row)
             dp = jax.device_put(jnp.pad(dirichlet_inc, (0, npad)), row)
+            return kes_s, Bp, dp
+
+        if contact:
+            def solve(kes, B, dirichlet_inc, cdofs, cke):
+                kes_s, Bp, dp = _pad_inputs(kes, B, dirichlet_inc)
+                cd = jax.device_put(jnp.asarray(cdofs), rep)
+                ck = jax.device_put(jnp.asarray(cke), rep)
+                x, it = _solve(prof_d, cprof_d, amaps, ctx, kes_s, Bp,
+                               dp, pal_args, mass_d, jnp.asarray(0.0),
+                               cd, ck)
+                solve.last_iters = it
+                return jax.device_put(x[:n_real], dev0)
+
+            solve.has_mpc = False
+            return solve
+
+        def solve(kes, B, dirichlet_inc, gfac=0.0):
+            kes_s, Bp, dp = _pad_inputs(kes, B, dirichlet_inc)
             x, it = _solve(prof_d, cprof_d, amaps, ctx, kes_s, Bp, dp,
-                           pal_args, mass_d, jnp.asarray(float(gfac)))
+                           pal_args, mass_d, jnp.asarray(float(gfac)),
+                           None, None)
             solve.last_iters = it         # device scalar, no host sync
             # back to the driver's single default device (legacy path;
             # the fully-sharded Newton engine uses solve.sharded instead)
@@ -1034,7 +1092,7 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
             already padded + element/row-sharded, output stays the
             PADDED row-sharded solution (no device round trip)."""
             return _solve(prof_d, cprof_d, amaps, ctx, kes_s, Bp, dp,
-                          pal_args, mass_d, gfac)
+                          pal_args, mass_d, gfac, None, None)
 
         solve.sharded = solve_sharded
         # everything the sharded element pipeline (ShardedNewton) needs
@@ -1053,12 +1111,20 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     else:
         mass_d = jnp.asarray(mass) if eff is not None else None
 
-        def solve(kes, B, dirichlet_inc, gfac=0.0):
-            x, it = _solve(prof_d, cprof_d, amaps, ctx, kes, B,
-                           dirichlet_inc, pal_args, mass_d,
-                           jnp.asarray(float(gfac)))
-            solve.last_iters = it         # device scalar, no host sync
-            return x
+        if contact:
+            def solve(kes, B, dirichlet_inc, cdofs, cke):
+                x, it = _solve(prof_d, cprof_d, amaps, ctx, kes, B,
+                               dirichlet_inc, pal_args, mass_d,
+                               jnp.asarray(0.0), cdofs, cke)
+                solve.last_iters = it
+                return x
+        else:
+            def solve(kes, B, dirichlet_inc, gfac=0.0):
+                x, it = _solve(prof_d, cprof_d, amaps, ctx, kes, B,
+                               dirichlet_inc, pal_args, mass_d,
+                               jnp.asarray(float(gfac)), None, None)
+                solve.last_iters = it     # device scalar, no host sync
+                return x
 
     solve.has_mpc = mpc_a is not None
     return solve
@@ -1224,7 +1290,7 @@ class ShardedNewton:
         B = gl - Q_cur
         prof_d, cprof_d, amaps, ctx, pal_args, mass_d = sargs
         dx, _cg = self._sfn(prof_d, cprof_d, amaps, ctx, tuple(kes), B,
-                            dinc, pal_args, mass_d, gfac)
+                            dinc, pal_args, mass_d, gfac, None, None)
         du2 = du + dx
         new_states, Q = self._update_all(aux, u, du2, states, t, dt)
         Bres = gl - Q
@@ -1415,34 +1481,46 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
     mixed = _solve_policy() == "mixed"
     from frontistr_tpu.parallel import shard as shmod
     nshard = shmod.requested_shards()
-    if nshard and model.mesh.contact_pairs and cfg.contacts:
-        print("### WARNING: FRONTISTR_TPU_SHARDS not yet supported for "
-              "contact decks; running single-device")
-        nshard = 0
-    solver = make_constrained_solver(model, dofs_j, nns, inc_j, total_en,
-                                     free, mixed, nshard=nshard)
     cm = None
     if model.mesh.contact_pairs and cfg.contacts:
         from frontistr_tpu.contact.ntos import ContactManager
         cm = ContactManager(model.mesh, model, cfg)
         if not cm.active:
             cm = None
+    if nshard and cm is not None and cm.algo == "SLAGRANGE" \
+            and not cm.has_friction:
+        # SLag elimination rebuilds the operator around the active set;
+        # the AL/penalty arms keep the fixed incidence + slot blocks and
+        # run GSPMD-sharded (see make_constrained_solver contact=True)
+        print("### WARNING: FRONTISTR_TPU_SHARDS not yet supported for "
+              "SLAGRANGE contact elimination; running single-device")
+        nshard = 0
+    solver = make_constrained_solver(model, dofs_j, nns, inc_j, total_en,
+                                     free, mixed, nshard=nshard)
     if cm is not None and model.mesh.equations:
         print("### WARNING: !EQUATION constraints are not applied to "
               "the contact solver arms; MPC ignored for this run")
     engine = _maybe_engine(model, programs, solver, ex_kes_j, cm)
     if engine is not None:
         states = engine.pad_states(states)
+
+    def _build_contact_solver(free_v):
+        if cm.algo == "SLAGRANGE" and not cm.has_friction:
+            return make_slag_contact_solver(
+                model, dofs_j, nns, inc_j, total_en, free_v)
+        if nshard:
+            return make_constrained_solver(
+                model, dofs_j, nns, inc_j, total_en, free_v, mixed,
+                nshard=nshard, contact=True,
+                friction=cm.has_friction), None
+        return make_contact_solver(
+            model, dofs_j, nns, inc_j, total_en, free_v,
+            friction=cm.has_friction), None
+
     contact_solver = None
     slag = None
     if cm is not None:
-        if cm.algo == "SLAGRANGE" and not cm.has_friction:
-            contact_solver, slag = make_slag_contact_solver(
-                model, dofs_j, nns, inc_j, total_en, free)
-        else:
-            contact_solver = make_contact_solver(
-                model, dofs_j, nns, inc_j, total_en, free,
-                friction=cm.has_friction)
+        contact_solver, slag = _build_contact_solver(free)
     step_count = 0
     result = None
     Q_last = None
@@ -1476,13 +1554,7 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
             if engine is not None:
                 states = engine.pad_states(states)
             if cm is not None:
-                if cm.algo == "SLAGRANGE" and not cm.has_friction:
-                    contact_solver, slag = make_slag_contact_solver(
-                        model, dofs_j, nns, inc_j, total_en, free)
-                else:
-                    contact_solver = make_contact_solver(
-                        model, dofs_j, nns, inc_j, total_en, free,
-                        friction=cm.has_friction)
+                contact_solver, slag = _build_contact_solver(free)
         t_end = step.elapsetime
         dt = step.initdt
         ainc = _ainc_params(cfg, step)

@@ -482,3 +482,54 @@ def test_sharded_linear_mpc_matches(monkeypatch, tmp_path):
     m0 = build_struct_model(box_tet4(4, 4, 4), cfg)
     x0, *_ = solve_linear(m0)
     assert np.abs(x8 - x0).max() > 1e-8
+
+
+def test_sharded_contact_al_matches(monkeypatch):
+    """AL/penalty contact under FRONTISTR_TPU_SHARDS: the sharded solve
+    carries the contact slot blocks as replicated args (gather -> einsum
+    -> scatter-add on the row-sharded vectors), so a contact deck runs
+    the SAME GSPMD path as the plain Newton loop.  1-vs-8-device
+    equality on the parabolic-indenter AL model (the reference's
+    contact-extended iterative path, solve_LINEQ_contact.f90, runs
+    per-rank the same way)."""
+    import numpy as np
+
+    from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
+    from tests.test_contact import _hertz_indenter_model
+
+    def run():
+        model, mesh, _ = _hertz_indenter_model(nx=12, nz=4)
+        return np.asarray(run_nonlinear_static(model).u)
+
+    monkeypatch.delenv("FRONTISTR_TPU_SHARDS", raising=False)
+    u1 = run()
+    monkeypatch.setenv("FRONTISTR_TPU_SHARDS", "8")
+    u8 = run()
+
+    assert np.abs(u1).max() > 1e-4
+    np.testing.assert_allclose(u8, u1, rtol=1e-6,
+                               atol=1e-8 * np.abs(u1).max())
+
+
+def test_sharded_dynamic_contact_al_matches(monkeypatch):
+    """AL contact in implicit dynamics under FRONTISTR_TPU_SHARDS: the
+    Newmark effective solve c1 K + c2 M + K_c runs GSPMD-sharded with
+    the contact slot blocks as replicated args.  1-vs-8-device equality
+    on the two-cube compression deck (fstr_dynamic_nlimplicit.f90:374+
+    contact arm)."""
+    import numpy as np
+
+    from tests.test_dynamic_contact import _run
+
+    def go():
+        model, out = _run(gap=0.0, n_step=5, dt=0.01, ray_m=0.5)
+        return np.asarray(out.u)
+
+    monkeypatch.delenv("FRONTISTR_TPU_SHARDS", raising=False)
+    u1 = go()
+    monkeypatch.setenv("FRONTISTR_TPU_SHARDS", "8")
+    u8 = go()
+
+    assert np.abs(u1).max() > 1e-5
+    np.testing.assert_allclose(u8, u1, rtol=1e-6,
+                               atol=1e-8 * np.abs(u1).max())
