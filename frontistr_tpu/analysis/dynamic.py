@@ -393,9 +393,20 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
         cm = ContactManager(model.mesh, model, cfg)
         if not cm.active:
             cm = None
-        if cm is not None and mpc_a is not None:
-            print("### WARNING: !EQUATION constraints are not applied "
-                  "to the contact solver arms; MPC ignored for this run")
+        # !EQUATION on contact decks: the AL/penalty effective-solve
+        # arms eliminate MPCs on the contact-extended operator; SLag
+        # composes the two eliminations when the dof sets are disjoint
+        # (reference: hecmw_mat_ass_equation before every solve)
+        slag_mpc = False
+        if cm is not None and mpc_a is not None \
+                and cm.algo == "SLAGRANGE" and not cm.has_friction:
+            from frontistr_tpu.analysis.nonlinear import \
+                contact_mpc_disjoint
+            slag_mpc = contact_mpc_disjoint(cm, model)
+            if not slag_mpc:
+                print("### WARNING: !EQUATION dofs overlap the contact "
+                      "surfaces; SLAGRANGE+MPC composition is invalid "
+                      "— MPC ignored for this run")
         if cm is not None and cm.algo == "SLAGRANGE" \
                 and not cm.has_friction:
             if nshard:
@@ -404,7 +415,7 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
                       "running single-device")
             contact_solver, slag = make_slag_contact_solver(
                 model, dofs_j, nns, inc_j, total_en, free,
-                eff=(c1, c2), mass=mass)
+                eff=(c1, c2), mass=mass, mpc=slag_mpc)
         elif cm is not None:
             if nshard:
                 # AL/penalty contact rides the GSPMD effective solve as
@@ -519,7 +530,8 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
                     Bc = jnp.zeros_like(B).at[cdofs_j.reshape(-1)].add(
                         jnp.asarray(cqf).reshape(-1))
                     B = B - Bc
-                    Bres = B
+                    Bres = exmod.mpc_Tt(mpc_a, B) \
+                        if mpc_a is not None else B
 
                 if it == 1:
                     dirichlet_inc = u_fix_t - u
@@ -545,8 +557,11 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
                     # (fstr_AddContactStiffness per iteration); only the
                     # act mask is frozen
                     cn = slag.build(proj, cm.all_slaves, cact)
+                    r = exmod.mpc_Tt(mpc_a, B) \
+                        if getattr(contact_solver, "has_mpc", False) \
+                        else B
                     Bres = jnp.asarray(
-                        np.asarray(slag.Tt(cn, B)) * np.asarray(free))
+                        np.asarray(slag.Tt(cn, r)) * np.asarray(free))
 
                 bnorm = float(jnp.vdot(Bres * free, Bres * free))
                 if it == 1:

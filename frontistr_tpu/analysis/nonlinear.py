@@ -651,7 +651,8 @@ def _qf_totallag(table, S, gderiv, det, dudx, stress, thick, dim):
 
 
 def make_contact_solver(model, dofs_j, nns, inc_j, total_en, free,
-                        friction: bool = False, eff=None, mass=None):
+                        friction: bool = False, eff=None, mass=None,
+                        mpc: bool = True):
     """Jitted solve with a varying contact block applied outside the static
     incidence (scatter-add; contact conn changes face targets per search).
 
@@ -664,15 +665,25 @@ def make_contact_solver(model, dofs_j, nns, inc_j, total_en, free,
     effective system c1 K + c2 M + K_c instead of K + K_c (the implicit-
     dynamics contact arm, fstr_dynamic_nlimplicit.f90:374+); the contact
     tangent K_c enters unscaled — it linearizes the contact force in the
-    residual, which carries no Rayleigh factor."""
+    residual, which carries no Rayleigh factor.
+
+    !EQUATION constraints are eliminated on the contact-extended
+    operator T^t (K + K_c) T — the reference applies
+    hecmw_mat_ass_equation at the middleware level before EVERY solve,
+    contact decks included; the AL/penalty contact force lives in the
+    full dof space, so eliminating the MPC dofs from it constrains the
+    contact force consistently."""
     n_node, ndof = model.n_node, model.ndof
     sv = model.cfg.solver
     nns_t = tuple(nns)
     c1, c2 = eff if eff is not None else (1.0, 0.0)
+    from frontistr_tpu.assembly import extras as exmod
+    mpc_a = exmod.mpc_arrays(model.mesh, ndof, n_node * ndof) \
+        if mpc else None
 
     @jax.jit
-    def _solve(ctx, kes, B, dirichlet_inc, cdofs, cke):
-        dofs, inc, free, m_eff = ctx
+    def _solve(ctx, kes, B, dirichlet_inc, cdofs, cke, gfac):
+        dofs, inc, free, m_eff, mpc = ctx
 
         op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
                               n_node, ndof, free)
@@ -690,24 +701,59 @@ def make_contact_solver(model, dofs_j, nns, inc_j, total_en, free,
 
         b_c = (B - A_raw(dirichlet_inc)) * free + \
             dirichlet_inc * (1.0 - free)
+        A_cg = A
+        if mpc is not None:
+            b_c = exmod.mpc_reduce_rhs(mpc, A, b_c, gfac)
+            A_cg = exmod.mpc_wrap(mpc, A)
         M_pc = op.block_jacobi(scale=c1, diag_add=(
             c2 * m_eff if eff is not None else None))
         solver = krylov.bicgstab if friction else krylov.pcg
-        res = solver(A, b_c, M=M_pc, tol=sv.resid,
+        res = solver(A_cg, b_c, M=M_pc, tol=sv.resid,
                      maxiter=sv.nier)
-        return res.x
+        x = res.x
+        if mpc is not None:
+            x = exmod.mpc_recover(mpc, x, gfac)
+        return x
 
     ctx = (list(dofs_j), inc_j, free,
-           mass if mass is not None else jnp.zeros(0))
+           mass if mass is not None else jnp.zeros(0), mpc_a)
 
-    def solve(kes, B, dirichlet_inc, cdofs, cke):
-        return _solve(ctx, kes, B, dirichlet_inc, cdofs, cke)
+    def solve(kes, B, dirichlet_inc, cdofs, cke, gfac=0.0):
+        return _solve(ctx, kes, B, dirichlet_inc, cdofs, cke,
+                      jnp.asarray(float(gfac)))
 
+    solve.has_mpc = mpc_a is not None
     return solve
 
 
+def contact_mpc_disjoint(cm, model) -> bool:
+    """Host check: do the contact constraints and the !EQUATION MPCs
+    touch disjoint dofs?  Required for the exact composition
+    T_c^t T_m^t A T_m T_c in the SLag contact arm (the transforms
+    commute only when neither eliminates or references the other's
+    dofs).  Conservative: ALL slave-node dofs and ALL candidate
+    master-face-node dofs count as contact dofs, so the answer holds
+    for every active set / pivot choice."""
+    from frontistr_tpu.assembly import extras as exmod
+    ndof = model.ndof
+    mpc_a = exmod.mpc_arrays(model.mesh, ndof, model.n_node * ndof)
+    if mpc_a is None:
+        return True
+    cnodes = [np.asarray(cm.all_slaves)]
+    for p in cm.pairs:
+        f = np.asarray(p.faces).reshape(-1)
+        cnodes.append(f[f >= 0])
+    cnodes = np.unique(np.concatenate(cnodes))
+    cdof = (cnodes[:, None] * ndof + np.arange(ndof)[None, :]).reshape(-1)
+    mdof = np.unique(np.concatenate([
+        np.asarray(mpc_a["dep"]).reshape(-1),
+        np.asarray(mpc_a["mast"]).reshape(-1)]))
+    return not np.intersect1d(cdof, mdof).size
+
+
 def make_slag_contact_solver(model, dofs_j, nns, inc_j, total_en,
-                             free, eff=None, mass=None):
+                             free, eff=None, mass=None,
+                             mpc: bool = False):
     """Exact-Lagrange contact solve: slave-dof elimination T K T^t
     (solve_LINEQ_iter_contact.f90:115-500) with fixed-shape constraint
     slots so the active set never recompiles.  Returns
@@ -715,17 +761,28 @@ def make_slag_contact_solver(model, dofs_j, nns, inc_j, total_en,
 
     eff=(c1, c2) + mass eliminates on the Newmark effective matrix
     c1 K + c2 M (implicit-dynamics SLag contact,
-    fstr_dynamic_nlimplicit.f90:374+)."""
+    fstr_dynamic_nlimplicit.f90:374+).
+
+    !EQUATION constraints compose as the INNER elimination (the
+    reference applies hecmw_mat_ass_equation to K before the contact
+    path runs): A_r = T_c^t T_m^t A T_m T_c.  Valid when the MPC and
+    contact constraints touch disjoint dofs — the driver verifies that
+    on the host (contact_mpc_disjoint) and falls back loudly
+    otherwise."""
     from frontistr_tpu.contact.slag import ContactEliminator
     n_node, ndof = model.n_node, model.ndof
     sv = model.cfg.solver
     nns_t = tuple(nns)
     elim = ContactEliminator(model.n_dof_total, ndof)
     c1, c2 = eff if eff is not None else (1.0, 0.0)
+    from frontistr_tpu.assembly import extras as exmod
+    mpc_a = None
+    if mpc:
+        mpc_a = exmod.mpc_arrays(model.mesh, ndof, n_node * ndof)
 
     @jax.jit
-    def _solve(ctx, cn, kes, B, dirichlet_inc):
-        dofs, inc, free, m_eff = ctx
+    def _solve(ctx, cn, kes, B, dirichlet_inc, gfac):
+        dofs, inc, free, m_eff, mpc_t = ctx
         op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
                               n_node, ndof, free)
 
@@ -741,20 +798,29 @@ def make_slag_contact_solver(model, dofs_j, nns, inc_j, total_en,
 
         b_c = (B - mv(dirichlet_inc)) * free + \
             dirichlet_inc * (1.0 - free)
-        A = elim.wrap(cn, A0)
-        b_r = elim.reduce_rhs(cn, A0, b_c)
+        A1, b1 = A0, b_c
+        if mpc_t is not None:
+            b1 = exmod.mpc_reduce_rhs(mpc_t, A0, b_c, gfac)
+            A1 = exmod.mpc_wrap(mpc_t, A0)
+        A = elim.wrap(cn, A1)
+        b_r = elim.reduce_rhs(cn, A1, b1)
         M_pc = op.block_jacobi(scale=c1, diag_add=(
             c2 * m_eff if eff is not None else None))
         res = krylov.pcg(A, b_r, M=M_pc, tol=sv.resid,
                          maxiter=sv.nier)
-        return elim.recover(cn, res.x)
+        x = elim.recover(cn, res.x)
+        if mpc_t is not None:
+            x = exmod.mpc_recover(mpc_t, x, gfac)
+        return x
 
     ctx = (list(dofs_j), inc_j, free,
-           mass if mass is not None else jnp.zeros(0))
+           mass if mass is not None else jnp.zeros(0), mpc_a)
 
-    def solve(kes, B, dirichlet_inc, cn):
-        return _solve(ctx, cn, kes, B, dirichlet_inc)
+    def solve(kes, B, dirichlet_inc, cn, gfac=0.0):
+        return _solve(ctx, cn, kes, B, dirichlet_inc,
+                      jnp.asarray(float(gfac)))
 
+    solve.has_mpc = mpc_a is not None
     return solve, elim
 
 
@@ -762,7 +828,8 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                             mixed: bool, nshard: int = 0,
                             eff=None, mass=None,
                             contact: bool = False,
-                            friction: bool = False):
+                            friction: bool = False,
+                            with_mpc: bool = True):
     """One jitted constrained-solve(kes, b_c) for the whole analysis —
     building it per Newton iteration would retrace the Krylov while_loop
     every call.
@@ -888,9 +955,8 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     # into the jitted solve — arrays ride as args, so the SAME path runs
     # sharded (the mask is row-sharded with the vectors).
     from frontistr_tpu.assembly import extras as exmod
-    mpc_a = exmod.mpc_arrays(model.mesh, ndof, n_node * ndof)
-    if contact:
-        mpc_a = None       # driver warns: MPC ignored on contact decks
+    mpc_a = exmod.mpc_arrays(model.mesh, ndof, n_node * ndof) \
+        if with_mpc else None
     if mpc_a is not None and nshard:
         mpc_a = {k: jax.device_put(v, row if k == "mask" else rep)
                  for k, v in mpc_a.items()}
@@ -981,9 +1047,11 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
             if cdofs is not None:
                 A32_cg = _cwrap(A32_cg, free_m, cdofs, cke)
             if mpc is not None:
+                # MPC eliminates on the contact-extended operator:
+                # A64/A32_cg already carry the K_c slot term
                 b_c = exmod.mpc_reduce_rhs(mpc, A64, b_c, gfac)
                 A64_cg = exmod.mpc_wrap(mpc, A64)
-                A32_cg = exmod.mpc_wrap(mpc, cop32.apply_constrained)
+                A32_cg = exmod.mpc_wrap(mpc, A32_cg)
             res = refined_cg(A64_cg, A32_cg,
                              _precond(cop32, cprofile, raw, profile, am,
                                       coords), b_c,
@@ -1026,7 +1094,7 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                     xm = x * free_m
                     return mv64(xm) * free_m + x * (1.0 - free_m)
                 b_c = exmod.mpc_reduce_rhs(mpc, A64c, b_c, gfac)
-                A_cg = exmod.mpc_wrap(mpc, cop.apply_constrained)
+                A_cg = exmod.mpc_wrap(mpc, A_cg)
             ksolve = krylov.bicgstab if (contact and friction) \
                 else krylov.pcg
             res = ksolve(A_cg, b_c,
@@ -1064,17 +1132,17 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
             return kes_s, Bp, dp
 
         if contact:
-            def solve(kes, B, dirichlet_inc, cdofs, cke):
+            def solve(kes, B, dirichlet_inc, cdofs, cke, gfac=0.0):
                 kes_s, Bp, dp = _pad_inputs(kes, B, dirichlet_inc)
                 cd = jax.device_put(jnp.asarray(cdofs), rep)
                 ck = jax.device_put(jnp.asarray(cke), rep)
                 x, it = _solve(prof_d, cprof_d, amaps, ctx, kes_s, Bp,
-                               dp, pal_args, mass_d, jnp.asarray(0.0),
-                               cd, ck)
+                               dp, pal_args, mass_d,
+                               jnp.asarray(float(gfac)), cd, ck)
                 solve.last_iters = it
                 return jax.device_put(x[:n_real], dev0)
 
-            solve.has_mpc = False
+            solve.has_mpc = mpc_a is not None
             return solve
 
         def solve(kes, B, dirichlet_inc, gfac=0.0):
@@ -1112,10 +1180,10 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
         mass_d = jnp.asarray(mass) if eff is not None else None
 
         if contact:
-            def solve(kes, B, dirichlet_inc, cdofs, cke):
+            def solve(kes, B, dirichlet_inc, cdofs, cke, gfac=0.0):
                 x, it = _solve(prof_d, cprof_d, amaps, ctx, kes, B,
                                dirichlet_inc, pal_args, mass_d,
-                               jnp.asarray(0.0), cdofs, cke)
+                               jnp.asarray(float(gfac)), cdofs, cke)
                 solve.last_iters = it
                 return x
         else:
@@ -1497,9 +1565,24 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
         nshard = 0
     solver = make_constrained_solver(model, dofs_j, nns, inc_j, total_en,
                                      free, mixed, nshard=nshard)
+    # !EQUATION on contact decks: the AL/penalty arms eliminate MPCs on
+    # the contact-extended operator (reference: hecmw_mat_ass_equation
+    # runs before every solve, contact included); SLag composes the two
+    # eliminations when their dof sets are disjoint, else falls back
+    # loudly; the host direct arms do not take MPCs.
+    slag_mpc = False
+    direct_m = model.cfg.solver.method.upper() in (
+        "DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG")
     if cm is not None and model.mesh.equations:
-        print("### WARNING: !EQUATION constraints are not applied to "
-              "the contact solver arms; MPC ignored for this run")
+        if direct_m:
+            print("### WARNING: !EQUATION constraints are not applied "
+                  "to the DIRECT contact arms; MPC ignored for this run")
+        elif cm.algo == "SLAGRANGE" and not cm.has_friction:
+            slag_mpc = contact_mpc_disjoint(cm, model)
+            if not slag_mpc:
+                print("### WARNING: !EQUATION dofs overlap the contact "
+                      "surfaces; SLAGRANGE+MPC composition is invalid "
+                      "— MPC ignored for this run")
     engine = _maybe_engine(model, programs, solver, ex_kes_j, cm)
     if engine is not None:
         states = engine.pad_states(states)
@@ -1507,15 +1590,17 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
     def _build_contact_solver(free_v):
         if cm.algo == "SLAGRANGE" and not cm.has_friction:
             return make_slag_contact_solver(
-                model, dofs_j, nns, inc_j, total_en, free_v)
+                model, dofs_j, nns, inc_j, total_en, free_v,
+                mpc=slag_mpc)
         if nshard:
             return make_constrained_solver(
                 model, dofs_j, nns, inc_j, total_en, free_v, mixed,
                 nshard=nshard, contact=True,
-                friction=cm.has_friction), None
+                friction=cm.has_friction,
+                with_mpc=not direct_m), None
         return make_contact_solver(
             model, dofs_j, nns, inc_j, total_en, free_v,
-            friction=cm.has_friction), None
+            friction=cm.has_friction, mpc=not direct_m), None
 
     contact_solver = None
     slag = None
@@ -1909,9 +1994,13 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
                         u_fix=np.asarray(dirichlet_inc))
                     dx = jnp.asarray(dx_np)
                 except RuntimeError:
-                    dx = contact_solve(tuple(kes), B, dirichlet_inc, cn)
+                    dx = contact_solve(tuple(kes), B, dirichlet_inc, cn,
+                                       gfac=((lam2 - lam1)
+                                             if it == 1 else 0.0))
             else:
-                dx = contact_solve(tuple(kes), B, dirichlet_inc, cn)
+                dx = contact_solve(tuple(kes), B, dirichlet_inc, cn,
+                                   gfac=((lam2 - lam1)
+                                         if it == 1 else 0.0))
         elif cm is not None:
             coords_def = model.coords + np.asarray(
                 u + du).reshape(model.n_node, model.ndof)
@@ -1931,7 +2020,9 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
                     u_fix=np.asarray(dirichlet_inc)))
             else:
                 dx = contact_solve(tuple(kes), B, dirichlet_inc, cdofs_j,
-                                   jnp.asarray(cke))
+                                   jnp.asarray(cke),
+                                   gfac=((lam2 - lam1)
+                                         if it == 1 else 0.0))
         else:
             if solve is None:
                 solve = make_constrained_solver(model, dofs_j, nns, inc_j,
@@ -1958,21 +2049,28 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
         Q = flat[idx].sum(axis=1).reshape(-1)
         Q_cur = Q
         Bres = (gl - Q) * free
-        if cm is None and getattr(solve, "has_mpc", False):
+        active_solve = solve if cm is None else contact_solve
+        mpc_h = None
+        if getattr(active_solve, "has_mpc", False):
             # !EQUATION: reduced-space residual so constraint-carrying
             # forces cancel between dependent and master dofs
             # (fstr_Update_NDForce_MPC)
             from frontistr_tpu.assembly import extras as exmod
-            mpc_h = getattr(solve, "_mpc_h", None)
+            mpc_h = getattr(active_solve, "_mpc_h", None)
             if mpc_h is None:
                 mpc_h = exmod.mpc_arrays(model.mesh, ndof, n)
-                solve._mpc_h = mpc_h
+                active_solve._mpc_h = mpc_h
+        if cm is None and mpc_h is not None:
             Bres = exmod.mpc_Tt(mpc_h, gl - Q) * free
         if cm is not None and slag is not None:
             # reduced-space residual (active set stays frozen; the
-            # tension/penetration scan runs in the outer contact loop)
+            # tension/penetration scan runs in the outer contact loop);
+            # with MPC composed, reduce T_c^t T_m^t r
             cm._last_B = gl - Q
-            Bres = np.asarray(slag.Tt(cn, gl - Q)) * np.asarray(free)
+            r = gl - Q
+            if mpc_h is not None:
+                r = exmod.mpc_Tt(mpc_h, r)
+            Bres = np.asarray(slag.Tt(cn, r)) * np.asarray(free)
             Bres = jnp.asarray(Bres)
         elif cm is not None:
             coords_def = model.coords + np.asarray(
@@ -1982,7 +2080,10 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
             Qc = jnp.zeros_like(Bres).at[
                 jnp.asarray(cdofs_n).reshape(-1)].add(
                 jnp.asarray(cqf_n).reshape(-1))
-            Bres = (gl - Q - Qc) * free
+            r = gl - Q - Qc
+            if mpc_h is not None:
+                r = exmod.mpc_Tt(mpc_h, r)
+            Bres = r * free
         # ONE device->host fetch per Newton iteration: the four
         # convergence norms ride back together (each separate float()
         # is a full round-trip on the remote-TPU tunnel)
