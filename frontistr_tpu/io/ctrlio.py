@@ -225,6 +225,7 @@ class AnalysisConfig:
     contacts: List[Card] = dataclasses.field(default_factory=list)
     embeds: List[Card] = dataclasses.field(default_factory=list)
     # misc
+    echo: bool = False
     mpc_penalty: float = 1.0e10
     autoinc_params: List[Card] = dataclasses.field(default_factory=list)
     time_points: List[Card] = dataclasses.field(default_factory=list)
@@ -600,6 +601,10 @@ def read_cnt(path: str) -> AnalysisConfig:
             cfg.couple = c
         elif n == "ELEMOPT":
             cfg.elemopt361 = c.iparam("361", 0)
+        elif n == "ECHO":
+            # IECHO=1: dump the consumed mesh + deck into the log
+            # (static_echo.f90, heat_echo.f90)
+            cfg.echo = True
 
     if not cfg.steps:
         cfg.steps.append(StepInfo())

@@ -269,6 +269,12 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
     else:
         raise NotImplementedError(f"solution type {sol}")
 
+    # !ECHO: prepend the consumed mesh + deck dump to the log
+    # (static_echo.f90 / heat_echo.f90 write through ILOG at setup)
+    if cfg.echo:
+        from frontistr_tpu.io.echo import prepend_echo
+        prepend_echo(log_path, mesh, cfg)
+
     # in-situ visualization (!WRITE,VISUAL + !VISUAL PSR surface render)
     if cfg.write_visual and "static" in out:
         try:
