@@ -285,3 +285,40 @@ def test_tet_cutting_prism_vertical_edge_raises():
              contact_pairs=[], initial_conditions={}, zero_temp=0.0)
     with pytest.raises(NotImplementedError):
         adapt_mesh(m, [2])
+
+
+def test_adapt_then_sharded_solve_matches(monkeypatch):
+    """Parallel adaptation, the TPU way: the reference adapts the
+    DISTRIBUTED mesh and keeps solving on N ranks (hecmw_adapt_proc on
+    hecmwST_local_mesh).  Here adaptation produces an irregular
+    red/green-refined mesh whose solve must still ride the GSPMD device
+    mesh — adapt_by_error -> build -> FRONTISTR_TPU_SHARDS=8 equals the
+    single-device answer bit-for-bit at solver tolerance."""
+    from frontistr_tpu.io.ctrlio import Card
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.static import run_linear_static
+    from frontistr_tpu.io.ctrlio import AnalysisConfig, StepInfo
+
+    m = box_tet4(3, 3, 3)
+    cfg = AnalysisConfig()
+    cfg.solution_type = "STATIC"
+    cfg.steps = [StepInfo()]
+    cfg.boundaries = [Card("BOUNDARY", {}, [["Z0", "1", "3", "0.0"]])]
+    corner = int(np.argmin(((m.coords - 1.0) ** 2).sum(1)))
+    cfg.cloads = [Card("CLOAD", {},
+                       [[str(corner + 1), "3", "-1000.0"]])]
+    model = build_struct_model(m, cfg)
+    res = run_linear_static(model)
+
+    m2 = adapt_by_error(m, res, 0.2)
+    assert m2.n_elem > m.n_elem            # refinement actually happened
+    model2 = build_struct_model(m2, cfg)
+
+    monkeypatch.delenv("FRONTISTR_TPU_SHARDS", raising=False)
+    r1 = run_linear_static(model2)
+    monkeypatch.setenv("FRONTISTR_TPU_SHARDS", "8")
+    r8 = run_linear_static(model2)
+
+    assert r8.relres < 1e-6 and np.abs(r1.u).max() > 0
+    np.testing.assert_allclose(r8.u, r1.u, rtol=1e-6,
+                               atol=1e-9 * np.abs(r1.u).max())
