@@ -17,12 +17,45 @@ from frontistr_tpu.io.ctrlio import read_cnt
 from frontistr_tpu.io import logio
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for the CLI path.
+
+    First jit compile of a deck shape costs seconds (TPU) to minutes
+    (CPU f64 tet10); the reference pays an analogous one-time cost in
+    its symbolic setup.  Keyed by host platform + CPU so an artifact
+    compiled on another machine is never loaded (XLA's AOT loader only
+    warns on a feature mismatch — SIGILL risk).  Opt out with
+    FRONTISTR_TPU_COMPILE_CACHE=0; override dir with JAX_CACHE_DIR.
+    """
+    if os.environ.get("FRONTISTR_TPU_COMPILE_CACHE", "1") == "0":
+        return
+    try:
+        import hashlib
+        import platform
+
+        import jax
+        base = os.environ.get(
+            "JAX_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "frontistr_tpu", "xla"))
+        host = hashlib.sha1(
+            (platform.machine() + platform.processor()
+             + platform.version()).encode()).hexdigest()[:12]
+        cache = os.path.join(base, host)
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass                      # cache is an optimization, never fatal
+
+
 def run_directory(workdir: str, log_name: str = "0.log") -> dict:
     """Run the analysis configured by ``workdir/hecmw_ctrl.dat``.
 
     Returns a dict of result objects keyed by analysis type.
     """
     t_start = time.time()
+    _enable_compile_cache()
     from frontistr_tpu.io.dbgfile import dbg_open, dbg
     dbg_open(workdir)                # FSTR.dbg.<rank> (fistr_main.f90:193)
     ctrl = read_hecmw_ctrl(os.path.join(workdir, "hecmw_ctrl.dat"))
