@@ -1563,8 +1563,13 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
         print("### WARNING: FRONTISTR_TPU_SHARDS not yet supported for "
               "SLAGRANGE contact elimination; running single-device")
         nshard = 0
-    solver = make_constrained_solver(model, dofs_j, nns, inc_j, total_en,
-                                     free, mixed, nshard=nshard)
+    # plain METHOD=DIRECT decks never touch the iterative solver — skip
+    # its profile/jit setup (MPC decks stay iterative: exact T^tKT)
+    plain_direct = (model.cfg.solver.method.upper() in (
+        "DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG")
+        and cm is None and not model.mesh.equations)
+    solver = None if plain_direct else make_constrained_solver(
+        model, dofs_j, nns, inc_j, total_en, free, mixed, nshard=nshard)
     # !EQUATION on contact decks: the AL/penalty arms eliminate MPCs on
     # the contact-extended operator (reference: hecmw_mat_ass_equation
     # runs before every solve, contact included); SLag composes the two
@@ -1953,8 +1958,13 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
         B = gl - Q_cur
         dirichlet_inc = dufix if it == 1 else jnp.zeros_like(dufix)
         direct = model.cfg.solver.method.upper() in (
-            "DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG") \
-            if cm is not None else False
+            "DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG")
+        if cm is None and model.mesh.equations:
+            # !EQUATION needs the operator-wise T^tKT elimination, which
+            # lives in the iterative arm — keep exact physics over
+            # method choice (the reference eliminates at the middleware
+            # level, so its direct solvers see the reduced matrix)
+            direct = False
         if cm is not None and slag is not None:
             # SLAGRANGE: exact gap closure by slave-dof elimination.
             # The active set is FROZEN for the whole Newton pass
@@ -2023,6 +2033,19 @@ def _newton_substep(model, programs, states, u, f_total, free, u_fix_total,
                                    jnp.asarray(cke),
                                    gfac=((lam2 - lam1)
                                          if it == 1 else 0.0))
+        elif direct:
+            # METHOD=DIRECT/MUMPS on a plain (no-contact) nonlinear deck:
+            # host SuperLU on the current tangent each iteration
+            # (fstr_solve_NonLinear.f90 calls solve_LINEQ, which
+            # dispatches MUMPS/direct like every other solve)
+            from types import SimpleNamespace
+            from frontistr_tpu.solver.direct import solve_direct
+            op_h = SimpleNamespace(
+                kes=[np.asarray(k) for k in kes],
+                dofs=[np.asarray(d) for d in dofs_j],
+                free_mask=np.asarray(free), n_dof=n)
+            dx = jnp.asarray(solve_direct(
+                op_h, np.asarray(B), u_fix=np.asarray(dirichlet_inc)))
         else:
             if solve is None:
                 solve = make_constrained_solver(model, dofs_j, nns, inc_j,

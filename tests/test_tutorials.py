@@ -159,3 +159,93 @@ def test_tutorial08_creep():
     assert len(ratio) >= 4
     assert np.all(np.diff(ratio) < 0.0), ratio
     assert ratio[-1] < 0.995 * ratio[0], ratio
+
+
+@requires_reference
+def test_tutorial06_plastic_can():
+    """Tutorial 06 (Drucker-Prager can under surface pressure, tet10
+    342 + follower S-DLOADs) at 5% load, one substep, direct solve.
+
+    Full load collapses the can (elastic |u|max ~ 20: geometric
+    snap-through the reference walks with 10 substeps of cutbacks) —
+    CI runs the elastic-dominant regime and asserts global equilibrium
+    through the reactions, which breaks under wrong tet10 kernels,
+    S-pressure assembly, or the DP constitutive path."""
+    from frontistr_tpu.io.meshio import read_mesh
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
+    d = os.path.join(TUT, "06_plastic_can")
+    mesh = read_mesh(os.path.join(d, "can.msh"))
+    cfg = read_cnt(os.path.join(d, "can.cnt"))
+    cfg.steps[0].num_substep = 1
+    cfg.steps[0].initdt = 1.0
+    cfg.solver.method = "DIRECT"
+    for card in cfg.dloads:
+        card.data = [[row[0], row[1], str(float(row[2]) * 0.05)]
+                     for row in card.data]
+    model = build_struct_model(mesh, cfg)
+    res = run_nonlinear_static(model)
+    assert np.isfinite(res.u).all() and np.isfinite(res.nodal_mises).all()
+    # thin can flexes visibly even at 5% pressure
+    assert 0.1 < np.abs(res.u).max() < 5.0
+    # global equilibrium per axis: sum of constrained-dof reactions
+    # cancels the applied load to Newton tolerance
+    R = res.reaction
+    fixed = np.unique(np.asarray(model.fixed_dofs) // model.ndof)
+    for ax in range(3):
+        total = R[fixed, ax].sum()
+        f_app = np.asarray(model.f_ext).reshape(-1, 3)[:, ax].sum()
+        scale = np.abs(R[fixed, ax]).sum() + 1.0
+        assert abs(total + f_app) < 1e-3 * scale, (ax, total, f_app)
+
+
+@requires_reference
+def test_direct_equals_cg_nonlinear():
+    """The plain-deck METHOD=DIRECT Newton arm (host SuperLU per
+    iteration) must reproduce the iterative-arm answer on an NLGEOM
+    hyperelastic run (solve_LINEQ dispatches MUMPS/CG interchangeably
+    in the reference)."""
+    import textwrap
+    import tempfile
+
+    from frontistr_tpu.meshgen import box_hex8
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
+
+    cnt = textwrap.dedent("""\
+        !VERSION
+         3
+        !SOLUTION, TYPE=NLSTATIC
+        !BOUNDARY
+         X0, 1, 3, 0.0
+        !CLOAD
+         X1, 3, -2.0
+        !MATERIAL, NAME=M1
+        !HYPERELASTIC, TYPE=NEOHOOKE
+         80.0, 200.0
+        !STEP, SUBSTEPS=2, CONVERG=1.0e-10
+         BOUNDARY, 1
+         LOAD, 1
+        !SOLVER, METHOD={M}
+         10000, 1
+         1.0e-12, 1.0, 0.0
+        !END
+    """)
+
+    def run(method):
+        with tempfile.NamedTemporaryFile("w", suffix=".cnt",
+                                         delete=False) as f:
+            f.write(cnt.replace("{M}", method))
+            p = f.name
+        cfg = read_cnt(p)
+        os.unlink(p)
+        model = build_struct_model(box_hex8(3, 3, 3), cfg)
+        return np.asarray(run_nonlinear_static(model).u)
+
+    u_cg = run("CG")
+    u_dir = run("DIRECT")
+    assert np.abs(u_cg).max() > 1e-3
+    np.testing.assert_allclose(u_dir, u_cg, rtol=1e-7,
+                               atol=1e-10 * np.abs(u_cg).max())
