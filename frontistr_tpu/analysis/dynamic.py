@@ -375,7 +375,48 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
 
         def solve_eff(kes, B, dirichlet_inc):
             return _sh_solver(tuple(kes), B, dirichlet_inc)
+    elif cfg.solver.method.upper() in (
+            "DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG") \
+            and mpc_a is None \
+            and not (model.mesh.contact_pairs and cfg.contacts):
+        # METHOD=DIRECT in implicit dynamics: factor K_eff = c1 K + c2 M
+        # with host SuperLU ONCE and back-substitute every step — the
+        # reference's set_arrays_DirectSolver path does exactly this for
+        # linear dynamics; a nonlinear run passes fresh tangent arrays,
+        # which triggers a refactorization (cache keyed by the kes
+        # identity, entry holds the arrays so ids cannot be recycled)
+        from frontistr_tpu.solver.direct import assemble_csr
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+        _fact: dict = {}
+        free_np = np.asarray(free)
+
+        def solve_eff(kes, B, dirichlet_inc):
+            key = tuple(id(k) for k in kes)
+            ent = _fact.get("f")
+            if ent is None or ent[0] != key:
+                A = assemble_csr([np.asarray(k) for k in kes],
+                                 [np.asarray(dd) for dd in dofs_j], n)
+                A = (c1 * A + c2 * sp.diags(np.asarray(mass))).tocsr()
+                P = sp.diags(free_np)
+                Acon = P @ A @ P + sp.diags(1.0 - free_np)
+                dz = Acon.diagonal() == 0.0
+                if dz.any():
+                    Acon = Acon + sp.diags(dz.astype(float))
+                _fact["f"] = (key, spla.splu(Acon.tocsc()), A,
+                              tuple(kes))
+                ent = _fact["f"]
+            _, lu, A, _ = ent
+            b = np.asarray(B)
+            uf = np.asarray(dirichlet_inc)
+            b = (b - A @ uf) * free_np + uf * (1.0 - free_np)
+            return jnp.asarray(lu.solve(b))
     else:
+        if cfg.solver.method.upper() in (
+                "DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG"):
+            print("### NOTE: METHOD=DIRECT with !EQUATION/contact rides "
+                  "the iterative eliminated solve in dynamics")
+
         def solve_eff(kes, B, dirichlet_inc):
             return _solve_eff(_ctx, kes, B, dirichlet_inc)
 

@@ -118,7 +118,35 @@ def run_eigen(model: StructModel, log_path: Optional[str] = None,
             # the sharded solver reduces/recovers MPC internally
             b = (mass_j * q) * k_act
             return _sh(_kes_t, b, _zero) * k_act
+    elif cfg.solver.method.upper() in (
+            "DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG") \
+            and mpc_a is None:
+        # METHOD=DIRECT: factor K once with host SuperLU and
+        # back-substitute every Lanczos apply — the reference's direct
+        # eigen path (set_arrays_DirectSolver + solve per iteration);
+        # far cheaper than a 1e-10 CG per apply
+        from frontistr_tpu.solver.direct import assemble_csr
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+        A = assemble_csr([np.asarray(k) for k in kes],
+                         [np.asarray(b.dofs) for b in model.blocks], n)
+        fm = k_active.astype(float)
+        Acon = sp.diags(fm) @ A @ sp.diags(fm) + sp.diags(1.0 - fm)
+        dz = Acon.diagonal() == 0.0
+        if dz.any():
+            Acon = Acon + sp.diags(dz.astype(float))
+        _lu = spla.splu(Acon.tocsc())
+        mass_np = np.asarray(mass_j)
+        kact_np = np.asarray(k_act)
+
+        def shift_invert(q):
+            b = (mass_np * np.asarray(q)) * kact_np
+            return jnp.asarray(_lu.solve(b) * kact_np)
     else:
+        if cfg.solver.method.upper() in (
+                "DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG"):
+            print("### NOTE: METHOD=DIRECT with !EQUATION rides the "
+                  "iterative eliminated solve in eigen")
         def shift_invert(q):
             return _shift_invert(op, mass_j, k_act, mpc_a, q)
 

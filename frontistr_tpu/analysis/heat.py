@@ -565,7 +565,40 @@ class _HeatSolver:
                 return jax.device_put(_solve(ctx, kes_s, fp, cp), dev0)
 
             self._solve = _run
+        elif sv.method.upper() in (
+                "DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG") \
+                and mpc_a is None:
+            # METHOD=DIRECT: host SuperLU on K + diag(C/dt).  The
+            # conductivity blocks are T-dependent (rebuilt per step /
+            # fixed-point pass), so each call factors the current
+            # matrix — the reference's heat direct path refactors the
+            # same way (heat_solve_main -> solve_LINEQ per iteration).
+            from frontistr_tpu.solver.direct import assemble_csr
+            import scipy.sparse as sp
+            import scipy.sparse.linalg as spla
+            free_np = np.asarray(self.free)
+            ufix_np = np.asarray(self.u_fix)
+            dofs_np = [np.asarray(d) for d in dofs]
+
+            def _run_direct(kes, f, dt_inv_C):
+                A = assemble_csr([np.asarray(k) for k in kes],
+                                 dofs_np, npn)
+                A = (A + sp.diags(np.asarray(dt_inv_C))).tocsr()
+                P = sp.diags(free_np)
+                Acon = P @ A @ P + sp.diags(1.0 - free_np)
+                dz = Acon.diagonal() == 0.0
+                if dz.any():
+                    Acon = Acon + sp.diags(dz.astype(float))
+                b = (np.asarray(f) - A @ ufix_np) * free_np + \
+                    ufix_np * (1.0 - free_np)
+                return jnp.asarray(spla.splu(Acon.tocsc()).solve(b))
+
+            self._solve = _run_direct
         else:
+            if sv.method.upper() in (
+                    "DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG"):
+                print("### NOTE: METHOD=DIRECT with !EQUATION rides the "
+                      "iterative eliminated solve in heat")
             self._solve = lambda kes, f, dt_inv_C: _solve(ctx, kes, f,
                                                           dt_inv_C)
 
