@@ -38,12 +38,19 @@ from frontistr_tpu.solver import cg as krylov
 
 
 def requested_shards() -> int:
-    """Device count requested via FRONTISTR_TPU_SHARDS (0 = disabled)."""
+    """Device count requested via FRONTISTR_TPU_SHARDS (0 = disabled).
+
+    FRONTISTR_TPU_SHARDS=1 is a 1-device GSPMD mesh: no collectives, but
+    the Newton drivers then run the fully-FUSED element pipeline
+    (ShardedNewton — tangent/solve/update/norms as one jitted program
+    per iteration) instead of the eager-stitched loop.  On the remote-
+    TPU tunnel that replaces ~20 per-iteration dispatch round-trips with
+    one, so it is the recommended single-chip production setting."""
     v = os.environ.get("FRONTISTR_TPU_SHARDS", "")
     if not v or v == "0":
         return 0
     n = len(jax.devices()) if v.lower() == "auto" else int(v)
-    return n if n > 1 else 0
+    return max(n, 0)
 
 
 def device_mesh(n: int, axis: str = "x") -> Mesh:

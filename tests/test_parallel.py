@@ -533,3 +533,59 @@ def test_sharded_dynamic_contact_al_matches(monkeypatch):
     assert np.abs(u1).max() > 1e-5
     np.testing.assert_allclose(u8, u1, rtol=1e-6,
                                atol=1e-8 * np.abs(u1).max())
+
+
+def test_fused_single_device_pipeline_matches(monkeypatch):
+    """FRONTISTR_TPU_SHARDS=1: a 1-device GSPMD mesh runs the fully-
+    fused Newton element pipeline (ShardedNewton) with no collectives —
+    the recommended single-chip production arm (one jitted program per
+    iteration instead of the eager-stitched loop).  Must equal the
+    default path bit-for-bit at solver tolerance."""
+    import textwrap
+    import tempfile
+
+    import numpy as np
+
+    from frontistr_tpu.analysis.nonlinear import run_nonlinear_static
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.meshgen import box_tet4
+
+    cnt_text = textwrap.dedent("""\
+        !VERSION
+         3
+        !SOLUTION, TYPE=STATIC
+        !STATIC, TYPE=NLGEOM
+        !BOUNDARY
+         X0, 1, 3, 0.0
+        !CLOAD
+         X1, 3, -2.0
+        !MATERIAL, NAME=M1
+        !HYPERELASTIC, TYPE=NEOHOOKE
+         80.0, 200.0
+        !STEP, SUBSTEPS=2, CONVERG=1.0e-10
+         BOUNDARY, 1
+         LOAD, 1
+        !SOLVER, METHOD=CG
+         10000, 1
+         1.0e-12, 1.0, 0.0
+        !END
+    """)
+    with tempfile.NamedTemporaryFile("w", suffix=".cnt",
+                                     delete=False) as fh:
+        fh.write(cnt_text)
+        path = fh.name
+
+    def run():
+        cfg = read_cnt(path)
+        model = build_struct_model(box_tet4(3, 3, 3), cfg)
+        return np.asarray(run_nonlinear_static(model).u)
+
+    monkeypatch.delenv("FRONTISTR_TPU_SHARDS", raising=False)
+    u0 = run()
+    monkeypatch.setenv("FRONTISTR_TPU_SHARDS", "1")
+    u1 = run()
+
+    assert np.abs(u0).max() > 1e-4
+    np.testing.assert_allclose(u1, u0, rtol=1e-7,
+                               atol=1e-10 * np.abs(u0).max())
