@@ -155,6 +155,18 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
 
     sol = cfg.solution_type.upper()
     log_path = os.path.join(workdir, log_name)
+    # production default on TPU: the fused single-chip pipeline
+    # (FRONTISTR_TPU_SHARDS=1 — one jitted program per Newton iteration;
+    # each eager dispatch is a round-trip on the remote-TPU tunnel).
+    # Explicit FRONTISTR_TPU_SHARDS (incl. 0) always wins; multi-chip
+    # runs request n or 'auto'.
+    if "FRONTISTR_TPU_SHARDS" not in os.environ:
+        try:
+            import jax
+            if jax.devices()[0].platform in ("tpu", "axon"):
+                os.environ["FRONTISTR_TPU_SHARDS"] = "1"
+        except Exception:
+            pass
     dbg(f"mesh read: {mesh.n_node} nodes, {mesh.n_elem} elements, "
         f"type={mtype or 'HECMW-ENTIRE'}")
     dbg(f"setup done ({t_pre - t_start:.2f} s); solution type {sol}")
