@@ -451,12 +451,18 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
         if cm is not None and cm.algo == "SLAGRANGE" \
                 and not cm.has_friction:
             if nshard:
-                print("### WARNING: FRONTISTR_TPU_SHARDS not yet "
-                      "supported for SLAGRANGE contact elimination; "
-                      "running single-device")
-            contact_solver, slag = make_slag_contact_solver(
-                model, dofs_j, nns, inc_j, total_en, free,
-                eff=(c1, c2), mass=mass, mpc=slag_mpc)
+                # GSPMD SLag on the Newmark effective matrix: the
+                # elimination wrap rides inside the sharded solve
+                from frontistr_tpu.contact.slag import ContactEliminator
+                contact_solver = make_constrained_solver(
+                    model, dofs_j, nns, inc_j, total_en, free, mixed,
+                    nshard=nshard, eff=(c1, c2), mass=mass,
+                    contact=True, with_mpc=slag_mpc, slag_elim=True)
+                slag = ContactEliminator(n, ndof)
+            else:
+                contact_solver, slag = make_slag_contact_solver(
+                    model, dofs_j, nns, inc_j, total_en, free,
+                    eff=(c1, c2), mass=mass, mpc=slag_mpc)
         elif cm is not None:
             if nshard:
                 # AL/penalty contact rides the GSPMD effective solve as

@@ -829,7 +829,8 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                             eff=None, mass=None,
                             contact: bool = False,
                             friction: bool = False,
-                            with_mpc: bool = True):
+                            with_mpc: bool = True,
+                            slag_elim: bool = False):
     """One jitted constrained-solve(kes, b_c) for the whole analysis —
     building it per Newton iteration would retrace the Krylov while_loop
     every call.
@@ -871,6 +872,8 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     Krylov method to BiCGSTAB (nonsymmetric slip tangent)."""
     if contact and friction:
         mixed = False        # refined_cg is CG-based; friction → BiCGSTAB
+    if slag_elim:
+        mixed = False        # elimination wrap composes on the f64 arm
     n_node, ndof = model.n_node, model.ndof
     n_real = model.n_dof_total
     sv = model.cfg.solver
@@ -960,6 +963,12 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     if mpc_a is not None and nshard:
         mpc_a = {k: jax.device_put(v, row if k == "mask" else rep)
                  for k, v in mpc_a.items()}
+    elim = None
+    if slag_elim:
+        # eliminator over the PADDED dof count (dep_mask/g build
+        # full-length vectors inside the jit)
+        from frontistr_tpu.contact.slag import ContactEliminator
+        elim = ContactEliminator(n_node * ndof, ndof)
     nns_t = tuple(nns)
     # MXU segment-sum assembly (f32): ~6x the XLA scatter per Newton
     # iteration at 1M dof.  Aux arrays ride through _solve as args.
@@ -1066,7 +1075,7 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     else:
         @jax.jit
         def _solve(profile, cprofile, am, ctx, kes, B, dirichlet_inc,
-                   pal_a, mass_v, gfac, cdofs, cke):
+                   pal_a, mass_v, gfac, cdofs, cke, cn=None):
             dofs, inc, free_m, coords, mpc = ctx
             op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
                                   n_node, ndof, free_m)
@@ -1095,6 +1104,14 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                     return mv64(xm) * free_m + x * (1.0 - free_m)
                 b_c = exmod.mpc_reduce_rhs(mpc, A64c, b_c, gfac)
                 A_cg = exmod.mpc_wrap(mpc, A_cg)
+            if cn is not None:
+                # SLAGRANGE slave-dof elimination T_c^t A T_c on the
+                # (possibly MPC-reduced) operator — the GSPMD arm of
+                # make_slag_contact_solver: cn rides replicated, the
+                # gathers/scatters hit the row-sharded vectors and XLA
+                # inserts the collectives
+                b_c = elim.reduce_rhs(cn, A_cg, b_c)
+                A_cg = elim.wrap(cn, A_cg)
             ksolve = krylov.bicgstab if (contact and friction) \
                 else krylov.pcg
             res = ksolve(A_cg, b_c,
@@ -1102,6 +1119,8 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                                     coords), tol=sv.resid,
                          maxiter=sv.nier)
             x = res.x
+            if cn is not None:
+                x = elim.recover(cn, x)
             if mpc is not None:
                 x = exmod.mpc_recover(mpc, x, gfac)
             if cons is not None:
@@ -1130,6 +1149,21 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
             Bp = jax.device_put(jnp.pad(B, (0, npad)), row)
             dp = jax.device_put(jnp.pad(dirichlet_inc, (0, npad)), row)
             return kes_s, Bp, dp
+
+        if contact and slag_elim:
+            def solve(kes, B, dirichlet_inc, cn, gfac=0.0):
+                kes_s, Bp, dp = _pad_inputs(kes, B, dirichlet_inc)
+                cn_r = {k: jax.device_put(jnp.asarray(v), rep)
+                        for k, v in cn.items()}
+                x, it = _solve(prof_d, cprof_d, amaps, ctx, kes_s, Bp,
+                               dp, pal_args, mass_d,
+                               jnp.asarray(float(gfac)), None, None,
+                               cn_r)
+                solve.last_iters = it
+                return jax.device_put(x[:n_real], dev0)
+
+            solve.has_mpc = mpc_a is not None
+            return solve
 
         if contact:
             def solve(kes, B, dirichlet_inc, cdofs, cke, gfac=0.0):
@@ -1555,14 +1589,6 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
         cm = ContactManager(model.mesh, model, cfg)
         if not cm.active:
             cm = None
-    if nshard and cm is not None and cm.algo == "SLAGRANGE" \
-            and not cm.has_friction:
-        # SLag elimination rebuilds the operator around the active set;
-        # the AL/penalty arms keep the fixed incidence + slot blocks and
-        # run GSPMD-sharded (see make_constrained_solver contact=True)
-        print("### WARNING: FRONTISTR_TPU_SHARDS not yet supported for "
-              "SLAGRANGE contact elimination; running single-device")
-        nshard = 0
     # plain METHOD=DIRECT decks never touch the iterative solver — skip
     # its profile/jit setup (MPC decks stay iterative: exact T^tKT)
     plain_direct = (model.cfg.solver.method.upper() in (
@@ -1594,6 +1620,15 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
 
     def _build_contact_solver(free_v):
         if cm.algo == "SLAGRANGE" and not cm.has_friction:
+            if nshard:
+                # GSPMD SLag: the elimination wrap rides inside the
+                # sharded jitted solve (fixed-shape cn slots, replicated)
+                from frontistr_tpu.contact.slag import ContactEliminator
+                return make_constrained_solver(
+                    model, dofs_j, nns, inc_j, total_en, free_v, mixed,
+                    nshard=nshard, contact=True, with_mpc=slag_mpc,
+                    slag_elim=True), \
+                    ContactEliminator(model.n_dof_total, ndof)
             return make_slag_contact_solver(
                 model, dofs_j, nns, inc_j, total_en, free_v,
                 mpc=slag_mpc)

@@ -185,3 +185,45 @@ def test_sharded_contact_al_mpc_matches(monkeypatch):
     assert np.abs(u1).max() > 1e-4
     np.testing.assert_allclose(u8, u1, rtol=1e-6,
                                atol=1e-8 * np.abs(u1).max())
+
+
+def test_sharded_contact_slag_matches(monkeypatch):
+    """SLAGRANGE elimination under FRONTISTR_TPU_SHARDS: the T_c^t A T_c
+    wrap rides inside the GSPMD-sharded jitted solve (replicated cn
+    slots, row-sharded vectors) — 1-vs-8-device equality, with and
+    without a composed !EQUATION tie."""
+    for tie in (False, True):
+        def run():
+            model, _, (a, b) = _two_block(algo="SLAGRANGE", tie=tie)
+            u = np.asarray(run_nonlinear_static(model).u)
+            if tie:
+                assert abs(u[a, 2] - u[b, 2]) < 1e-10
+            return u
+
+        monkeypatch.delenv("FRONTISTR_TPU_SHARDS", raising=False)
+        u1 = run()
+        monkeypatch.setenv("FRONTISTR_TPU_SHARDS", "8")
+        u8 = run()
+
+        assert np.abs(u1).max() > 1e-4
+        np.testing.assert_allclose(u8, u1, rtol=1e-6,
+                                   atol=1e-8 * np.abs(u1).max())
+
+
+def test_sharded_dynamic_contact_slag_matches(monkeypatch):
+    """Newmark + SLAGRANGE contact under FRONTISTR_TPU_SHARDS equals
+    single-device (elimination on the sharded effective matrix
+    c1 K + c2 M)."""
+    def run():
+        model, _, _ = _two_block(algo="SLAGRANGE", tie=False,
+                                 dynamic=True)
+        return np.asarray(run_dynamic(model).u)
+
+    monkeypatch.delenv("FRONTISTR_TPU_SHARDS", raising=False)
+    u1 = run()
+    monkeypatch.setenv("FRONTISTR_TPU_SHARDS", "8")
+    u8 = run()
+
+    assert np.abs(u1).max() > 1e-6
+    np.testing.assert_allclose(u8, u1, rtol=1e-6,
+                               atol=1e-8 * np.abs(u1).max())
