@@ -55,6 +55,10 @@ def run_directory(workdir: str, log_name: str = "0.log") -> dict:
     Returns a dict of result objects keyed by analysis type.
     """
     t_start = time.time()
+    # multi-host pods: join the distributed runtime BEFORE any backend
+    # touch (no-op unless FRONTISTR_TPU_COORDINATOR/... are set)
+    from frontistr_tpu.parallel.multihost import maybe_init_distributed
+    maybe_init_distributed()
     _enable_compile_cache()
     from frontistr_tpu.io.dbgfile import dbg_open, dbg
     dbg_open(workdir)                # FSTR.dbg.<rank> (fistr_main.f90:193)

@@ -589,3 +589,19 @@ def test_fused_single_device_pipeline_matches(monkeypatch):
     assert np.abs(u0).max() > 1e-4
     np.testing.assert_allclose(u1, u0, rtol=1e-7,
                                atol=1e-10 * np.abs(u0).max())
+
+
+def test_multihost_noop_single_process(monkeypatch):
+    """maybe_init_distributed is a safe no-op without coordinator env
+    and records idempotent state; with envs set but n=1 it stays off."""
+    from frontistr_tpu.parallel import multihost as mh
+    monkeypatch.setattr(mh.maybe_init_distributed, "_state", None,
+                        raising=False)
+    monkeypatch.delenv("FRONTISTR_TPU_COORDINATOR", raising=False)
+    monkeypatch.delenv("FRONTISTR_TPU_NUM_PROCESSES", raising=False)
+    st = mh.maybe_init_distributed()
+    assert st == {"initialized": False, "process_id": 0,
+                  "n_processes": 1}
+    # idempotent: second call returns the same object
+    assert mh.maybe_init_distributed() is st
+    assert mh.global_device_count() >= 1
