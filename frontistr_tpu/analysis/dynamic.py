@@ -137,6 +137,17 @@ def _amp_factory(mesh, cfg):
     return make
 
 
+def _amp_tab(mesh, name):
+    """(time, value) jnp tables for a named !AMPLITUDE — the traced
+    (jnp.interp) counterpart of _amp_factory's host closures; None for
+    the constant-1 default."""
+    a = mesh.amplitudes.get(name) if name else None
+    if a is None:
+        return None
+    return (jnp.asarray(np.asarray(a.time)),
+            jnp.asarray(np.asarray(a.value)))
+
+
 def _load_groups_with_amp(mesh, cfg, ndof, n_node):
     """[(f_vector, amp_fn)] per CLOAD card group (DLOAD similar)."""
     make = _amp_factory(mesh, cfg)
@@ -203,10 +214,11 @@ def _rate_bc_split(model, cards, make_amp):
     ndof = model.ndof
     mesh = model.mesh
     init_d, init_v = [], []
-    tr_d, tr_v, tr_amp = [], [], None
+    tr_d, tr_v, tr_amp, tr_name = [], [], None, ""
     for c in cards:
         typ = (c.param("TYPE", "") or "").upper()
         amp = make_amp(c.param("AMP", ""))
+        name = c.param("AMP", "")
         for row in c.data:
             grp = row[0]
             d1 = int(float(row[1]))
@@ -228,10 +240,14 @@ def _rate_bc_split(model, cards, make_amp):
                         tr_d.append(dof)
                         tr_v.append(val)
                         tr_amp = amp
+                        tr_name = name
     init = (np.asarray(init_d, np.int64), np.asarray(init_v)) \
         if init_d else None
-    trans = (np.asarray(tr_d, np.int64), np.asarray(tr_v), tr_amp) \
-        if tr_d else None
+    # 4th slot: the amplitude NAME, so the lax.scan explicit arm can
+    # rebuild a traced jnp.interp from the table (the closure at [2] is
+    # host-only float interp)
+    trans = (np.asarray(tr_d, np.int64), np.asarray(tr_v), tr_amp,
+             tr_name) if tr_d else None
     return init, trans
 
 
@@ -585,13 +601,13 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
                     # prescribed-rate BCs: Newmark displacement relation
                     # (dynamic_mat_ass_bc_vl/_ac increment arms)
                     if v_trans is not None:
-                        d_, v_, af = v_trans
+                        d_, v_, af = v_trans[:3]
                         dj = jnp.asarray(d_)
                         dirichlet_inc = dirichlet_inc.at[dj].set(
                             bv2 * vel[dj] + bv3 * acc[dj]
                             + bv4 * jnp.asarray(v_) * af(t))
                     if a_trans is not None:
-                        d_, v_, af = a_trans
+                        d_, v_, af = a_trans[:3]
                         dj = jnp.asarray(d_)
                         dirichlet_inc = dirichlet_inc.at[dj].set(
                             ba2 * vel[dj] + ba3 * acc[dj]
@@ -782,50 +798,113 @@ def _run_explicit(model: StructModel, log_path, coupler=None,
     Q = jnp.zeros(n)
 
     mon = _Monitor(model, d)
-    for i in range(1, d.n_step + 1):
-        t = dt * i
-        f_ext = jnp.asarray(_external_force(model, t, amp_loads))
-        if coupler is not None:
-            f_ext = f_ext + jnp.asarray(coupler.traction_force(i))
+    ray_m = d.ray_m
+
+    def _step_core(disp1, disp3, Q, states_c, t, f_ext):
+        """One central-difference step, fully traced (shared by the
+        lax.scan arm and the eager fallback)."""
         B = f_ext - Q + 2.0 * a1 * mass * disp1 + \
-            (-a1 + a2 * d.ray_m) * mass * disp3
+            (-a1 + a2 * ray_m) * mass * disp3
         X = jnp.where(free > 0, B / vec1, 0.0)
         # prescribed-rate Dirichlet (dynamic_mat_ass_bc_vl/_ac explicit
-        # branches): u_{n+1} = u_{n-1} + 2 dt v  /  2 u_n - u_{n-1} + dt^2 a
+        # branches): u_{n+1} = u_{n-1} + 2 dt v / 2 u_n - u_{n-1} + dt^2 a
         if v_tr is not None:
-            vd = jnp.asarray(v_tr[0])
-            X = X.at[vd].set(disp3[vd] +
-                             (2.0 * dt * v_tr[2](t)) * jnp.asarray(v_tr[1]))
+            vfac = (jnp.interp(t, *_amp_tab(model.mesh, v_tr[3]))
+                    if _amp_tab(model.mesh, v_tr[3]) is not None else 1.0)
+            vdix = jnp.asarray(v_tr[0])
+            X = X.at[vdix].set(disp3[vdix] +
+                               (2.0 * dt * vfac) * jnp.asarray(v_tr[1]))
         if a_tr is not None:
-            ad = jnp.asarray(a_tr[0])
-            X = X.at[ad].set(2.0 * disp1[ad] - disp3[ad] +
-                             (dt * dt * a_tr[2](t)) * jnp.asarray(a_tr[1]))
-        acc = a1 * (X - 2.0 * disp1 + disp3)
-        vel = a2 * (X - disp3)
+            afac = (jnp.interp(t, *_amp_tab(model.mesh, a_tr[3]))
+                    if _amp_tab(model.mesh, a_tr[3]) is not None else 1.0)
+            adix = jnp.asarray(a_tr[0])
+            X = X.at[adix].set(2.0 * disp1[adix] - disp3[adix] +
+                               (dt * dt * afac) * jnp.asarray(a_tr[1]))
+        acc_s = a1 * (X - 2.0 * disp1 + disp3)
+        vel_s = a2 * (X - disp3)
         # one stress/state update per step (fstr_dynamic_nlexplicit:278-296)
-        u = disp1
         du = X - disp1
         new_states, flats = [], []
-        for p, s in zip(programs, states):
-            u_e = u.reshape(model.n_node, ndof)[p.block.conn]
+        for p, s in zip(programs, states_c):
+            u_e = disp1.reshape(model.n_node, ndof)[p.block.conn]
             ddu_e = du.reshape(model.n_node, ndof)[p.block.conn]
             ns_, qf = p.update(u_e, ddu_e, s, t, dt)
-            new_states.append(ns_)
+            new_states.append(_commit_state(ns_))
             flats.append(qf.reshape(-1))
-        states = [_commit_state(s) for s in new_states]
         flats.append(jnp.zeros(ndof))
         flat = jnp.concatenate(flats)
         idx = inc_j[:, :, None] * ndof + jnp.arange(ndof)[None, None, :]
-        Q = flat[idx].sum(axis=1).reshape(-1)
-        disp3 = disp1
-        disp1 = X
-        u = X
-        mon.record(i, t, u, vel, acc)
-        if on_interval is not None:
-            on_interval(i, t, np.asarray(u), np.asarray(vel),
-                        np.asarray(acc))
-        if coupler is not None:
-            coupler.publish_state(i, u, vel, acc)
+        Q_new = flat[idx].sum(axis=1).reshape(-1)
+        return X, acc_s, vel_s, Q_new, new_states
+
+    use_scan = (coupler is None and on_interval is None
+                and os.environ.get("FRONTISTR_TPU_EXPLICIT_SCAN",
+                                   "1") != "0")
+    if use_scan:
+        # TPU-native time integrator: the whole step train is ONE
+        # lax.scan program — explicit runs are dispatch-bound (a tiny
+        # mass division + element update per step, thousands of steps;
+        # each eager step is ~15 dispatch round-trips on the remote-TPU
+        # tunnel).  External force is re-expressed as static per-card
+        # vectors scaled by traced jnp.interp amplitude factors.
+        from frontistr_tpu.assembly.loads import collect_dload
+        fvecs, ftabs = [], []
+        for c in cfg.cloads:
+            fvecs.append(jnp.asarray(collect_cload(
+                model.mesh, [c], ndof, model.n_node)))
+            ftabs.append(_amp_tab(model.mesh, c.param("AMP", "")))
+        for c in cfg.dloads:
+            fvecs.append(jnp.asarray(collect_dload(model.mesh, model,
+                                                   [c])))
+            ftabs.append(_amp_tab(model.mesh, c.param("AMP", "")))
+        midx = mon.idx
+
+        def _scan_step(carry, i):
+            disp1, disp3, Q, _, _, states_c = carry
+            t = dt * i
+            f_ext = jnp.zeros(n)
+            for fv, tab in zip(fvecs, ftabs):
+                fac = jnp.interp(t, *tab) if tab is not None else 1.0
+                f_ext = f_ext + fv * fac
+            X, acc_s, vel_s, Q_new, ns = _step_core(
+                disp1, disp3, Q, states_c, t, f_ext)
+            if midx is not None:
+                k = midx * ndof
+                ys = (jax.lax.dynamic_slice(X, (k,), (ndof,)),
+                      jax.lax.dynamic_slice(vel_s, (k,), (ndof,)),
+                      jax.lax.dynamic_slice(acc_s, (k,), (ndof,)))
+            else:
+                ys = ()
+            return (X, disp1, Q_new, vel_s, acc_s, ns), ys
+
+        steps = jnp.arange(1, d.n_step + 1, dtype=jnp.float64)
+        (disp1, disp3, Q, vel, acc, states), ys = jax.lax.scan(
+            _scan_step, (disp1, disp3, Q, vel, acc, list(states)),
+            steps)
+        u = disp1
+        if mon.idx is not None and d.n_step >= 1:
+            us, vs, accs = (np.asarray(y) for y in ys)
+            for i in range(1, d.n_step + 1):
+                if i % mon.every == 0:
+                    mon.rows.append((i, dt * i, us[i - 1], vs[i - 1],
+                                     accs[i - 1]))
+    else:
+        for i in range(1, d.n_step + 1):
+            t = dt * i
+            f_ext = jnp.asarray(_external_force(model, t, amp_loads))
+            if coupler is not None:
+                f_ext = f_ext + jnp.asarray(coupler.traction_force(i))
+            X, acc, vel, Q, states = _step_core(disp1, disp3, Q,
+                                                list(states), t, f_ext)
+            disp3 = disp1
+            disp1 = X
+            u = X
+            mon.record(i, t, u, vel, acc)
+            if on_interval is not None:
+                on_interval(i, t, np.asarray(u), np.asarray(vel),
+                            np.asarray(acc))
+            if coupler is not None:
+                coupler.publish_state(i, u, vel, acc)
 
     result = _finalize_dyn(model, programs, states, u, vel, acc, d.n_step,
                            log_path, monitors=mon.arrays())
