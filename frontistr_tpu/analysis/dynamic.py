@@ -525,6 +525,117 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
 
     mon = _Monitor(model, d)
     g_tol = 1e-8 * max(float(np.abs(model.coords).max()), 1.0)
+
+    # --- linear implicit under lax.scan: one effective solve per step,
+    # the whole transient as ONE XLA program.  For a linear model the
+    # Newton loop is exactly one solve (it=2 only re-measures the
+    # residual), so the scan result equals the eager loop at CG
+    # tolerance.  Conditions: linear programs, no contact/coupler/
+    # per-interval IO/restart, single-device, iterative solver. ---
+    from frontistr_tpu.analysis.nonlinear import _all_linear
+    lin_scan = (cm is None and coupler is None and on_interval is None
+                and not restart_path and start_i == 1 and not nshard
+                and _all_linear(programs)
+                and cfg.solver.method.upper() not in (
+                    "DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG")
+                and os.environ.get("FRONTISTR_TPU_IMPLICIT_SCAN",
+                                   "1") != "0")
+    if lin_scan:
+        kes0 = []
+        for p, s in zip(programs, states):
+            u_e = jnp.zeros(n).reshape(model.n_node, ndof)[p.block.conn]
+            kes0.append(p.tangent(u_e, u_e * 0.0, s, 0.0, dt))
+        kes0 = tuple(kes0)
+        from frontistr_tpu.assembly.loads import collect_dload
+        fvecs, ftabs = [], []
+        for c in cfg.cloads:
+            fvecs.append(jnp.asarray(collect_cload(
+                model.mesh, [c], ndof, model.n_node)))
+            ftabs.append(_amp_tab(model.mesh, c.param("AMP", "")))
+        for c in cfg.dloads:
+            fvecs.append(jnp.asarray(collect_dload(model.mesh, model,
+                                                   [c])))
+            ftabs.append(_amp_tab(model.mesh, c.param("AMP", "")))
+        u_fix_c = jnp.asarray(old_ops.full_fixed_vector(
+            n, model.fixed_dofs, model.fixed_vals))
+        vtab = _amp_tab(model.mesh, v_trans[3]) \
+            if v_trans is not None else None
+        atab = _amp_tab(model.mesh, a_trans[3]) \
+            if a_trans is not None else None
+        Q0 = _qforce_dyn(model, programs, states, u, jnp.zeros(n),
+                         inc_j, ndof)
+        midx = mon.idx
+
+        def _scan_step(carry, i):
+            u_c, vel_c, acc_c, Q_c, states_c = carry
+            t = dt * i
+            vec1_c = a1 * acc_c + a2 * vel_c
+            vec2_c = b1 * acc_c + b2 * vel_c
+            f_ext = jnp.zeros(n)
+            for fv, tab in zip(fvecs, ftabs):
+                fac = jnp.interp(t, *tab) if tab is not None else 1.0
+                f_ext = f_ext + fv * fac
+            B = f_ext - Q_c + mass * (vec1_c + d.ray_m * vec2_c)
+            if d.ray_k != 0.0:
+                B = B + d.ray_k * _matvec_k(_ctx, kes0, vec2_c)
+            dirichlet_inc = u_fix_c - u_c
+            if v_trans is not None:
+                fac = jnp.interp(t, *vtab) if vtab is not None else 1.0
+                dj = jnp.asarray(v_trans[0])
+                dirichlet_inc = dirichlet_inc.at[dj].set(
+                    bv2 * vel_c[dj] + bv3 * acc_c[dj]
+                    + bv4 * jnp.asarray(v_trans[1]) * fac)
+            if a_trans is not None:
+                fac = jnp.interp(t, *atab) if atab is not None else 1.0
+                dj = jnp.asarray(a_trans[0])
+                dirichlet_inc = dirichlet_inc.at[dj].set(
+                    ba2 * vel_c[dj] + ba3 * acc_c[dj]
+                    + ba4 * jnp.asarray(a_trans[1]) * fac)
+            # constrained-dof increment ONLY: the constrained-rhs trick
+            # applies A_raw to this whole vector, so residual values on
+            # FREE rows (u_fix - u is nonzero there from step 2 on)
+            # would perturb the solve
+            dirichlet_inc = dirichlet_inc * (1.0 - free)
+            du_c = _solve_eff(_ctx, kes0, B, dirichlet_inc)
+            new_states, flats = [], []
+            for p, s in zip(programs, states_c):
+                u_e = u_c.reshape(model.n_node, ndof)[p.block.conn]
+                ddu_e = du_c.reshape(model.n_node, ndof)[p.block.conn]
+                ns_, qf = p.update(u_e, ddu_e, s, t, dt)
+                new_states.append(_commit_state(ns_))
+                flats.append(qf.reshape(-1))
+            flats.append(jnp.zeros(ndof))
+            flat = jnp.concatenate(flats)
+            idx = inc_j[:, :, None] * ndof + \
+                jnp.arange(ndof)[None, None, :]
+            Q_new = flat[idx].sum(axis=1).reshape(-1)
+            acc_n = -a1 * acc_c - a2 * vel_c + a3 * du_c
+            vel_n = -b1 * acc_c - b2 * vel_c + b3 * du_c
+            u_n = u_c + du_c
+            if midx is not None:
+                k = midx * ndof
+                ys = (jax.lax.dynamic_slice(u_n, (k,), (ndof,)),
+                      jax.lax.dynamic_slice(vel_n, (k,), (ndof,)),
+                      jax.lax.dynamic_slice(acc_n, (k,), (ndof,)))
+            else:
+                ys = ()
+            return (u_n, vel_n, acc_n, Q_new, new_states), ys
+
+        steps_t = jnp.arange(1, d.n_step + 1, dtype=jnp.float64)
+        (u, vel, acc, Q, states), ys = jax.lax.scan(
+            _scan_step, (u, vel, acc, Q0, list(states)), steps_t)
+        if mon.idx is not None and d.n_step >= 1:
+            us, vs, accs = (np.asarray(y) for y in ys)
+            for i in range(1, d.n_step + 1):
+                if i % mon.every == 0:
+                    mon.rows.append((i, dt * i, us[i - 1], vs[i - 1],
+                                     accs[i - 1]))
+        result = _finalize_dyn(model, programs, states, u, vel, acc,
+                               d.n_step, log_path,
+                               monitors=mon.arrays())
+        mon.write_files(log_path)
+        return result
+
     for i in range(start_i, d.n_step + 1):
         t = dt * i
         vec1 = a1 * acc + a2 * vel
@@ -612,6 +723,12 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
                         dirichlet_inc = dirichlet_inc.at[dj].set(
                             ba2 * vel[dj] + ba3 * acc[dj]
                             + ba4 * jnp.asarray(v_) * af(t))
+                    # constrained dofs only: u_fix - u is nonzero on
+                    # FREE rows from step 2 on, and the constrained-rhs
+                    # trick applies A_raw to this whole vector — the
+                    # unmasked residual perturbed it=1 and cost one
+                    # self-correcting extra solve EVERY step
+                    dirichlet_inc = dirichlet_inc * (1.0 - free)
                 else:
                     dirichlet_inc = jnp.zeros(n)
 
@@ -630,6 +747,9 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
                 if it == 1:
                     resb = max(bnorm, 1e-300)
                 res_rel = np.sqrt(bnorm / resb)
+                if os.environ.get("FRONTISTR_TPU_DEBUG_NEWTON"):
+                    print(f" dyn i={i} it={it} res={res_rel:.6e}",
+                          flush=True)
                 if cm is not None and os.environ.get(
                         "FRONTISTR_TPU_DEBUG_CONTACT"):
                     nact = int(cact.sum()) if (slag is not None and
