@@ -565,6 +565,7 @@ class _HeatSolver:
                 return jax.device_put(_solve(ctx, kes_s, fp, cp), dev0)
 
             self._solve = _run
+            self._scan_ok = False
         elif sv.method.upper() in (
                 "DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG") \
                 and mpc_a is None:
@@ -594,6 +595,7 @@ class _HeatSolver:
                 return jnp.asarray(spla.splu(Acon.tocsc()).solve(b))
 
             self._solve = _run_direct
+            self._scan_ok = False
         else:
             if sv.method.upper() in (
                     "DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG"):
@@ -601,6 +603,10 @@ class _HeatSolver:
                       "iterative eliminated solve in heat")
             self._solve = lambda kes, f, dt_inv_C: _solve(ctx, kes, f,
                                                           dt_inv_C)
+            # the plain jitted arm is pure jnp — safe to trace inside
+            # the transient lax.scan (sharded/direct arms device_put /
+            # factor on the host per call)
+            self._scan_ok = True
 
     def step(self, T, dt_inv_C=None, T_prev=None, f_extra=None):
         model = self.model
@@ -735,6 +741,128 @@ def run_heat(mesh: Mesh, cfg: AnalysisConfig, workdir: str,
             print(f"### heat restart: resuming at step {steps}, "
                   f"t={t:g}")
         first = steps == 0
+        # --- transient under lax.scan: the whole step train (lumped
+        # capacity, fixed-point on T-dependent properties via
+        # lax.while_loop, backward-Euler solve, log extrema) as ONE XLA
+        # program — per-step eager dispatch is the wall on the
+        # remote-TPU tunnel.  Falls back to the eager loop for restart,
+        # per-interval IO, weld lines (host-evaluated torch position),
+        # and the sharded/direct solver arms. ---
+        scan_ok = (on_interval is None and not model.weldlines
+                   and getattr(solver, "_scan_ok", False)
+                   and os.environ.get("FRONTISTR_TPU_HEAT_SCAN",
+                                      "1") != "0")
+        if scan_ok:
+            start_step = steps
+            dts = []
+            tt = t
+            while tt < t_total - 1e-12:
+                dc = min(dt, t_total - tt)
+                dts.append(dc)
+                tt += dc
+            ts = t + np.cumsum(dts)
+            eps_eff = max(eps, 1e-12)
+            itcap = max(itmax, 1)
+
+            def _cap(T_c):
+                C = jnp.zeros(n)
+                for b in model.blocks:
+                    if b.iface is not None:
+                        continue
+                    table = get_table(b.etype)
+                    coords_e = jnp.asarray(model.coords[b.conn])
+                    T_e = T_c[jnp.asarray(b.conn)]
+                    ce = lumped_capacity(
+                        table, coords_e, T_e, b.rho_table, b.cp_table,
+                        b.thick, model.dim,
+                        hrz=b.etype in (232, 242, 342, 352, 362))
+                    C = C.at[jnp.asarray(b.conn).reshape(-1)].add(
+                        ce.reshape(-1))
+                return C
+
+            def _step_scan(T_c, xs):
+                dt_cur, _ = xs
+                dt_inv_C = _cap(T_c) / dt_cur
+                T_prev = T_c
+                T1 = solver.step(T_c, dt_inv_C, T_prev)
+                chg1 = jnp.sqrt(jnp.sum((T1 - T_c) ** 2))
+
+                def cond(c):
+                    _, k, chg = c
+                    return (k < itcap) & (chg > eps_eff)
+
+                def body(c):
+                    T_x, k, _ = c
+                    T_n = solver.step(T_x, dt_inv_C, T_prev)
+                    return (T_n, k + 1,
+                            jnp.sqrt(jnp.sum((T_n - T_x) ** 2)))
+
+                T_fin, iters, _ = jax.lax.while_loop(
+                    cond, body, (T1, jnp.asarray(1), chg1))
+                ys = (T_fin.max(), jnp.argmax(T_fin),
+                      T_fin.min(), jnp.argmin(T_fin), iters)
+                return T_fin, ys
+
+            # segment the scan at restart-checkpoint boundaries (host
+            # IO between segments; the per-step program is identical,
+            # so interrupted + resumed stays BIT-equal to one scan)
+            n_total = len(dts)
+            if restart_path and restart_freq > 0:
+                seg_ends = []
+                k = restart_freq - (start_step % restart_freq)
+                while k < n_total:
+                    seg_ends.append(k)
+                    k += restart_freq
+                seg_ends.append(n_total)
+                seg_ends = sorted(set(seg_ends))
+            else:
+                seg_ends = [n_total]
+            ys_all = []
+            done = 0
+            total_iters = 0
+            for se in seg_ends:
+                if se == done:
+                    continue
+                T, ys = jax.lax.scan(
+                    _step_scan, T,
+                    (jnp.asarray(np.asarray(dts[done:se])),
+                     jnp.asarray(ts[done:se])))
+                ys_all.append([np.asarray(y) for y in ys])
+                done = se
+                steps = start_step + done
+                if restart_path and restart_freq > 0 and \
+                        steps % restart_freq == 0:
+                    from frontistr_tpu.io.restart import save_restart
+                    save_restart(restart_path,
+                                 {"T": np.asarray(T),
+                                  "t": float(ts[done - 1]),
+                                  "steps": steps})
+            tmaxs, imaxs, tmins, imins, its = (
+                np.concatenate([seg[j] for seg in ys_all])
+                for j in range(5))
+            steps = start_step + n_total
+            times = list(ts)
+            total_iters = int(its.sum())
+            if log_path:
+                ids = model.mesh.node_ids
+                mode = "w" if start_step == 0 else "a"
+                with open(log_path, mode) as f:
+                    if start_step == 0:
+                        f.write(" fstr_setup: OK\n \n")
+                    for k in range(n_total):
+                        f.write(f" ISTEP ={start_step + k + 1:6d}\n")
+                        f.write(f" Time  ={ts[k]:10.3f}\n")
+                        f.write(f" Maximum Temperature :"
+                                f"{tmaxs[k]:10.3f}\n")
+                        f.write(f" Maximum Node No.    :"
+                                f"{int(ids[imaxs[k]]):10d}\n")
+                        f.write(f" Minimum Temperature :"
+                                f"{tmins[k]:10.3f}\n")
+                        f.write(f" Minimum Node No.    :"
+                                f"{int(ids[imins[k]]):10d}\n")
+            Tn = np.asarray(T)
+            return HeatResult(Tn, steps, total_iters, times)
+
         while t < t_total - 1e-12:
             dt_cur = min(dt, t_total - t)
             f_weld = weld_flux(model, t + 0.5 * dt_cur)
