@@ -80,6 +80,38 @@ class ContactPairDef:
     master: str                # surface group
 
 
+class GroupDict(dict):
+    """Group-name dict with case-insensitive fallback.
+
+    The reference upcases group names on both sides (hecmw mesh readers
+    store upcased names; fstr_ctrl_util compares upcased), so a deck
+    writing `_PickedSet5` finds the mesh's `_PICKEDSET5`.  Exact match
+    wins; otherwise one case-insensitive scan."""
+
+    def __missing__(self, k):
+        if isinstance(k, str):
+            ku = k.upper()
+            for kk in self:
+                if isinstance(kk, str) and kk.upper() == ku:
+                    return dict.__getitem__(self, kk)
+        raise KeyError(k)
+
+    def get(self, k, default=None):
+        try:
+            return self[k]
+        except KeyError:
+            return default
+
+    def __contains__(self, k):
+        if dict.__contains__(self, k):
+            return True
+        if isinstance(k, str):
+            ku = k.upper()
+            return any(isinstance(kk, str) and kk.upper() == ku
+                       for kk in self)
+        return False
+
+
 @dataclasses.dataclass
 class Mesh:
     header: str
@@ -100,6 +132,13 @@ class Mesh:
     # (nx, ny, nz) when the mesh is a structured hex box in meshgen
     # ordering -- unlocks the gather-free stencil operator on TPU
     structured: tuple = None
+
+    def __post_init__(self):
+        # every construction path (native/Abaqus/NASTRAN/GEOFEM/DIST/
+        # meshgen/refine) gets case-insensitive group resolution
+        self.node_groups = GroupDict(self.node_groups or {})
+        self.elem_groups = GroupDict(self.elem_groups or {})
+        self.surf_groups = GroupDict(self.surf_groups or {})
 
     @property
     def n_node(self) -> int:
