@@ -122,3 +122,27 @@ if __name__ == "__main__":      # python -m frontistr_tpu.tools.cli <tool>
               "{part|rmerge|rconv|neu2fstr} ...", file=sys.stderr)
         sys.exit(2)
     sys.exit(fn(sys.argv[2:]))
+
+
+def rebalance_main(argv=None):
+    """hecmw_dlb equivalent: repartition a DIST workdir in place."""
+    ap = argparse.ArgumentParser(
+        prog="fistr-tpu-rebalance",
+        description="Dynamic load balancing: reassemble a partitioned "
+                    "'<base>.<rank>' workdir, optionally refine marked "
+                    "elements, and re-partition it balanced in place "
+                    "(hecmw_dlb equivalent).")
+    ap.add_argument("base", help="DIST base path; reads '<base>.<rank>'")
+    ap.add_argument("-n", "--n-parts", type=int, default=None,
+                    help="new subdomain count (default: keep current)")
+    ap.add_argument("-m", "--method", default="RCB",
+                    choices=["RCB", "BLOCK", "KMETIS"])
+    ap.add_argument("--refine", default=None,
+                    help="comma-separated global element ids to refine "
+                         "before repartitioning (adaptation+DLB pipeline)")
+    a = ap.parse_args(argv)
+    from frontistr_tpu.parallel.rebalance import rebalance_workdir
+    marked = [int(t) for t in a.refine.split(",")] if a.refine else None
+    rebalance_workdir(a.base, n_parts=a.n_parts, method=a.method,
+                      marked_eids=marked, verbose=True)
+    return 0
