@@ -374,7 +374,8 @@ def from_model(model, kes, dtype=None,
     if dtype is not None:
         all_kes = [k.astype(dtype) for k in all_kes]
     prof_d = profile.device()
-    if ellmod._use_pallas_asm(profile.perm.size, all_kes):
+    if ellmod._use_pallas_asm(profile.perm.size, all_kes,
+                              ndof=profile.ndof):
         blocks, raw = profile.pallas_assemble(tuple(nns))(tuple(all_kes))
     else:
         blocks, raw = _assemble_jit(prof_d, tuple(all_kes), tuple(nns))

@@ -256,9 +256,18 @@ jax.tree_util.register_dataclass(
 from functools import partial as _partial
 
 
-def _use_pallas_asm(n_pairs: int, kes) -> bool:
+def _use_pallas_asm(n_pairs: int, kes, ndof: int = 3) -> bool:
     """MXU segment-sum assembly pays off once the one-time host chunking
-    (~0.3 s / 1e7 pairs) amortizes; f32 only (the kernel matmul is f32)."""
+    (~0.3 s / 1e7 pairs) amortizes; f32 only (the kernel matmul is f32).
+
+    Hard cap: the kernel materializes the full (v_pad, n_pairs)
+    plane-major entry tensor plus a chunk-padded gathered copy; the TPU
+    AOT path addresses arrays with signed-32-bit BYTE offsets, so any
+    single array >= 2 GiB fails to compile ("indices exceed 32-bits" in
+    the X64-rewrite pass, hit at ~41 M pairs x v_pad 16 on the 1M-dof
+    tet bench).  Above the cap the per-plane XLA segment-sum path
+    (assemble_cluster / _assemble_jit) assembles in (1, n_pairs) slices
+    that stay far under the limit."""
     flag = os.environ.get("FRONTISTR_TPU_PALLAS_ASM", "auto")
     if flag == "0":
         return False
@@ -266,6 +275,10 @@ def _use_pallas_asm(n_pairs: int, kes) -> bool:
     if _jax.default_backend() != "tpu" and flag != "force":
         return False
     if any(k.dtype != jnp.float32 for k in kes):
+        return False
+    v_pad = max(-(-(ndof * ndof + 1) // 8) * 8, 8)
+    # 1.3x margin for the cmax chunk padding of the gathered copy
+    if v_pad * int(n_pairs * 1.3) * 4 >= (1 << 31):
         return False
     return flag in ("1", "force") or n_pairs >= (1 << 21)
 
@@ -351,7 +364,7 @@ def from_model(model, kes, dtype=None,
     nns = [b.conn.shape[1] for b in model.blocks] + list(ex_nns)
     if dtype is not None:
         all_kes = [k.astype(dtype) for k in all_kes]
-    if _use_pallas_asm(profile.perm.size, all_kes):
+    if _use_pallas_asm(profile.perm.size, all_kes, ndof=profile.ndof):
         blocks = profile.pallas_assemble(tuple(nns))(tuple(all_kes))
     else:
         blocks = _assemble_jit(profile.device(), tuple(all_kes),

@@ -95,15 +95,21 @@ def spectral_partition(mesh, n_parts: int) -> np.ndarray:
         sub = A[idx][:, idx]
         d = np.asarray(sub.sum(axis=1)).reshape(-1)
         L = sp.diags(d) - sub
+        # deterministic start vector (eigsh defaults to a RANDOM v0,
+        # which made the cut quality flap run-to-run): the demeaned
+        # longest-axis coordinate is a good Fiedler approximation
+        c = mesh.coords[idx]
+        ax = np.argmax(c.max(axis=0) - c.min(axis=0))
+        v0 = c[:, ax] - c[:, ax].mean()
+        nv = np.linalg.norm(v0)
+        v0 = v0 / nv if nv > 0 else None
         try:
             # Fiedler vector: 2nd-smallest eigenvector, shift-invert
             # about 0 (L is PSD); fall back to coordinates on failure
             vals, vecs = spla.eigsh(L + 1e-8 * sp.eye(len(idx)),
-                                    k=2, sigma=0, which="LM")
+                                    k=2, sigma=0, which="LM", v0=v0)
             f = vecs[:, np.argsort(vals)[1]]
         except Exception:
-            c = mesh.coords[idx]
-            ax = np.argmax(c.max(axis=0) - c.min(axis=0))
             f = c[:, ax]
         order = np.argsort(f, kind="stable")
         cut = int(round(len(idx) * frac))
