@@ -254,18 +254,19 @@ def _box_arm(verbose=False):
     lam64 = _E * _nu / ((1 + _nu) * (1 - 2 * _nu))
     mu64 = _E / (2 * (1 + _nu))
 
-    @jax.jit
-    def assemble64(c):
-        def chunk(ce, _u):
-            return solid.stiffness_linear_iso(table, ce, lam64, mu64)
-        ke = solid._chunked(chunk, c[conn_j],
-                            jnp.zeros((conn_j.shape[0], 1), c.dtype),
-                            chunk=32768)
-        return soa_from_blocks(ke)
+    # Uniform grid: every element is the SAME cube, so the exact f64
+    # operator is ONE 24x24 element matrix (stiffness_linear_iso on a
+    # single element) applied through the const stencil operator — the
+    # per-element f64 gram assembly this replaces cost 1.30 s of the
+    # 3.05 s step at 1M dof (and its matvec rode the 2.9 GB f64 SoA).
+    from frontistr_tpu.assembly.structured import \
+        StructuredHexOperatorConstD
+    ke64_c = solid.stiffness_linear_iso(
+        table, coords64[conn_j[:1]], lam64, mu64)[0]     # (24, 24) f64
 
     @jax.jit
-    def residual64(keT64, x):
-        op = make_op(keT64, free64)
+    def residual64(ke_c, x):
+        op = StructuredHexOperatorConstD(n, n, n, ke_c, free64)
         y = op.matvec(x * free64) * free64
         return f64 * free64 - y
 
@@ -348,15 +349,12 @@ def _box_arm(verbose=False):
         lmax_c = coarse_lmax(keTc32)
         sync(lmax_c)
         stamps.append(("asm32+lmax", time.perf_counter()))
-        keT64 = assemble64(coords64)
-        sync(keT64[0, 0])
-        stamps.append(("asm64", time.perf_counter()))
         x = jnp.zeros(n_dofs)
         bnrm = float(np.linalg.norm(f))
         total_iters = 0
         relres = 1.0
         for _ in range(6):
-            r = residual64(keT64, x)
+            r = residual64(ke64_c, x)
             relres = float(jnp.linalg.norm(r)) / bnrm
             if relres <= 1e-8:
                 break
@@ -365,7 +363,7 @@ def _box_arm(verbose=False):
             total_iters += it
             x = x + dx.astype(jnp.float64)
             stamps.append((f"cg_pass({it}it)", time.perf_counter()))
-        r = residual64(keT64, x)
+        r = residual64(ke64_c, x)
         relres = float(jnp.linalg.norm(r)) / bnrm
         stamps.append(("final_resid", time.perf_counter()))
         if verbose:
@@ -394,10 +392,7 @@ def _box_arm(verbose=False):
     # region (the round-1 bench regression)
     sync(cg32(keT32, keTc32, lmax_c, x0=jnp.zeros_like(x32),
               b32=x32)[0])
-    keT64_w = assemble64(coords64)
-    sync(keT64_w)
-    sync(residual64(keT64_w, jnp.zeros(n_dofs)))
-    del keT64_w
+    sync(residual64(ke64_c, jnp.zeros(n_dofs)))
 
     t0 = time.perf_counter()
     sync(assemble32(coords32))

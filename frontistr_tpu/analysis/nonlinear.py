@@ -974,7 +974,8 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     # iteration at 1M dof.  Aux arrays ride through _solve as args.
     # (Pallas kernels can't be GSPMD-partitioned — XLA path when sharded.)
     use_pal = not nshard and ellmod._use_pallas_asm(
-        cprof.perm.size, [jnp.zeros((1,), jnp.float32)], ndof=ndof)
+        cprof.perm.size, [jnp.zeros((1,), jnp.float32)], ndof=ndof,
+        n_slots=cprof.n_slots)
     pal = cprof.pallas_assemble(nns_t) if use_pal else None
     pal_fn = pal.fn if pal is not None else None
     pal_args = pal.args if pal is not None else None

@@ -74,10 +74,8 @@ class ClusterProfile:
             from frontistr_tpu.assembly import segsum_pallas as sp
             nd, G, C, Wc = self.ndof, self.G, self.C, self.Wc
 
-            def post(raw):
-                six = jnp.transpose(raw.reshape(G, G, Wc, C, nd, nd),
-                                    (0, 4, 1, 5, 2, 3))
-                return six.reshape(G * nd, G * nd, Wc, C), raw
+            def post(planes):
+                return _planes_to_blocks(planes, nd, G, Wc, C), planes
             fn = sp.make_planes_segsum(self.seg_sorted, self.n_slots,
                                        self.perm, nd, key, post)
             cache[key] = fn
@@ -177,11 +175,27 @@ def build_cluster_profile(conns: Sequence[np.ndarray], n_node: int,
         pair_counts=tuple(counts))
 
 
+def _planes_to_blocks(planes, nd: int, G: int, Wc: int, C: int):
+    """nd*nd slot planes (each (G*G*Wc*C,) in slot2 order) -> cluster
+    blocks (G*nd, G*nd, Wc, C).  Only small MAJOR dims are stacked; the
+    (Wc, C) minor tiles are untouched (no re-tile)."""
+    six = jnp.stack([
+        jnp.stack([planes[i * nd + j].reshape(G, G, Wc, C)
+                   for j in range(nd)], axis=2)          # (G,G,nd,Wc,C)
+        for i in range(nd)], axis=1)                     # (G,nd,G,nd,Wc,C)
+    return six.reshape(G * nd, G * nd, Wc, C)
+
+
 def assemble_cluster(profile: ClusterProfile, kes: Sequence[jnp.ndarray],
-                     nns: Sequence[int]) -> jnp.ndarray:
+                     nns: Sequence[int]):
     """Numeric assembly to plane-major cluster blocks
     (G*nd, G*nd, Wc, C).  Same sorted 9-plane segment-sum as
-    ell.assemble_blocks, cluster-layout destinations."""
+    ell.assemble_blocks, cluster-layout destinations.
+
+    The raw slot values travel as a TUPLE of nd*nd (n_slots,) planes —
+    a (n_slots, nd*nd) matrix is physically illegal at 1M dof on TPU in
+    either orientation: minor-tile padding blows (41M, 9) to 21 GB and
+    (9, 41M) past the 2^31-byte addressing limit."""
     nd, G, C, Wc = (profile.ndof, profile.G, profile.C, profile.Wc)
     planes = []
     for ke, nn in zip(kes, nns):
@@ -196,13 +210,8 @@ def assemble_cluster(profile: ClusterProfile, kes: Sequence[jnp.ndarray],
         outs.append(jax.ops.segment_sum(sp, profile.seg_sorted,
                                         num_segments=profile.n_slots,
                                         indices_are_sorted=True))
-    raw = jnp.stack(outs, axis=1)            # (G*G*Wc*C, nd*nd)
-    # (Ga, Gb, Wc, C, ndi, ndj) -> (Ga, ndi, Gb, ndj, Wc, C): only small
-    # MAJOR dims move; the (Wc, C) minor tiles are untouched (no re-tile)
-    six = jnp.transpose(raw.reshape(G, G, Wc, C, nd, nd),
-                        (0, 4, 1, 5, 2, 3))
-    blocks = six.reshape(G * nd, G * nd, Wc, C)
-    return blocks, raw
+    raw = tuple(outs)
+    return _planes_to_blocks(raw, nd, G, Wc, C), raw
 
 
 @dataclasses.dataclass
@@ -284,25 +293,31 @@ jax.tree_util.register_dataclass(
 
 
 def extract_scalar_blocks(cprof: ClusterProfile, raw: jnp.ndarray,
-                          scalar: ellmod.ELLProfile) -> jnp.ndarray:
-    """Scalar (N, W, nd, nd) blocks gathered out of the raw cluster slot
-    array — feeds the AMG Galerkin setup without a second assembly."""
+                          scalar: ellmod.ELLProfile):
+    """Scalar block PLANES gathered out of the raw cluster slot planes —
+    feeds the AMG Galerkin setup without a second assembly.  Returns a
+    tuple of nd*nd (N, W) planes (a (N, W, nd, nd) array is physically
+    21 GB at 1M dof under (8,128) minor tiling — the tet-bench OOM;
+    setup_amg consumes the planes directly)."""
     nd = cprof.ndof
     N, W = scalar.cols.shape
     src = cprof.scal_src.reshape(-1)
-    rows = raw[jnp.maximum(src, 0)]             # (N*W, nd*nd) row gather
-    rows = rows * (src >= 0)[:, None].astype(rows.dtype)
-    return rows.reshape(N, W, nd, nd)
+    src0 = jnp.maximum(src, 0)
+    live = (src >= 0).astype(raw[0].dtype)
+    return tuple((raw[p][src0] * live).reshape(N, W)
+                 for p in range(nd * nd))
 
 
-def extract_diag(cprof: ClusterProfile, raw: jnp.ndarray) -> jnp.ndarray:
-    """Nodal diagonal nd x nd blocks from the raw cluster slots."""
+def extract_diag(cprof: ClusterProfile, raw) -> jnp.ndarray:
+    """Nodal diagonal nd x nd blocks from the raw cluster slot planes."""
     nd, G, C, Wc = cprof.ndof, cprof.G, cprof.C, cprof.Wc
     N = cprof.n_node
     n = jnp.arange(N, dtype=jnp.int32)
     c, off = n // G, n % G
     src = ((off * G + off) * Wc + cprof.diag_wc[c]) * C + c
-    return raw[src].reshape(N, nd, nd)
+    return jnp.stack([jnp.stack([raw[i * nd + j][src]
+                                 for j in range(nd)], axis=-1)
+                      for i in range(nd)], axis=1)       # (N, nd, nd)
 
 
 _CPROFILE_CACHE: dict = {}
@@ -375,7 +390,8 @@ def from_model(model, kes, dtype=None,
         all_kes = [k.astype(dtype) for k in all_kes]
     prof_d = profile.device()
     if ellmod._use_pallas_asm(profile.perm.size, all_kes,
-                              ndof=profile.ndof):
+                              ndof=profile.ndof,
+                              n_slots=profile.n_slots):
         blocks, raw = profile.pallas_assemble(tuple(nns))(tuple(all_kes))
     else:
         blocks, raw = _assemble_jit(prof_d, tuple(all_kes), tuple(nns))
@@ -411,18 +427,16 @@ def _scal_jit(profile: ClusterProfile, raw, scalar: ellmod.ELLProfile):
     return extract_scalar_blocks(profile, raw, scalar)
 
 
-def blocks_from_raw(cprof: ClusterProfile, raw: jnp.ndarray) -> jnp.ndarray:
-    """Raw slot array -> plane-major cluster blocks (assemble_cluster's
+def blocks_from_raw(cprof: ClusterProfile, raw) -> jnp.ndarray:
+    """Raw slot planes -> plane-major cluster blocks (assemble_cluster's
     final relayout, factored out so raw can be adjusted in between)."""
-    nd, G, C, Wc = cprof.ndof, cprof.G, cprof.C, cprof.Wc
-    six = jnp.transpose(raw.reshape(G, G, Wc, C, nd, nd),
-                        (0, 4, 1, 5, 2, 3))
-    return six.reshape(G * nd, G * nd, Wc, C)
+    return _planes_to_blocks(raw, cprof.ndof, cprof.G, cprof.Wc,
+                             cprof.C)
 
 
-def add_eff_mass(cprof: ClusterProfile, raw: jnp.ndarray,
-                 mvec: jnp.ndarray, c1: float, c2: float) -> jnp.ndarray:
-    """Newmark effective matrix on the assembled slots:
+def add_eff_mass(cprof: ClusterProfile, raw,
+                 mvec: jnp.ndarray, c1: float, c2: float):
+    """Newmark effective matrix on the assembled slot planes:
     raw <- c1*raw + c2*diag(m)  (K_eff = c1 K + c2 M with lumped mass,
     fstr_dynamic_nlimplicit.f90 K/D/AU/AL scaling block)."""
     nd, G, C, Wc = cprof.ndof, cprof.G, cprof.C, cprof.Wc
@@ -430,8 +444,8 @@ def add_eff_mass(cprof: ClusterProfile, raw: jnp.ndarray,
     n = jnp.arange(N, dtype=jnp.int32)
     c, off = n // G, n % G
     src = ((off * G + off) * Wc + cprof.diag_wc[c]) * C + c
-    raw = raw * c1
-    m2 = mvec.reshape(N, nd).astype(raw.dtype)
+    out = [p * c1 for p in raw]
+    m2 = mvec.reshape(N, nd).astype(out[0].dtype)
     for i in range(nd):
-        raw = raw.at[src, i * nd + i].add(c2 * m2[:, i])
-    return raw
+        out[i * nd + i] = out[i * nd + i].at[src].add(c2 * m2[:, i])
+    return tuple(out)

@@ -72,7 +72,11 @@ class ELLProfile:
             N, W, nd = self.n_node, self.W, self.ndof
 
             def post(raw):
-                return raw.reshape(N, W, nd, nd)
+                # raw: nd*nd slot planes, each (N*W,)
+                return jnp.stack(
+                    [jnp.stack([raw[i * nd + j].reshape(N, W)
+                                for j in range(nd)], axis=-1)
+                     for i in range(nd)], axis=2)    # (N, W, nd, nd)
             fn = sp.make_planes_segsum(self.seg_sorted, self.n_slots,
                                        self.perm, nd, key, post)
             cache[key] = fn
@@ -256,18 +260,20 @@ jax.tree_util.register_dataclass(
 from functools import partial as _partial
 
 
-def _use_pallas_asm(n_pairs: int, kes, ndof: int = 3) -> bool:
+def _use_pallas_asm(n_pairs: int, kes, ndof: int = 3,
+                    n_slots: int = 0) -> bool:
     """MXU segment-sum assembly pays off once the one-time host chunking
     (~0.3 s / 1e7 pairs) amortizes; f32 only (the kernel matmul is f32).
 
-    Hard cap: the kernel materializes the full (v_pad, n_pairs)
-    plane-major entry tensor plus a chunk-padded gathered copy; the TPU
-    AOT path addresses arrays with signed-32-bit BYTE offsets, so any
-    single array >= 2 GiB fails to compile ("indices exceed 32-bits" in
-    the X64-rewrite pass, hit at ~41 M pairs x v_pad 16 on the 1M-dof
-    tet bench).  Above the cap the per-plane XLA segment-sum path
-    (assemble_cluster / _assemble_jit) assembles in (1, n_pairs) slices
-    that stay far under the limit."""
+    Hard cap: the TPU AOT path addresses arrays with signed-32-bit BYTE
+    offsets, so any single HLO result >= 2 GiB fails to compile
+    ("indices exceed 32-bits" in the X64-rewrite pass).  The segsum
+    pipeline's two biggest results after its chunk-group split
+    (segsum_pallas.make_segsum) are the nsq-row entry gather
+    (~nsq x 1.2*n_pairs after chunk padding) and the slot gather
+    (nsq x n_slots); both must fit.  Above the cap the per-plane XLA
+    segment-sum path (assemble_cluster / _assemble_jit) assembles in
+    (1, n_pairs) slices that stay far under the limit."""
     flag = os.environ.get("FRONTISTR_TPU_PALLAS_ASM", "auto")
     if flag == "0":
         return False
@@ -276,9 +282,13 @@ def _use_pallas_asm(n_pairs: int, kes, ndof: int = 3) -> bool:
         return False
     if any(k.dtype != jnp.float32 for k in kes):
         return False
-    v_pad = max(-(-(ndof * ndof + 1) // 8) * 8, 8)
-    # 1.3x margin for the cmax chunk padding of the gathered copy
-    if v_pad * int(n_pairs * 1.3) * 4 >= (1 << 31):
+    nsq = ndof * ndof
+    limit = (1 << 31) - (1 << 26)
+    # the entry streams and slot gathers are 1-D per plane (no sublane
+    # padding — segsum_pallas), so the only 2^31-physical-byte exposure
+    # left is the cluster blocks array itself (~nsq * n_slots values),
+    # which both assembly paths materialize alike
+    if nsq * int(n_slots) * 4 >= limit:
         return False
     return flag in ("1", "force") or n_pairs >= (1 << 21)
 
@@ -364,7 +374,8 @@ def from_model(model, kes, dtype=None,
     nns = [b.conn.shape[1] for b in model.blocks] + list(ex_nns)
     if dtype is not None:
         all_kes = [k.astype(dtype) for k in all_kes]
-    if _use_pallas_asm(profile.perm.size, all_kes, ndof=profile.ndof):
+    if _use_pallas_asm(profile.perm.size, all_kes, ndof=profile.ndof,
+                       n_slots=profile.n_slots):
         blocks = profile.pallas_assemble(tuple(nns))(tuple(all_kes))
     else:
         blocks = _assemble_jit(profile.device(), tuple(all_kes),

@@ -112,10 +112,27 @@ def _kernel(ent_ref, out_ref, *, R, VP):
         precision=jax.lax.Precision.HIGHEST)
 
 
+GROUP_BYTES = 1 << 30   # per-pallas_call input cap (sublane-padded f32)
+
+
 def make_segsum(seg_sorted: np.ndarray, n_slots: int,
-                c_ent: int = C_ENT, v_pad: int = V_PAD):
+                c_ent: int = C_ENT, v_pad: int = V_PAD, nsq=None):
     """Host setup; returns (fn, aux) with fn(entT_pad, seg_pad, slot_src)
-    -> (v_pad, n_slots) and aux holding the padded static arrays."""
+    -> (v_pad | nsq, n_slots) and aux holding the padded static arrays.
+
+    32-bit addressing: the TPU AOT path rejects any HLO whose RESULT
+    crosses 2 GiB (signed-32 byte offsets — "indices exceed 32-bits" at
+    the 1M-dof tet assembly, where the (16, 41.16M) f32 slot gather is
+    2.6 GiB).  Three measures keep every intermediate under the line at
+    any size the chip's HBM can hold:
+      - chunk groups: the (v_pad, nc*cmax) kernel input is built and
+        launched in <= GROUP_BYTES slices along the chunk axis (slot
+        windows are chunk-aligned and disjoint, so outputs concatenate)
+      - nsq mode: the caller passes only the true value rows and the id
+        lane is appended HERE (row v_pad-1), so the caller's entry
+        gather carries nsq rows instead of v_pad (9 vs 16 at nd=3)
+      - the final slot gather runs on the [:nsq]-sliced window rows
+    """
     cuts, s_lo, R, cmax, slot_src = build_chunks(seg_sorted, n_slots,
                                                  c_ent)
     nc = len(s_lo)
@@ -132,28 +149,50 @@ def make_segsum(seg_sorted: np.ndarray, n_slots: int,
         seg_pad[k * cmax:k * cmax + n] = \
             seg_sorted[cuts[k]:cuts[k + 1]] - s_lo[k]
 
-    grid = nc
     kernel = partial(_kernel, R=R, VP=v_pad)
+    cpg = max(int(GROUP_BYTES // (v_pad * cmax * 4)), 1)
+    bounds = list(range(0, nc, cpg)) + [nc]
 
     @partial(jax.jit, static_argnames=())
     def run(entT_sorted_pad, seg_pad_j, slot_src_j):
-        """entT_sorted_pad: (v_pad, nc*cmax) f32 (pad cols zero)."""
+        """entT_sorted_pad: (v_pad, nc*cmax) f32 (pad cols 0), or in nsq
+        mode a TUPLE of nsq 1-D (nc*cmax,) plane arrays — 1-D arrays
+        have no sublane padding, so the entry stream never crosses the
+        2^31 physical-byte line at any size that fits HBM."""
         interp = jax.default_backend() != "tpu"
-        ent_aug = entT_sorted_pad.at[v_pad - 1, :].set(seg_pad_j)
-        out = pl.pallas_call(
-            kernel,
-            grid=(grid,),
-            interpret=interp,
-            in_specs=[
-                pl.BlockSpec((v_pad, cmax), _imap),
-            ],
-            out_specs=pl.BlockSpec((v_pad, R), _imap),
-            out_shape=jax.ShapeDtypeStruct((v_pad, nc * R),
-                                           jnp.float32),
-        )(ent_aug)
+        outs = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            cols = slice(lo * cmax, hi * cmax)
+            if nsq is None:
+                aug = entT_sorted_pad[:, cols].at[v_pad - 1, :].set(
+                    seg_pad_j[cols])
+            else:
+                ncol = (hi - lo) * cmax
+                aug = jnp.concatenate([
+                    jnp.stack([p[cols] for p in entT_sorted_pad]),
+                    jnp.zeros((v_pad - nsq - 1, ncol), jnp.float32),
+                    seg_pad_j[None, cols]], axis=0)
+            outs.append(pl.pallas_call(
+                kernel,
+                grid=(hi - lo,),
+                interpret=interp,
+                in_specs=[
+                    pl.BlockSpec((v_pad, cmax), _imap),
+                ],
+                out_specs=pl.BlockSpec((v_pad, R), _imap),
+                out_shape=jax.ShapeDtypeStruct((v_pad, (hi - lo) * R),
+                                               jnp.float32),
+            )(aug))
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs,
+                                                             axis=1)
         # sublane V_PAD-1 of the output holds onehot-row sums of the id
-        # lane — callers only read [:nd*nd]
-        return out[:, slot_src_j]                    # (V_PAD, n_slots)
+        # lane.  nsq mode returns PER-PLANE 1-D slot gathers: a 2-D
+        # (nsq, n_slots) result is sublane-padded nsq->16 and crosses
+        # the 2^31 physical-byte limit at 41M slots ("indices exceed
+        # 32-bits"); nsq separate (n_slots,) gathers are ~165 MB each.
+        if nsq is None:
+            return out[:, slot_src_j]            # (v_pad, n_slots)
+        return tuple(out[p][slot_src_j] for p in range(nsq))
 
     aux = dict(ent_map=jnp.asarray(ent_map),
                seg_pad=jnp.asarray(seg_pad.astype(np.float32)),
@@ -175,7 +214,8 @@ def make_planes_segsum(seg_sorted: np.ndarray, n_slots: int,
     closure-inlining rule; see ELLProfile docstring)."""
     nsq = nd * nd
     vp = max(int(-(-(nsq + 1) // 8) * 8), 8)
-    run, aux = make_segsum(seg_sorted, n_slots, c_ent=c_ent, v_pad=vp)
+    run, aux = make_segsum(seg_sorted, n_slots, c_ent=c_ent, v_pad=vp,
+                           nsq=nsq)
     P = int(perm.size)
     ent_map = np.asarray(aux["ent_map"])
     full_map = np.where(
@@ -187,19 +227,28 @@ def make_planes_segsum(seg_sorted: np.ndarray, n_slots: int,
 
     @jax.jit
     def _asm(fm, sg, ss, *kes):
-        planes = []
-        for ke, nn in zip(kes, nns):
-            E = ke.shape[0]
-            kr = ke.reshape(E, nn, nd, nn, nd)
-            # plane-major (d1,d2) x (a,b,e): matches the pair enumeration
-            # order of ell/bell build_profile
-            planes.append(jnp.transpose(kr, (2, 4, 1, 3, 0))
-                          .reshape(nsq, nn * nn * E))
-        ent = jnp.concatenate(planes, axis=1).astype(jnp.float32)
-        entp = jnp.pad(ent, ((0, vp - nsq), (0, 1)))   # pad col P -> 0
-        raw = run(entp[:, fm], sg, ss)                 # (vp, n_slots)
-        out = raw[:nsq].T                              # (n_slots, nd*nd)
-        return post(out) if post is not None else out
+        # per-plane 1-D entry streams: plane (i,j) in pair order
+        # (a, b, e) — e fastest — matching ell/bell build_profile.  A
+        # (nsq, P) 2-D form is sublane-padded nsq->16: 2 GB physical at
+        # 31M pairs, right at the TPU 2^31 addressing line; nsq 1-D
+        # arrays have no padding and scale to HBM capacity.
+        gathered = []
+        for i in range(nd):
+            for j in range(nd):
+                parts = []
+                for ke, nn in zip(kes, nns):
+                    E = ke.shape[0]
+                    kr = ke.reshape(E, nn, nd, nn, nd)[:, :, i, :, j]
+                    parts.append(jnp.transpose(kr, (1, 2, 0))
+                                 .reshape(nn * nn * E))
+                v = jnp.concatenate(parts).astype(jnp.float32) \
+                    if len(parts) > 1 else parts[0].astype(jnp.float32)
+                vp_ = jnp.pad(v, (0, 1))               # pad idx P -> 0
+                gathered.append(vp_[fm])               # (nc*cmax,) 1-D
+        # id lane + zero rows are appended inside run, per chunk group;
+        # raw comes back as nd*nd per-plane (n_slots,) arrays
+        raw = run(tuple(gathered), sg, ss)
+        return post(raw) if post is not None else raw
 
     class _Planes:
         """fn(fm, sg, ss, *kes) jitted; args = the device aux arrays.

@@ -230,32 +230,54 @@ def setup_amg(maps: AMGMaps, blocks: jnp.ndarray, cols: jnp.ndarray,
 
     A0: the constrained fine operator (node-major flat vectors).
     Dinv0_apply: fine block-Jacobi apply.
+    blocks: scalar ELL blocks, either a (N, W, nd, nd) array or a tuple
+    of nd*nd (N, W) planes (the cluster path's extract_scalar_blocks
+    form — the 4-D array is physically 21 GB at 1M dof).
     Returns M(r) for f32 node-major flat vectors.
     """
     nd, nv, Na, Wc, S0, S1, Na2, N = (maps.nd, maps.nv, maps.Na, maps.Wc,
                                       maps.S0, maps.S1, maps.Na2,
                                       maps.n_node)
-    f32 = blocks.dtype
+    is_planes = isinstance(blocks, (list, tuple))
+    f32 = (blocks[0] if is_planes else blocks).dtype
     perm01_j, seg01_j = maps.perm01, maps.seg01
     perm12_j, seg12_j = maps.perm12, maps.seg12
     cols1, diag1_j = maps.cols1, maps.diag_slot1
     Bo = _rigid_modes(maps, coords, free_mask, f32)       # (Na,S0,nd,nv)
     Bn = Bo.reshape(Na * S0, nd, nv)[:N]                  # per real node
-    # Galerkin level-1 blocks: C[i,w] = B_i^T A[i,w] B_col(i,w)
-    Bg = Bn[cols.reshape(-1)].reshape(N, cols.shape[1], nd, nv)
-    C = jnp.einsum("nip,nwij,nwjq->nwpq", Bn, blocks.astype(f32), Bg)
-    ent = C.reshape(-1, nv * nv)[perm01_j]
-    blocks1 = jax.ops.segment_sum(
-        ent, seg01_j, num_segments=Na * Wc,
-        indices_are_sorted=True).reshape(Na, Wc, nv, nv)
-    D1 = blocks1[jnp.arange(Na), diag1_j]
+    # mode-major copy for every per-plane product below: (small..., BIG)
+    # so XLA's (8,128) minor tiling never pads a (nd,nv)-minor array
+    # 21x (a (N, W, 6, 6) Galerkin intermediate is 21 GB at 1M dof — the
+    # allocation that killed the tet bench on the real chip)
+    Bpl = jnp.transpose(Bn, (1, 2, 0))                    # (nd, nv, N)
+    # Galerkin level-1 blocks, plane-major:
+    #   C[n,w,p,q] = sum_ij Bn[n,i,p] A[n,w,i,j] Bn[cols[n,w],j,q]
+    # computed as nv*nv (N, W) planes (nd/nv loops unroll; XLA fuses the
+    # broadcasts), each plane segment-summed straight into its slot row.
+    b_ij = [[blocks[i * nd + j] if is_planes
+             else blocks.astype(f32)[:, :, i, j] for j in range(nd)]
+            for i in range(nd)]                           # (N, W) each
+    # S[j][p] = sum_i Bn[n,i,p] * A[n,w,i,j]
+    S_jp = [[sum(Bpl[i, p][:, None] * b_ij[i][j] for i in range(nd))
+             for p in range(nv)] for j in range(nd)]
+    b1p = []
+    for p in range(nv):
+        for q in range(nv):
+            Cpq = sum(S_jp[j][p] * Bpl[j, q][cols] for j in range(nd))
+            b1p.append(jax.ops.segment_sum(
+                Cpq.reshape(-1)[perm01_j], seg01_j,
+                num_segments=Na * Wc, indices_are_sorted=True))
+    blocks1f = jnp.stack(b1p, axis=1)                     # (Na*Wc, nv*nv)
+    D1 = blocks1f[jnp.arange(Na) * Wc + diag1_j].reshape(Na, nv, nv)
     tr1 = D1[:, jnp.arange(nv), jnp.arange(nv)].sum(axis=1)
     Dinv1 = _block_inv(D1, nv)
 
     def A1(x):
         xn = x.reshape(Na, nv)
-        y = jnp.einsum("awpq,awq->ap", blocks1, xn[cols1])
-        return y.reshape(-1)
+        xg = [xn[:, q][cols1] for q in range(nv)]         # (Na, Wc) each
+        ys = [sum((blocks1f[:, p * nv + q].reshape(Na, Wc) * xg[q])
+                  .sum(axis=1) for q in range(nv)) for p in range(nv)]
+        return jnp.stack(ys, axis=1).reshape(-1)
 
     def M1(r):
         return jnp.einsum("apq,aq->ap", Dinv1,
@@ -269,8 +291,7 @@ def setup_amg(maps: AMGMaps, blocks: jnp.ndarray, cols: jnp.ndarray,
     wnode = w1[jnp.minimum(jnp.arange(Na) // S1, Na2 - 1)]
     sblk = (wnode[jnp.repeat(jnp.arange(Na), Wc)] *
             wnode[cols1.reshape(-1)])                     # (Na*Wc,)
-    ent2 = (blocks1.reshape(-1, nv * nv) *
-            sblk[:, None])[perm12_j]
+    ent2 = (blocks1f * sblk[:, None])[perm12_j]
     dense2 = jax.ops.segment_sum(
         ent2, seg12_j, num_segments=Na2 * Na2,
         indices_are_sorted=True).reshape(Na2, Na2, nv, nv)
@@ -282,13 +303,20 @@ def setup_amg(maps: AMGMaps, blocks: jnp.ndarray, cols: jnp.ndarray,
     A2 = A2 + jnp.diag(jnp.where(d2 == 0, 1.0, 0.0))
     A2inv = jnp.linalg.inv(A2)
 
+    # transfer operators in the same mode-major layout: (nv, Na, S0*nd)
+    # — the (Na, S0, nd, nv) form tile-pads (nd, nv) -> (8, 128), 1.4 GB
+    # resident at 1M dof for a 29 MB tensor
+    Bt = jnp.transpose(Bo.reshape(Na, S0 * nd, nv), (2, 0, 1))
+
     def restrict0(d):                                     # (N*nd)->(Na*nv)
         dp = jnp.pad(d.reshape(N, nd), ((0, Na * S0 - N), (0, 0)))
-        return jnp.einsum("asiv,asi->av", Bo,
-                          dp.reshape(Na, S0, nd)).reshape(-1)
+        dpa = dp.reshape(Na, S0 * nd)
+        return jnp.stack([(Bt[v] * dpa).sum(axis=1)
+                          for v in range(nv)], axis=1).reshape(-1)
 
     def prolong0(xc):                                     # (Na*nv)->(N*nd)
-        y = jnp.einsum("asiv,av->asi", Bo, xc.reshape(Na, nv))
+        xn = xc.reshape(Na, nv)
+        y = sum(Bt[v] * xn[:, v][:, None] for v in range(nv))
         return y.reshape(Na * S0, nd)[:N].reshape(-1)
 
     def restrict1(d):                                     # (Na*nv)->(n2)

@@ -65,7 +65,11 @@ def test_scalar_extraction_and_diag():
     mesh = box_tet4(4, 4, 4)
     prof, cprof, eop, cop, raw = _setup(mesh, 341)
     sb = bell.extract_scalar_blocks(cprof.device(), raw, prof.device())
-    np.testing.assert_allclose(np.asarray(sb), np.asarray(eop.blocks),
+    # planes form: nd*nd arrays of (N, W)
+    sb4 = np.stack([np.stack([np.asarray(sb[i * 3 + j])
+                              for j in range(3)], axis=-1)
+                    for i in range(3)], axis=2)
+    np.testing.assert_allclose(sb4, np.asarray(eop.blocks),
                                rtol=1e-12, atol=1e-12)
     n = jnp.arange(mesh.n_node)
     np.testing.assert_allclose(

@@ -92,8 +92,10 @@ def test_cluster_assembly_pallas_matches_xla(monkeypatch):
     kes = jnp.asarray(rng.standard_normal((E, 12, 12)), jnp.float32)
     want_b, want_r = bell._assemble_jit(prof.device(), (kes,), (4,))
     got_b, got_r = prof.pallas_assemble((4,))((kes,))
-    scale = float(jnp.abs(want_r).max())
-    assert float(jnp.abs(got_r - want_r).max()) < 1e-4 * scale
+    scale = max(float(jnp.abs(p).max()) for p in want_r)
+    assert len(got_r) == len(want_r) == 9
+    for gp, wp in zip(got_r, want_r):
+        assert float(jnp.abs(gp - wp).max()) < 1e-4 * scale
     assert float(jnp.abs(got_b - want_b).max()) < 1e-4 * scale
 
 
@@ -111,3 +113,26 @@ def test_chunk_builder_covers_all_slots():
         hi = seg[cuts[k + 1] - 1]
         assert hi - s_lo[k] < R
     assert slot_src.shape == (600,)
+
+
+def test_chunk_group_split_matches_single_group(monkeypatch):
+    """The 32-bit-addressing chunk-group split (GROUP_BYTES slices of
+    the kernel input, outputs concatenated) must be bit-identical to the
+    single-launch result — forced here by shrinking GROUP_BYTES so a
+    tiny model needs several pallas_call groups."""
+    from frontistr_tpu.assembly import segsum_pallas as sp
+    monkeypatch.setenv("FRONTISTR_TPU_PALLAS_ASM", "force")
+    mesh = _tiny_tet_model()
+    conn = mesh.blocks[0].conn
+    prof = bell.build_cluster_profile([conn], mesh.n_node, 3)
+    rng = np.random.default_rng(5)
+    E = conn.shape[0]
+    kes = jnp.asarray(rng.standard_normal((E, 12, 12)), jnp.float32)
+    want_b, want_r = prof.pallas_assemble((4,))((kes,))
+
+    monkeypatch.setattr(sp, "GROUP_BYTES", 16 * 1024)   # force ~many groups
+    prof2 = bell.build_cluster_profile([conn], mesh.n_node, 3)
+    got_b, got_r = prof2.pallas_assemble((4,))((kes,))
+    for gp, wp in zip(got_r, want_r):
+        assert np.array_equal(np.asarray(gp), np.asarray(wp))
+    assert np.array_equal(np.asarray(got_b), np.asarray(want_b))

@@ -44,3 +44,37 @@ def test_structured_matches_femop():
     np.testing.assert_allclose(np.asarray(sop.diag_blocks()),
                                np.asarray(op.diag_blocks()),
                                rtol=1e-12, atol=1e-9)
+
+
+def test_const_operator_matches_soa_on_uniform_box():
+    """StructuredHexOperatorConstD (ONE 24x24 ke, single-matmul matvec)
+    equals the per-element SoA operator on a uniform box — the identity
+    the bench's assembly-free f64 true-residual path rests on."""
+    import jax.numpy as jnp
+    from frontistr_tpu.meshgen import box_hex8
+    from frontistr_tpu.elements.tables import get_table
+    from frontistr_tpu.fem import solid
+    from frontistr_tpu.assembly.structured import (
+        StructuredHexOperatorConstD, StructuredHexOperatorD,
+        soa_from_blocks)
+    n = 4
+    mesh = box_hex8(n, n, n)
+    conn = mesh.blocks[0].conn
+    t = get_table(361)
+    lam = 210e3 * 0.3 / ((1 + 0.3) * (1 - 0.6))
+    mu = 210e3 / 2.6
+    coords = jnp.asarray(mesh.coords)
+    ke = solid.stiffness_linear_iso(t, coords[conn], lam, mu)
+    free = np.ones(mesh.n_node * 3)
+    free[: 3 * (n + 1) ** 2] = 0.0
+    fj = jnp.asarray(free)
+    sop = StructuredHexOperatorD(n, n, n, soa_from_blocks(ke), fj)
+    cop = StructuredHexOperatorConstD(n, n, n, ke[0], fj)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(mesh.n_node * 3))
+    np.testing.assert_allclose(np.asarray(cop.matvec(x)),
+                               np.asarray(sop.matvec(x)),
+                               rtol=1e-12, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(cop.apply_constrained(x)),
+                               np.asarray(sop.apply_constrained(x)),
+                               rtol=1e-12, atol=1e-9)
