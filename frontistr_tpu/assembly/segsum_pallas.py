@@ -32,58 +32,83 @@ from jax.experimental.pallas import tpu as pltpu
 
 C_ENT = 1024          # entries per chunk
 V_PAD = 16            # value lanes (nd*nd=9 padded to 16)
+R_CAP = 2048          # max slots per chunk window (span cap)
 
 
 def build_chunks(seg_sorted: np.ndarray, n_slots: int,
-                 c_ent: int = C_ENT):
+                 c_ent: int = C_ENT, r_cap: int = R_CAP):
     """Host: slot-aligned entry chunks.
 
-    Returns (cuts (nc+1,), s_lo (nc,), R, slot_src (n_slots,)) where
-    chunk k holds sorted entries [cuts[k], cuts[k+1]) covering slots
-    [s_lo[k], s_lo[k] + R) disjointly, and slot_src maps each true slot
-    to its row in the (nc*R) window layout."""
+    Returns (cuts (nc+1,), s_lo (nc,), R, cmax, slot_src (n_slots,))
+    where chunk k holds sorted entries [cuts[k], cuts[k+1]) covering
+    slots [s_lo[k], s_lo[k] + R) disjointly, and slot_src maps each true
+    slot to its row in the (nc*R) window layout.
+
+    Chunks are cut on BOTH an entry budget (c_ent) and a slot-SPAN cap
+    (r_cap): the slot2 ordering jumps by ~C at every (aoff, boff, wc)
+    plane boundary, so a chunk straddling one spans ~C slots — without
+    the span cut R explodes to 343k at the 1M-dof tet bench and the
+    (v_pad, nc*R) kernel output would be 679 GB / 10.6e9 elements per
+    plane, past the TPU AOT 2^31-element addressing limit (the round-4
+    lost-bench failure)."""
     P = len(seg_sorted)
-    # candidate cut every c_ent entries, moved LEFT to a segment start
     starts = np.flatnonzero(np.r_[True, seg_sorted[1:] != seg_sorted[:-1]])
+    # int64 to match the Python-int needles: a dtype mismatch makes
+    # numpy copy-promote the whole array on EVERY searchsorted call
+    # (measured 3.3 ms/call -> 200 s for the cut loop)
+    slot_at_start = seg_sorted[starts].astype(np.int64)
     cuts = [0]
-    pos = c_ent
-    while pos < P:
-        i = np.searchsorted(starts, pos, side="right") - 1
-        cut = int(starts[i])
-        if cut <= cuts[-1]:
-            # one segment longer than c_ent: cut mid-segment is illegal;
-            # advance to the next segment start
-            j = np.searchsorted(starts, cuts[-1], side="right")
-            cut = int(starts[j]) if j < len(starts) else P
+    while cuts[-1] < P:
+        cut0 = cuts[-1]
+        # entry-budget cut: candidate at cut0 + c_ent, moved LEFT to a
+        # segment start
+        pos = cut0 + c_ent
+        if pos >= P:
+            cut = P
+        else:
+            i = np.searchsorted(starts, pos, side="right") - 1
+            cut = int(starts[i])
+            if cut <= cut0:
+                # one segment longer than c_ent: cut mid-segment is
+                # illegal; advance to the next segment start
+                j = np.searchsorted(starts, cut0, side="right")
+                cut = int(starts[j]) if j < len(starts) else P
+        # span cut: first segment start whose slot leaves the window
+        # (always a legal cut — entries of one segment share a slot)
+        k = np.searchsorted(slot_at_start,
+                            int(seg_sorted[cut0]) + r_cap, side="left")
+        if k < len(starts):
+            span_cut = int(starts[k])
+            if cut0 < span_cut < cut:
+                cut = span_cut
         cuts.append(cut)
-        pos = cut + c_ent
-    if cuts[-1] != P:
-        cuts.append(P)
     cuts = np.asarray(cuts, np.int64)
     nc = len(cuts) - 1
     s_lo = seg_sorted[cuts[:-1]].astype(np.int32)
     s_hi = seg_sorted[cuts[1:] - 1].astype(np.int64)
-    R = int((s_hi - s_lo + 1).max())
+    span = (s_hi - s_lo + 1).astype(np.int64)
+    R = int(span.max())
     R = max(int(-(-R // 128) * 128), 128)            # lane multiple
     # max entries per chunk after alignment (can exceed c_ent when a
     # single segment is huge)
     cmax = int((cuts[1:] - cuts[:-1]).max())
     cmax = max(int(-(-cmax // c_ent) * c_ent), c_ent)
-    # slots with NO entries (e.g. padded ELL columns) must read ZERO:
-    # point them at a window row past some chunk's slot span, where the
-    # one-hot never matches.  If every chunk's span fills R exactly,
-    # widen R by one lane tile to guarantee such a row exists.
-    span = (s_hi - s_lo + 1).astype(np.int64)
-    if int(span.min()) >= R:
+    # row R-1 of EVERY chunk must be a guaranteed-zero row (slots with
+    # no entries read it; the per-group slot gather in make_segsum needs
+    # a zero row in its own chunk range), so R strictly exceeds max span
+    if int(span.max()) >= R:
         R += 128
-    k0 = int(np.argmin(span))
-    zero_row = k0 * R + R - 1
-    # true-slot -> window-row map
-    slot_src = np.full(n_slots, zero_row, np.int64)
+    # true-slot -> window-row map; empty slots point at row R-1 of the
+    # chunk whose slot range covers them (keeps the map group-sliceable)
+    slot_src = np.full(n_slots, -1, np.int64)
     for k in range(nc):
         lo = int(s_lo[k])
         hi = int(s_hi[k])
         slot_src[lo:hi + 1] = k * R + np.arange(lo, hi + 1) - lo
+    empty = np.flatnonzero(slot_src < 0)
+    owner = np.clip(np.searchsorted(s_lo, empty, side="right") - 1,
+                    0, nc - 1)
+    slot_src[empty] = owner * np.int64(R) + R - 1
     return cuts, s_lo, R, cmax, slot_src
 
 
@@ -120,23 +145,31 @@ def make_segsum(seg_sorted: np.ndarray, n_slots: int,
     """Host setup; returns (fn, aux) with fn(entT_pad, seg_pad, slot_src)
     -> (v_pad | nsq, n_slots) and aux holding the padded static arrays.
 
-    32-bit addressing: the TPU AOT path rejects any HLO whose RESULT
-    crosses 2 GiB (signed-32 byte offsets — "indices exceed 32-bits" at
-    the 1M-dof tet assembly, where the (16, 41.16M) f32 slot gather is
-    2.6 GiB).  Three measures keep every intermediate under the line at
+    32-bit addressing: the TPU AOT path rejects any HLO array whose
+    element count crosses 2^31 ("indices exceed 32-bits" — measured on
+    v5e: a 10.6e9-element gather operand fails, 2.6 GB / 650M elements
+    compiles fine).  Four measures keep every intermediate bounded at
     any size the chip's HBM can hold:
-      - chunk groups: the (v_pad, nc*cmax) kernel input is built and
-        launched in <= GROUP_BYTES slices along the chunk axis (slot
-        windows are chunk-aligned and disjoint, so outputs concatenate)
+      - span-capped chunks (build_chunks r_cap): R <= ~2 k always, so
+        the window layout is O(P) rows, never O(nc * plane-jump)
+      - chunk groups: the kernel input AND output are built and
+        launched in slices of <= GROUP_BYTES along the chunk axis
+      - per-group slot gathers: slot windows are chunk-aligned and
+        disjoint, so each group's slots gather from THAT group's
+        (v_pad, cpg*R) output alone and the results concatenate — no
+        full (v_pad, nc*R) array ever exists
       - nsq mode: the caller passes only the true value rows and the id
         lane is appended HERE (row v_pad-1), so the caller's entry
         gather carries nsq rows instead of v_pad (9 vs 16 at nd=3)
-      - the final slot gather runs on the [:nsq]-sliced window rows
+    All device index arrays are int32 (host-asserted in range): s64
+    gather indices force the AOT X64-rewrite pass onto every big gather.
     """
     cuts, s_lo, R, cmax, slot_src = build_chunks(seg_sorted, n_slots,
                                                  c_ent)
     nc = len(s_lo)
     P = len(seg_sorted)
+    assert nc * R < (1 << 31) and slot_src.max() < (1 << 31), \
+        (nc, R, n_slots)
     # pad chunks to fixed cmax entries: entry k of chunk c sits at
     # row c*cmax + k; padding rows carry value 0 and seg = s_lo (adds 0)
     ent_map = np.full(nc * cmax, P, np.int64)        # P -> zero pad row
@@ -150,8 +183,13 @@ def make_segsum(seg_sorted: np.ndarray, n_slots: int,
             seg_sorted[cuts[k]:cuts[k + 1]] - s_lo[k]
 
     kernel = partial(_kernel, R=R, VP=v_pad)
-    cpg = max(int(GROUP_BYTES // (v_pad * cmax * 4)), 1)
+    # group size bounded by BOTH the kernel input (v_pad, cpg*cmax) and
+    # output (v_pad, cpg*R) byte footprints
+    cpg = max(int(GROUP_BYTES // (v_pad * max(cmax, R) * 4)), 1)
     bounds = list(range(0, nc, cpg)) + [nc]
+    # slot ranges owned by each chunk group (slot_src rows of slots in
+    # [sb[g], sb[g+1]) all fall inside group g's chunk windows)
+    slot_bounds = [0] + [int(s_lo[b]) for b in bounds[1:-1]] + [n_slots]
 
     @partial(jax.jit, static_argnames=())
     def run(entT_sorted_pad, seg_pad_j, slot_src_j):
@@ -160,8 +198,8 @@ def make_segsum(seg_sorted: np.ndarray, n_slots: int,
         have no sublane padding, so the entry stream never crosses the
         2^31 physical-byte line at any size that fits HBM."""
         interp = jax.default_backend() != "tpu"
-        outs = []
-        for lo, hi in zip(bounds[:-1], bounds[1:]):
+        slot_outs = []                # per group: (v_pad|nsq, slots_g)
+        for gi, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
             cols = slice(lo * cmax, hi * cmax)
             if nsq is None:
                 aug = entT_sorted_pad[:, cols].at[v_pad - 1, :].set(
@@ -172,7 +210,7 @@ def make_segsum(seg_sorted: np.ndarray, n_slots: int,
                     jnp.stack([p[cols] for p in entT_sorted_pad]),
                     jnp.zeros((v_pad - nsq - 1, ncol), jnp.float32),
                     seg_pad_j[None, cols]], axis=0)
-            outs.append(pl.pallas_call(
+            out_g = pl.pallas_call(
                 kernel,
                 grid=(hi - lo,),
                 interpret=interp,
@@ -182,21 +220,30 @@ def make_segsum(seg_sorted: np.ndarray, n_slots: int,
                 out_specs=pl.BlockSpec((v_pad, R), _imap),
                 out_shape=jax.ShapeDtypeStruct((v_pad, (hi - lo) * R),
                                                jnp.float32),
-            )(aug))
-        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs,
-                                                             axis=1)
+            )(aug)
+            # this group's slots, window rows rebased to the group
+            src_g = slot_src_j[slot_bounds[gi]:slot_bounds[gi + 1]] \
+                - np.int32(lo * R)
+            if nsq is None:
+                slot_outs.append(out_g[:, src_g])
+            else:
+                slot_outs.append(tuple(out_g[p][src_g]
+                                       for p in range(nsq)))
         # sublane V_PAD-1 of the output holds onehot-row sums of the id
-        # lane.  nsq mode returns PER-PLANE 1-D slot gathers: a 2-D
-        # (nsq, n_slots) result is sublane-padded nsq->16 and crosses
-        # the 2^31 physical-byte limit at 41M slots ("indices exceed
-        # 32-bits"); nsq separate (n_slots,) gathers are ~165 MB each.
+        # lane.  nsq mode returns PER-PLANE 1-D results: a 2-D
+        # (nsq, n_slots) array is sublane-padded nsq->16 (21 GB at 41M
+        # slots); nsq separate (n_slots,) planes are ~165 MB each.
+        if len(slot_outs) == 1:
+            return slot_outs[0]
         if nsq is None:
-            return out[:, slot_src_j]            # (v_pad, n_slots)
-        return tuple(out[p][slot_src_j] for p in range(nsq))
+            return jnp.concatenate(slot_outs, axis=1)
+        return tuple(jnp.concatenate([g[p] for g in slot_outs])
+                     for p in range(nsq))
 
     aux = dict(ent_map=jnp.asarray(ent_map),
                seg_pad=jnp.asarray(seg_pad.astype(np.float32)),
-               s_lo=jnp.asarray(s_lo), slot_src=jnp.asarray(slot_src),
+               s_lo=jnp.asarray(s_lo),
+               slot_src=jnp.asarray(slot_src.astype(np.int32)),
                nc=nc, cmax=cmax, R=R)
     return run, aux
 
