@@ -30,7 +30,7 @@ import time
 import numpy as np
 
 
-def _tet_arm(verbose=False):
+def _tet_arm(verbose=False, out=None):
     """Unstructured-tet Newton step through the PRODUCTION path.
 
     This certifies the path real (FEMAP/Abaqus-numbered) meshes take —
@@ -42,7 +42,14 @@ def _tet_arm(verbose=False):
     refinement on TPU) to true f64 relres <= 1e-8 — exactly the solve
     run_nonlinear_static runs per Newton iteration.  Reference hot path:
     hecmw_solver_las_33.f90:135-351 SpMV + SSOR/ML preconditioning.
+
+    Results accumulate into `out` (if given) stage by stage, so a crash
+    at any stage — the round-4 loss was an AOT compile error inside the
+    first solve — still leaves every earlier stage's number in the
+    artifact, plus a `tet_stage` marker saying where it died.
     """
+    if out is None:
+        out = {}
     import jax
     import jax.numpy as jnp
     from frontistr_tpu import ordering
@@ -61,6 +68,7 @@ def _tet_arm(verbose=False):
         return float(_snorm(x))
 
     n = int(os.environ.get("BENCH_TET_N", "69"))    # (n+1)^3*3 ~ 1.03M dof
+    out["tet_stage"] = "meshgen"
     mesh = box_tet4(n, n, n)
     # production numbering is wild: shuffle, then reorder the production way
     rng = np.random.default_rng(3)
@@ -84,7 +92,11 @@ def _tet_arm(verbose=False):
     model = build_struct_model(mesh, cfg)
     ndof = model.ndof
     n_dofs = model.n_dof_total
+    out["tet_n_dofs"] = n_dofs
+    out["tet_cluster_wc"] = int(wc)
+    out["tet_reorder_s"] = round(t_reorder, 2)
 
+    out["tet_stage"] = "solver_setup"
     t0 = time.perf_counter()
     programs = [nl.BlockPrograms(model, b) for b in model.blocks]
     states = [nl.init_block_state(b, p.table)
@@ -99,6 +111,7 @@ def _tet_arm(verbose=False):
     solver = nl.make_constrained_solver(model, dofs_j, nns, inc_j,
                                         total_en, free, mixed)
     t_setup = time.perf_counter() - t0
+    out["tet_setup_s"] = round(t_setup, 2)
     u = jnp.zeros(n_dofs)
     B = jnp.asarray(model.f_ext)
     zero = jnp.zeros_like(B)
@@ -114,16 +127,25 @@ def _tet_arm(verbose=False):
         kes = newton_tangent()
         return solver(tuple(kes), B, zero), kes
 
-    # warm-up compiles (profile/AMG maps build on host inside the factory)
+    # warm-up compiles (profile/AMG maps build on host inside the
+    # factory) — this IS the AOT compile smoke: if the production solver
+    # program fails TPU lowering (the round-4 32-bit-addressing loss),
+    # the exception surfaces here, labeled, with all setup numbers kept
+    out["tet_stage"] = "aot_compile_and_warmup"
     dx, kes = newton_step()
     sync(dx)
+    out["tet_aot_ok"] = True
 
+    out["tet_stage"] = "newton_timed"
     t0 = time.perf_counter()
     dx, kes = newton_step()
     sync(dx)
     t_newton = time.perf_counter() - t0
     iters = int(np.asarray(getattr(solver, "last_iters", -1)))
+    out["newton_step_1mdof_tet_wall"] = round(t_newton, 4)
+    out["tet_cg_iters"] = iters
 
+    out["tet_stage"] = "residual64"
     # true f64 residual on free dofs
     fop = femop.FEOperator(kes=[k.astype(jnp.float64) for k in kes],
                            dofs=dofs_j, nns=nns, inc=inc_j,
@@ -132,7 +154,9 @@ def _tet_arm(verbose=False):
     r = (B - fop.matvec(dx)) * free
     relres = float(jnp.linalg.norm(r)) / max(
         float(jnp.linalg.norm(B * free)), 1e-300)
+    out["tet_true_relres"] = relres
 
+    out["tet_stage"] = "spmv_rate"
     # cluster-ELL matvec rate on the assembled operator (the CG hot op)
     cop = bellmod.from_model(model, [k.astype(jnp.float32) for k in kes])
 
@@ -147,17 +171,18 @@ def _tet_arm(verbose=False):
     t0 = time.perf_counter()
     sync(mv50(cop, x32))
     t_mv = (time.perf_counter() - t0) / 50.0
-
-    return {
-        "newton_step_1mdof_tet_wall": round(t_newton, 4),
-        "tet_n_dofs": n_dofs,
-        "tet_cg_iters": iters,
-        "tet_true_relres": relres,
-        "tet_spmv_ms": round(t_mv * 1e3, 3),
-        "tet_cluster_wc": int(wc),
-        "tet_reorder_s": round(t_reorder, 2),
-        "tet_setup_s": round(t_setup, 2),
-    }
+    out["tet_spmv_ms"] = round(t_mv * 1e3, 3)
+    # HBM traffic per matvec: block values + gathered x + y write.
+    # v5e peak = 819 GB/s; the fraction tells whether SpMV regressions
+    # are bandwidth or launch/gather overhead (VERDICT r04 weak #5).
+    m = cop.G * cop.ndof
+    C, Wc = cop.C, cop.ccols.shape[1]
+    mv_bytes = (cop.blocks.size + C * Wc * m + 2 * C * m) * 4
+    gbps = mv_bytes / t_mv / 1e9
+    out["tet_spmv_hbm_gbps"] = round(gbps, 1)
+    out["tet_spmv_hbm_frac"] = round(gbps / 819.0, 3)
+    out["tet_stage"] = "done"
+    return out
 
 
 def _box_arm(verbose=False):
@@ -410,12 +435,17 @@ def _box_arm(verbose=False):
     melem_s = E / t_asm / 1e6
     flops_per_mv = 2.0 * E * (nn * ndof) ** 2
     gflops = flops_per_mv * 50 / t_mv50 / 1e9
+    # SoA element-matrix stream dominates HBM traffic (757 MB at 1M dof)
+    mv_bytes = (576 * E + 3 * n_dofs) * 4
+    hbm_gbps = mv_bytes * 50 / t_mv50 / 1e9
 
     value = t_newton
     extras = dict(
         n_dofs=n_dofs, n_elems=E, cg_iters=iters, true_relres=relres,
         assembly_s=round(t_asm, 4), assembly_melem_s=round(melem_s, 3),
         spmv_gflop_s=round(gflops, 2), spmv_ms=round(t_mv50 / 50 * 1e3, 3),
+        spmv_hbm_gbps=round(hbm_gbps, 1),
+        spmv_hbm_frac=round(hbm_gbps / 819.0, 3),
         device=str(jax.devices()[0]),
         precision="f32+f64 refinement, structured stencil"
                   + (", two-grid" if use_mg else ""))
@@ -438,7 +468,10 @@ def _box_arm(verbose=False):
         pass
 
     out = {"metric": "newton_step_1mdof_wall", "value": round(value, 4),
-           "unit": "s", "vs_baseline": round(vs_baseline, 4)}
+           "unit": "s", "vs_baseline": round(vs_baseline, 4),
+           "vs_baseline_note": "vs our round-1 TPU self-measurement "
+                               "(bench_baseline.json); reference-machine "
+                               "numbers are in BASELINE.md"}
     out.update(extras)
     # the box arm's device buffers (SoA operators, f64 vectors, grids)
     # are several GB of the 16 GB chip — release them before the tet arm
@@ -497,14 +530,22 @@ def _force_cpu():
     jax.config.update("jax_platforms", "cpu")
 
 
-def main():
-    """Always prints ONE JSON line and exits 0 — the artifact survives a
-    dead TPU (error + clearly-labeled small-N CPU sanity arm), a box-arm
-    crash (tet arm still tries), and a tet-arm crash (box metric kept)."""
+def _worker(out_path):
+    """Runs the workload; dumps the result JSON to out_path AFTER EVERY
+    STAGE (not just at exit), so even a SIGKILL mid-solve leaves the
+    stages that finished on disk.  Never raises; rc 0 always."""
     import sys
     verbose = os.environ.get("BENCH_VERBOSE", "") == "1"
     out = {"metric": "newton_step_1mdof_wall", "value": None,
            "unit": "s", "vs_baseline": None}
+
+    def flush():
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(out, fh)
+        os.replace(tmp, out_path)
+
+    flush()
 
     probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", "420"))
     attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
@@ -519,6 +560,7 @@ def main():
         # TPU down: never exit empty — emit the error plus a small-N CPU
         # sanity arm so the artifact still certifies the code path runs.
         out["error"] = "tpu_unavailable"
+        flush()
         _force_cpu()
         os.environ.setdefault("BENCH_N", "12")
         os.environ.setdefault("BENCH_TET_N", "10")
@@ -533,8 +575,10 @@ def main():
                 "small-N CPU fallback, NOT a TPU perf number")
         except Exception as e:
             out["cpu_sanity_error"] = f"{type(e).__name__}: {e}"
+        flush()
         try:
-            tet = _tet_arm(verbose=verbose)
+            tet = {}
+            _tet_arm(verbose=verbose, out=tet)
             out["cpu_sanity_tet"] = {
                 "value": tet.get("newton_step_1mdof_tet_wall"),
                 "n_dofs": tet.get("tet_n_dofs"),
@@ -543,26 +587,90 @@ def main():
                 "note": "small-N CPU fallback, NOT a TPU perf number"}
         except Exception as e:
             out["cpu_sanity_tet_error"] = f"{type(e).__name__}: {e}"
-        print(json.dumps(out))
+        flush()
         return 0
 
     if probe is not None:
         out["probe"] = probe
+    flush()
     try:
         out.update(_box_arm(verbose=verbose))
     except Exception as e:
         out["box_error"] = f"{type(e).__name__}: {e}"
+    flush()
     # unstructured-tet production-path arm (shuffled numbering -> reorder
     # -> cluster-ELL + AMG + mixed precision): the numbers real meshes see
     if os.environ.get("BENCH_TET", "1") != "0":
+        tet = {}
         try:
-            out.update(_tet_arm(verbose=verbose))
+            _tet_arm(verbose=verbose, out=tet)
         except Exception as e:               # never lose the box metric
-            out["tet_error"] = f"{type(e).__name__}: {e}"
+            tet["tet_error"] = f"{type(e).__name__}: {e}"
+        out.update(tet)                      # partial stages survive
+    flush()
+    return 0
+
+
+def main():
+    """Parent shell: runs the workload in a SUBPROCESS whose stdout and
+    stderr are captured to a log file, then prints the result JSON as
+    the parent's ONLY stdout — async backend log lines (axon/libtpu)
+    cannot trail or bury it (the round-4 artifact loss: rc=0 but the
+    driver's tail held only backend ERROR spam, no JSON).  The JSON also
+    persists at BENCH_OUT.json, updated after every worker stage."""
+    import subprocess
+    import sys
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.environ.get("BENCH_OUT",
+                              os.path.join(here, "BENCH_OUT.json"))
+    log_path = os.environ.get("BENCH_LOG",
+                              os.path.join(here, "BENCH_OUT.log"))
+    timeout_s = int(os.environ.get("BENCH_WORKER_TIMEOUT", "5400"))
+    env = dict(os.environ, BENCH_OUT=out_path)
+    try:
+        os.remove(out_path)
+    except OSError:
+        pass
+    tail = ""
+    try:
+        with open(log_path, "w") as lg:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker"],
+                stdout=lg, stderr=subprocess.STDOUT, env=env,
+                timeout=timeout_s)
+        rc = r.returncode
+    except subprocess.TimeoutExpired:
+        rc = "timeout"
+    except Exception as e:
+        rc = f"{type(e).__name__}: {e}"
+    try:
+        with open(log_path) as lg:
+            tail = lg.read()[-800:]
+    except OSError:
+        pass
+    try:
+        with open(out_path) as fh:
+            out = json.load(fh)
+    except Exception:
+        out = {"metric": "newton_step_1mdof_wall", "value": None,
+               "unit": "s", "vs_baseline": None,
+               "error": "worker produced no result file"}
+    if rc != 0:
+        out["worker_rc"] = str(rc)
+        out["worker_tail"] = tail
+        try:
+            with open(out_path, "w") as fh:
+                json.dump(out, fh)
+        except OSError:
+            pass
+    sys.stdout.flush()
     print(json.dumps(out))
+    sys.stdout.flush()
     return 0
 
 
 if __name__ == "__main__":
     import sys
+    if "--worker" in sys.argv:
+        sys.exit(_worker(os.environ.get("BENCH_OUT", "BENCH_OUT.json")))
     sys.exit(main())

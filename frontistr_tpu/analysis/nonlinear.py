@@ -881,6 +881,15 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
     from frontistr_tpu.assembly import bell as bellmod
     from frontistr_tpu.assembly import ell as ellmod
     from frontistr_tpu.solver import amg as amgmod
+    from frontistr_tpu.solver import ssor as ssormod
+    # preconditioner family: the .cnt PRECOND id maps the reference's
+    # sweep-class methods (BILU 10/11/12, SAINV 20, RIF 21 —
+    # hecmw_precond_33.f90:33-48) to multicolor block-SSOR, DIAG (3) to
+    # block-Jacobi, and SSOR/ML (1/2/5) to the AMG V-cycle (our TPU
+    # default); FRONTISTR_TPU_PRECOND overrides.
+    pol = os.environ.get("FRONTISTR_TPU_PRECOND") or \
+        {3: "jacobi", 10: "ssor", 11: "ssor", 12: "ssor",
+         20: "ssor", 21: "ssor"}.get(getattr(sv, "precond", 1))
     cons = None
     if nshard:
         from jax.sharding import NamedSharding
@@ -919,12 +928,14 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
              np.arange(ndof)[None, None, :]).reshape(c.shape[0], -1)),
             row_e) for c in conns]
         prof = ellmod.build_profile(conns, n_node, ndof)
-        amaps = amgmod.eligible_maps(prof, n_node * ndof)
+        amaps = ssormod.eligible_maps(prof, pol) or \
+            amgmod.eligible_maps(prof, n_node * ndof, policy=pol)
         cprof = bellmod.build_cluster_profile(conns, n_node, ndof,
                                               scalar=prof)
     else:
         prof = ellmod.profile_from_model(model, n_node=n_node)
-        amaps = amgmod.eligible_maps(prof, n_node * ndof)
+        amaps = ssormod.eligible_maps(prof, pol) or \
+            amgmod.eligible_maps(prof, n_node * ndof, policy=pol)
         cprof = bellmod.cluster_profile_from_model(model, scalar=prof,
                                                    n_node=n_node)
     if nshard:
@@ -1009,6 +1020,9 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
         if am is None:
             return cop.block_jacobi()
         sb = bellmod.extract_scalar_blocks(cprofile, raw, profile)
+        if isinstance(am, ssormod.SSORMaps):
+            return ssormod.setup_ssor(am, sb, profile.cols, cop.diag,
+                                      cop.free_mask, ndof)
         return amgmod.setup_amg(
             am, sb, profile.cols, coords.astype(cop.blocks.dtype),
             cop.free_mask, cop.apply_constrained, cop.block_jacobi())

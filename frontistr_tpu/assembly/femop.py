@@ -79,16 +79,46 @@ class FEOperator:
     def element_forces_flat(self, x: jnp.ndarray) -> jnp.ndarray:
         """f_e = k_e x_e for all blocks, flattened to (total_en*ndof + ndof,)
         with a trailing zero pad slot."""
+        import os
+        # f64 on the TPU AOT path is emulated: the X64-rewrite pass
+        # expands each f64 einsum operand to an 8-plane f32 form — an
+        # (8, E, m, m) intermediate, 9 GB at the 1M-dof tet mesh, that
+        # XLA keeps live (remat-compressed, 19.7 GB with its copy)
+        # across the inner Krylov while_loop.  Chunking the element axis
+        # with lax.scan bounds the expansion to one chunk at a time.
+        chunk = int(os.environ.get("FRONTISTR_TPU_F64_CHUNK_ELEMS",
+                                   "65536"))
+        do_chunk = x.dtype == jnp.float64 and chunk > 0
         fes = []
         for ke, dofs in zip(self.kes, self.dofs):
-            xe = x[dofs]
-            # HIGHEST: the TPU default is bf16-pass matmul (eps ~ 4e-3),
-            # which caps the inner CG of the mixed-precision refinement at
-            # ~3 digits/pass.  These tiny batched matmuls are HBM-bound
-            # (reading ke dominates), so full-f32 accumulation is free.
-            fe = jnp.einsum("eij,ej->ei", ke, xe,
-                            precision=jax.lax.Precision.HIGHEST)
-            fes.append(fe.reshape(-1))
+            E, m, _ = ke.shape
+
+            def fe_of(kec, dc):
+                # HIGHEST: the TPU default is bf16-pass matmul
+                # (eps ~ 4e-3), which caps the inner CG of the mixed-
+                # precision refinement at ~3 digits/pass.  These tiny
+                # batched matmuls are HBM-bound (reading ke dominates),
+                # so full-f32 accumulation is free.
+                return jnp.einsum("eij,ej->ei", kec, x[dc],
+                                  precision=jax.lax.Precision.HIGHEST)
+
+            if do_chunk and E > 2 * chunk:
+                nfull = E // chunk
+                main_k = ke[:nfull * chunk].reshape(nfull, chunk, m, m)
+                main_d = dofs[:nfull * chunk].reshape(nfull, chunk, m)
+
+                def body(carry, xs):
+                    kec, dc = xs
+                    return carry, fe_of(kec, dc)
+
+                _, fch = jax.lax.scan(body, 0, (main_k, main_d))
+                parts = [fch.reshape(-1)]
+                if nfull * chunk < E:
+                    parts.append(fe_of(ke[nfull * chunk:],
+                                       dofs[nfull * chunk:]).reshape(-1))
+                fes.extend(parts)
+            else:
+                fes.append(fe_of(ke, dofs).reshape(-1))
         fes.append(jnp.zeros(self.ndof, x.dtype))
         return jnp.concatenate(fes)
 

@@ -309,15 +309,17 @@ def setup_amg(maps: AMGMaps, blocks: jnp.ndarray, cols: jnp.ndarray,
     Bt = jnp.transpose(Bo.reshape(Na, S0 * nd, nv), (2, 0, 1))
 
     def restrict0(d):                                     # (N*nd)->(Na*nv)
-        dp = jnp.pad(d.reshape(N, nd), ((0, Na * S0 - N), (0, 0)))
-        dpa = dp.reshape(Na, S0 * nd)
+        # pad/reshape the FLAT vector: an (N, nd) intermediate tile-pads
+        # the minor nd -> 128 (42.7x, 167 MB per buffer at 1M dof — six
+        # of them were resident in the r05 tet OOM dump)
+        dpa = jnp.pad(d, (0, Na * S0 * nd - N * nd)).reshape(Na, S0 * nd)
         return jnp.stack([(Bt[v] * dpa).sum(axis=1)
                           for v in range(nv)], axis=1).reshape(-1)
 
     def prolong0(xc):                                     # (Na*nv)->(N*nd)
         xn = xc.reshape(Na, nv)
         y = sum(Bt[v] * xn[:, v][:, None] for v in range(nv))
-        return y.reshape(Na * S0, nd)[:N].reshape(-1)
+        return y.reshape(-1)[:N * nd]
 
     def restrict1(d):                                     # (Na*nv)->(n2)
         dp = jnp.pad(d.reshape(Na, nv), ((0, npad1 - Na), (0, 0)))
@@ -371,7 +373,7 @@ def eligible_maps(profile, n_dof_total: int,
     """
     import os
     pol = policy or os.environ.get("FRONTISTR_TPU_PRECOND", "auto")
-    if pol in ("jacobi", "diag"):
+    if pol in ("jacobi", "diag", "ssor"):
         return None
     min_dof = int(os.environ.get("FRONTISTR_TPU_AMG_MIN", "30000"))
     if pol != "amg" and n_dof_total < min_dof:
