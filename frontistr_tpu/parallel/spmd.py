@@ -87,19 +87,25 @@ def make_sharded_newton_step(mesh: Mesh, etype: int, conn: np.ndarray,
     conn_d = jax.device_put(jnp.asarray(conn_p), el_sh)
     inc_d = jax.device_put(jnp.asarray(inc), nd_sh)
 
+    # tables enter as jit ARGUMENTS, not closure captures: in a
+    # multi-process (DCN) run a program may not close over arrays that
+    # span non-addressable devices
     @partial(jax.jit, out_shardings=nd_sh)
-    def step(coords, f):
+    def _step(coords, f, dofs_a, D_a, free_a, conn_a, inc_a):
         """coords: (>=n_node, dim) replicated; f: (n_dof_tot,) sharded."""
-        coords_e = coords[conn_d]
-        ke = solid.stiffness_linear(table, coords_e, D_d)
+        coords_e = coords[conn_a]
+        ke = solid.stiffness_linear(table, coords_e, D_a)
         op = femop.FEOperator(
-            kes=[ke], dofs=[dofs_d], nns=[nn], inc=inc_d,
+            kes=[ke], dofs=[dofs_a], nns=[nn], inc=inc_a,
             total_en=total_en, n_node=n_node_tot, ndof=ndof,
-            free_mask=free_d)
-        b = f * free_d
+            free_mask=free_a)
+        b = f * free_a
         res = krylov.pcg(op.apply_constrained, b, M=op.block_jacobi(),
                          tol=tol, maxiter=cg_iters)
         return res.x
+
+    def step(coords, f):
+        return _step(coords, f, dofs_d, D_d, free_d, conn_d, inc_d)
 
     return step, dict(n_tot=n_node_tot * ndof, el_sharding=el_sh,
                       nd_sharding=nd_sh, replicated=rep, padded_elems=Ep)
