@@ -103,16 +103,22 @@ class FEOperator:
                                   precision=jax.lax.Precision.HIGHEST)
 
             if do_chunk and E > 2 * chunk:
+                # fori_loop + dynamic_slice, NOT a reshape-to-(n,chunk,..)
+                # scan: the reshape materializes a full copy of the f64
+                # ke/dofs (2.24 GB + 0.96 GB in the r05 tet OOM dump);
+                # aligned dynamic slices read the original buffers
                 nfull = E // chunk
-                main_k = ke[:nfull * chunk].reshape(nfull, chunk, m, m)
-                main_d = dofs[:nfull * chunk].reshape(nfull, chunk, m)
+                out = jnp.zeros(nfull * chunk * m, x.dtype)
 
-                def body(carry, xs):
-                    kec, dc = xs
-                    return carry, fe_of(kec, dc)
+                def body(i, acc):
+                    kec = jax.lax.dynamic_slice_in_dim(ke, i * chunk,
+                                                       chunk)
+                    dc = jax.lax.dynamic_slice_in_dim(dofs, i * chunk,
+                                                      chunk)
+                    return jax.lax.dynamic_update_slice(
+                        acc, fe_of(kec, dc).reshape(-1), (i * chunk * m,))
 
-                _, fch = jax.lax.scan(body, 0, (main_k, main_d))
-                parts = [fch.reshape(-1)]
+                parts = [jax.lax.fori_loop(0, nfull, body, out)]
                 if nfull * chunk < E:
                     parts.append(fe_of(ke[nfull * chunk:],
                                        dofs[nfull * chunk:]).reshape(-1))
@@ -124,10 +130,15 @@ class FEOperator:
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         flat = self.element_forces_flat(x)
-        idx = self.inc.astype(jnp.int32)[:, :, None] * self.ndof + \
-            jnp.arange(self.ndof, dtype=jnp.int32)[None, None, :]
-        y = flat[idx].sum(axis=1)          # (n_node, ndof)
-        return y.reshape(-1)
+        # transposed gather: keep the LONG node axis minor so the TPU
+        # (8,128) tile pads ~1x.  The (n_node, W, ndof) form pads its
+        # minor ndof=3 to 128 lanes — 42.7x, two 3.92 GB f64-emulation
+        # temps at the 1M-dof tet mesh (the r05 HBM OOM).
+        inc_t = jnp.swapaxes(self.inc.astype(jnp.int32), 0, 1)
+        idx = inc_t[:, None, :] * self.ndof + \
+            jnp.arange(self.ndof, dtype=jnp.int32)[None, :, None]
+        y = flat[idx].sum(axis=0)          # (ndof, n_node)
+        return jnp.swapaxes(y, 0, 1).reshape(-1)
 
     def apply_constrained(self, x: jnp.ndarray) -> jnp.ndarray:
         """P A P x + (I-P) x — projection equivalent of hecmw_mat_ass_bc."""
