@@ -824,6 +824,157 @@ def make_slag_contact_solver(model, dofs_j, nns, inc_j, total_en,
     return solve, elim
 
 
+def make_saddle_contact_solver(model, dofs_j, nns, inc_j, total_en,
+                               free, eff=None, mass=None,
+                               mpc: bool = False):
+    """Iterative NO-ELIMINATION contact solve on the KKT saddle system
+    (the reference's `solve_no_eliminate` arm,
+    solve_LINEQ_iter_contact.f90:46-109):
+
+        [ A    Bc^T  Bm^T ] [du]   [b      ]
+        [ Bc   D_in       ] [lc] = [g_c    ]
+        [ Bm              ] [lm]   [g_m    ]
+
+    Contact constraints enter as explicit Lagrange rows built from the
+    SAME fixed slots as the eliminator (dep/mast/coef from
+    ContactEliminator.build: row = act*e_dep - coef at mast), and
+    !EQUATION MPCs as additional rows — so this arm also covers decks
+    where the MPC and contact dofs OVERLAP and the T_c^t T_m^t
+    elimination composition is invalid.  D_in = diag(1-act) pins
+    inactive slots' multipliers to zero, keeping the system nonsingular
+    with shape-static slots.  MINRES handles the symmetric indefinite
+    operator; the preconditioner is block-diagonal SPD: block-Jacobi on
+    the displacement block, the Schur diagonal sum_j B_sj^2 / diag(A)_j
+    on the multiplier blocks.
+
+    Same call signature as make_slag_contact_solver's solve."""
+    from frontistr_tpu.contact.slag import ContactEliminator
+    from frontistr_tpu.solver.minres import minres
+    from frontistr_tpu.assembly import extras as exmod
+    n_node, ndof = model.n_node, model.ndof
+    n = model.n_dof_total
+    sv = model.cfg.solver
+    nns_t = tuple(nns)
+    elim = ContactEliminator(n, ndof)
+    c1, c2 = eff if eff is not None else (1.0, 0.0)
+    mpc_a = exmod.mpc_arrays(model.mesh, ndof, n) if mpc else None
+
+    @jax.jit
+    def _solve(ctx, cn, kes, B, dirichlet_inc, gfac):
+        dofs, inc, free, m_eff, mpc_t = ctx
+        op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
+                              n_node, ndof, free)
+
+        def mv(x):
+            y = op.matvec(x)
+            if eff is not None:
+                y = c1 * y + c2 * m_eff * x
+            return y
+
+        def A0(x):
+            xm = x * free
+            return mv(xm) * free + x * (1.0 - free)
+
+        b_c = (B - mv(dirichlet_inc)) * free + \
+            dirichlet_inc * (1.0 - free)
+
+        act = cn["act"]
+        Ns = act.shape[0]
+
+        def Bc_of(x):
+            xg = x * free
+            return act * xg[cn["dep"]] - \
+                (cn["coef"] * xg[cn["mast"]]).sum(axis=1)
+
+        def BcT(lam):
+            y = jnp.zeros(n).at[cn["dep"]].add(act * lam)
+            y = y.at[cn["mast"].reshape(-1)].add(
+                (-cn["coef"] * lam[:, None]).reshape(-1))
+            return y * free
+
+        # constraint gap rhs minus the Dirichlet-carried part (the
+        # unmasked row applied to the fixed-dof increment)
+        g_c = cn["const"] * gfac - (
+            act * dirichlet_inc[cn["dep"]] -
+            (cn["coef"] * dirichlet_inc[cn["mast"]]).sum(axis=1))
+
+        if mpc_t is not None:
+            cm_, dm_ = mpc_t["coef"], mpc_t["dep"]
+            mm_ = mpc_t["mast"]
+            Nm = dm_.shape[0]
+
+            def Bm_of(x):
+                xg = x * free
+                return xg[dm_] - (cm_ * xg[mm_]).sum(axis=1)
+
+            def BmT(lam):
+                y = jnp.zeros(n).at[dm_].add(lam)
+                y = y.at[mm_.reshape(-1)].add(
+                    (-cm_ * lam[:, None]).reshape(-1))
+                return y * free
+
+            g_m = mpc_t["const"] * gfac - (
+                dirichlet_inc[dm_] -
+                (cm_ * dirichlet_inc[mm_]).sum(axis=1))
+        else:
+            Nm = 0
+
+        def A_sad(z):
+            x, lc = z[:n], z[n:n + Ns]
+            yx = A0(x) + BcT(lc)
+            yc = Bc_of(x) + (1.0 - act) * lc
+            if mpc_t is not None:
+                lm = z[n + Ns:]
+                yx = yx + BmT(lm)
+                ym = Bm_of(x)
+                return jnp.concatenate([yx, yc, ym])
+            return jnp.concatenate([yx, yc])
+
+        # block-diagonal SPD preconditioner
+        M_K = op.block_jacobi(scale=c1, diag_add=(
+            c2 * m_eff if eff is not None else None))
+        Db = op.diag_blocks() * c1
+        dk = Db[:, jnp.arange(ndof), jnp.arange(ndof)].reshape(-1)
+        if eff is not None:
+            dk = dk + c2 * m_eff
+        dk = jnp.where((dk <= 0) | (free == 0.0), 1.0, dk)
+        sc = (act * free[cn["dep"]]) / dk[cn["dep"]] + \
+            (cn["coef"] ** 2 * free[cn["mast"]] / dk[cn["mast"]]) \
+            .sum(axis=1)
+        m_lc = 1.0 / (sc + (1.0 - act))
+        parts_rhs = [b_c, g_c]
+        if mpc_t is not None:
+            sm = free[dm_] / dk[dm_] + \
+                (cm_ ** 2 * free[mm_] / dk[mm_]).sum(axis=1)
+            m_lm = 1.0 / jnp.maximum(sm, 1e-30)
+            parts_rhs.append(g_m)
+
+        def M_sad(r):
+            zx = M_K(r[:n])
+            zc = m_lc * r[n:n + Ns]
+            if mpc_t is not None:
+                return jnp.concatenate([zx, zc, m_lm * r[n + Ns:]])
+            return jnp.concatenate([zx, zc])
+
+        rhs = jnp.concatenate(parts_rhs)
+        res = minres(A_sad, rhs, M=M_sad, tol=sv.resid,
+                     maxiter=sv.nier)
+        return res.x[:n], res.x[n:], res.iters
+
+    ctx = (list(dofs_j), inc_j, free,
+           mass if mass is not None else jnp.zeros(0), mpc_a)
+
+    def solve(kes, B, dirichlet_inc, cn, gfac=0.0):
+        x, lam, iters = _solve(ctx, cn, kes, B, dirichlet_inc,
+                               jnp.asarray(float(gfac)))
+        solve.last_lambda = lam
+        solve.last_iters = iters
+        return x
+
+    solve.has_mpc = mpc_a is not None
+    return solve, elim
+
+
 def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                             mixed: bool, nshard: int = 0,
                             eff=None, mass=None,
@@ -1626,15 +1777,25 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
         elif cm.algo == "SLAGRANGE" and not cm.has_friction:
             slag_mpc = contact_mpc_disjoint(cm, model)
             if not slag_mpc:
-                print("### WARNING: !EQUATION dofs overlap the contact "
-                      "surfaces; SLAGRANGE+MPC composition is invalid "
-                      "— MPC ignored for this run")
+                print("### NOTE: !EQUATION dofs overlap the contact "
+                      "surfaces; SLAGRANGE elimination composition is "
+                      "invalid — solving the KKT saddle system "
+                      "iteratively instead (no-elimination arm)")
     engine = _maybe_engine(model, programs, solver, ex_kes_j, cm)
     if engine is not None:
         states = engine.pad_states(states)
 
     def _build_contact_solver(free_v):
         if cm.algo == "SLAGRANGE" and not cm.has_friction:
+            # no-elimination saddle arm: forced by env, or required when
+            # MPC/contact dofs overlap (elimination composition invalid)
+            use_saddle = (os.environ.get(
+                "FRONTISTR_TPU_CONTACT_SOLVE", "") == "saddle") or \
+                (model.mesh.equations and not slag_mpc and not direct_m)
+            if use_saddle and not nshard:
+                return make_saddle_contact_solver(
+                    model, dofs_j, nns, inc_j, total_en, free_v,
+                    mpc=bool(model.mesh.equations))
             if nshard:
                 # GSPMD SLag: the elimination wrap rides inside the
                 # sharded jitted solve (fixed-shape cn slots, replicated)
