@@ -17,7 +17,7 @@ from typing import Dict, List
 import numpy as np
 
 from frontistr_tpu.io.meshio import (Mesh, ElemBlock, Section,
-                                     MaterialDef)
+                                     MaterialDef, Equation)
 from frontistr_tpu.elements.tables import HECMW2FSTR_ORDER
 
 # topology id -> (con_table row, nn); enum order per CNFDB_404.h:27-43:
@@ -83,6 +83,11 @@ def read_neu(path: str) -> Mesh:
     elems: List[tuple] = []     # (eid, etype, conn_hecmw(global), propID)
     props: Dict[int, int] = {}       # propID -> matID (Block 402)
     mats: Dict[int, list] = {}       # matID -> mval[200] (Block 601)
+    bc506: Dict[int, set] = {}       # nodeID -> fixed dofs (Block 506)
+    eqs: List[tuple] = []            # (nodeID, dof, coeff) rows
+    disp507: Dict[tuple, float] = {}  # (nodeID, dof) -> prescribed value
+    cloads: List[tuple] = []         # (nodeID, dof, value)
+    grav = None                      # (gx, gy, gz) when grav_on
     version = 8.2
 
     def block_lines(start):
@@ -161,6 +166,78 @@ def read_neu(path: str) -> Mesh:
                 k += 1
             if len(mval) >= 50:
                 mats[mid] = mval
+        elif bid == "506" and len(content) >= 3:
+            # constraints (CNFDB_506.cpp): setID, title, then four
+            # const-item lists (nodes/points/curves/surfaces: ID, color,
+            # layer, DOF[6], ex_geom; terminated by ID=-1), then the
+            # equation list + num_co + (nodeID, dof, coeff) rows
+            k = 2
+
+            def const_items(k):
+                out = []
+                while k < len(content):
+                    f = _fields(content[k])
+                    k += 1
+                    if not f or int(float(f[0])) == -1:
+                        break
+                    if len(f) >= 9:
+                        out.append((int(float(f[0])),
+                                    [int(float(v)) for v in f[3:9]]))
+                return out, k
+            for which in range(4):
+                items, k = const_items(k)
+                if which == 0:          # nodes (curves/surfaces: no
+                    for nid2, dofs6 in items:   # geometry to expand)
+                        s = bc506.setdefault(nid2, set())
+                        s.update(d + 1 for d in range(6) if dofs6[d])
+            eq_n = 0
+            while k < len(content):     # equation headers
+                f = _fields(content[k])
+                k += 1
+                if not f or int(float(f[0])) == -1:
+                    break
+                eq_n += 1
+            k += eq_n                   # num_co records (one int each)
+            for _ in range(eq_n):       # (nodeID, dof, coeff) rows
+                if k >= len(content):
+                    break
+                f = _fields(content[k])
+                k += 1
+                if len(f) >= 3:
+                    eqs.append((int(float(f[0])), int(float(f[1])),
+                                float(f[2])))
+        elif bid == "507" and len(content) >= 22:
+            # loads (CNFDB_507.cpp): 21 header lines, then structural
+            # load records (7 lines each, terminated by loadID=-1).
+            # loadtype 1 = nodal force -> !CLOAD; loadtype 3 = nodal
+            # displacement -> !BOUNDARY value (conv_neu2fstr_static.cpp
+            # SetCLoad / set_boundary_node_by_507); header grav_on +
+            # grav vector -> !DLOAD GRAV (set_dload_grav)
+            f3 = _fields(content[2])
+            f4 = _fields(content[3])
+            if len(f3) >= 4 and int(float(f3[3])) and len(f4) >= 3:
+                g = (float(f4[0]), float(f4[1]), float(f4[2]))
+                if any(abs(v) > 0 for v in g):
+                    grav = g
+            k = 21
+            while k + 2 < len(content):
+                f1 = _fields(content[k])
+                if len(f1) < 2 or int(float(f1[0])) == -1:
+                    break
+                lid = int(float(f1[0]))
+                ltype = int(float(f1[1]))
+                dof_face = [int(float(v))
+                            for v in _fields(content[k + 1])[:3]]
+                value = [float(v) for v in _fields(content[k + 2])[:5]]
+                if ltype == 1:                       # nodal force
+                    for d in range(3):
+                        if d < len(dof_face) and dof_face[d]:
+                            cloads.append((lid, d + 1, value[d]))
+                elif ltype == 3:                     # nodal displacement
+                    for d in range(3):
+                        if d < len(value):
+                            disp507[(lid, d + 1)] = value[d]
+                k += 7
         # other blocks skipped
     node_ids_a = np.asarray(node_ids, np.int64)
     coords_a = np.asarray(coords)
@@ -197,13 +274,32 @@ def read_neu(path: str) -> Mesh:
                                 section_id=len(sections) - 1))
     all_eids = np.concatenate([b.elem_ids for b in blocks]) if blocks \
         else np.zeros(0, np.int64)
-    return Mesh(header="FEMAP neutral", coords=coords_a,
+    # 506 equation rows -> Equation pytrees (the reference reads one
+    # (nodeID, dof, coeff) record per equation — CNFDB_506.cpp
+    # read_num_co_list — i.e. single-term pins)
+    equations = []
+    for nid2, dof, coeff in eqs:
+        if nid2 in id2idx and coeff != 0.0:
+            equations.append(Equation(
+                np.asarray([id2idx[nid2]]), np.asarray([dof]),
+                np.asarray([coeff]), 0.0))
+    mesh = Mesh(header="FEMAP neutral", coords=coords_a,
                 node_ids=node_ids_a, id2idx=id2idx, blocks=blocks,
                 sections=sections, materials=materials,
                 node_groups={"ALL": np.arange(len(node_ids_a))},
                 elem_groups={"ALL": all_eids}, surf_groups={},
-                amplitudes={}, equations=[], contact_pairs=[],
+                amplitudes={}, equations=equations, contact_pairs=[],
                 initial_conditions={})
+    # boundary rows: 506 fixes (value 0), overridden by 507 nodal
+    # displacements (set_boundary_node_by_507 semantics: the 507 value
+    # replaces the zero only on dofs 506 already constrained)
+    bnd = []
+    for nid2 in sorted(bc506):
+        for d in sorted(bc506[nid2]):
+            bnd.append((nid2, d, disp507.get((nid2, d), 0.0)))
+    mesh.neu_bc = dict(boundary=bnd, cload=sorted(set(cloads)),
+                       grav=grav)
+    return mesh
 
 
 def write_fstr_msh(mesh: Mesh, path: str) -> None:
@@ -244,11 +340,49 @@ def write_fstr_msh(mesh: Mesh, path: str) -> None:
             if sec.values:
                 f.write(" " + ", ".join(repr(float(v))
                                         for v in sec.values) + "\n")
+        if mesh.equations:
+            f.write("!EQUATION\n")
+            for eq in mesh.equations:
+                f.write(f" {len(eq.nodes)}, {float(eq.const)!r}\n ")
+                f.write(", ".join(
+                    f"{int(mesh.node_ids[nd])}, {int(df)}, {float(cf)!r}"
+                    for nd, df, cf in zip(eq.nodes, eq.dofs, eq.coefs))
+                    + "\n")
         f.write("!END\n")
 
 
-def neu2fstr(in_path: str, out_path: str) -> Mesh:
-    """CLI surface: convert a FEMAP neutral file to an fstr mesh file."""
+def write_fstr_cnt(mesh: Mesh, path: str) -> None:
+    """Static-analysis .cnt from the converted 506/507 BC data — the
+    output side of conv_neu2fstr_static.cpp (SetBoundary/SetCLoad/
+    SetDLoad): BOUNDARY rows address literal node ids, like the
+    reference's ItoA(nid)-named entries."""
+    bc = getattr(mesh, "neu_bc", None) or \
+        dict(boundary=[], cload=[], grav=None)
+    with open(path, "w") as f:
+        f.write("!VERSION\n 3\n!SOLUTION, TYPE=STATIC\n")
+        if bc["boundary"]:
+            f.write("!BOUNDARY\n")
+            for nid, d, v in bc["boundary"]:
+                f.write(f" {nid}, {d}, {d}, {v!r}\n")
+        if bc["cload"]:
+            f.write("!CLOAD\n")
+            for nid, d, v in bc["cload"]:
+                f.write(f" {nid}, {d}, {v!r}\n")
+        if bc["grav"] is not None:
+            gx, gy, gz = bc["grav"]
+            g = float(np.sqrt(gx * gx + gy * gy + gz * gz))
+            f.write("!DLOAD\n ALL, GRAV, "
+                    f"{g!r}, {gx / g!r}, {gy / g!r}, {gz / g!r}\n")
+        f.write("!SOLVER, METHOD=CG, PRECOND=1\n 10000, 1\n"
+                " 1.0e-8, 1.0, 0.0\n!END\n")
+
+
+def neu2fstr(in_path: str, out_path: str,
+             cnt_path: str | None = None) -> Mesh:
+    """CLI surface: convert a FEMAP neutral file to an fstr mesh file
+    (+ optionally the static .cnt carrying its 506/507 BCs/loads)."""
     mesh = read_neu(in_path)
     write_fstr_msh(mesh, out_path)
+    if cnt_path:
+        write_fstr_cnt(mesh, cnt_path)
     return mesh

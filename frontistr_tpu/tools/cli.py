@@ -105,9 +105,12 @@ def neu2fstr_main(argv=None):
                     "(neu2fstr equivalent).")
     ap.add_argument("input", help="FEMAP .neu file")
     ap.add_argument("output", help="output .msh path")
+    ap.add_argument("cnt", nargs="?", default=None,
+                    help="optional output .cnt carrying the converted "
+                         "506/507 constraints and loads")
     a = ap.parse_args(argv)
     from frontistr_tpu.io.neu import neu2fstr
-    mesh = neu2fstr(a.input, a.output)
+    mesh = neu2fstr(a.input, a.output, cnt_path=a.cnt)
     print(f"### {a.input}: {mesh.n_node} nodes, {mesh.n_elem} elements "
           f"-> {a.output}")
     return 0

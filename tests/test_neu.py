@@ -88,3 +88,126 @@ def test_neu2fstr_roundtrip_solve(tmp_path):
     ur = {int(g): res_r.u[i] for i, g in enumerate(mesh_r.node_ids)}
     for g in uc:
         np.testing.assert_allclose(uc[g], ur[g], rtol=1e-7, atol=1e-12)
+
+
+@requires_reference
+def test_neu_506_boundary_matches_fix_group():
+    """Block 506 constraints parse into the same node set as the exA
+    deck's FIX group (conv_neu2fstr_static.cpp SetBoundary)."""
+    from frontistr_tpu.io.neu import read_neu
+    from frontistr_tpu.io.meshio import read_mesh
+    m = read_neu(os.path.join(NEU_DIR, "A341.NEU"))
+    m0 = read_mesh(os.path.join(REFERENCE, "examples", "static", "exA",
+                                "A341.msh"))
+    fix = sorted(int(m0.node_ids[i]) for i in m0.node_groups["FIX"])
+    ours = sorted({nid for nid, _, _ in m.neu_bc["boundary"]})
+    assert ours == fix
+    assert all(v == 0.0 for _, _, v in m.neu_bc["boundary"])
+    # every constrained node pins all three dofs in this deck
+    assert len(m.neu_bc["boundary"]) == 3 * len(fix)
+
+
+def _synth_neu(path):
+    """Minimal FEMAP neutral: 12 nodes / 2 hex8, block 402 property ->
+    601 material (E=1000, nu=0.3, rho=2), 506 fixing the x=0 face, 507
+    nodal forces (loadtype 1) of -1.0 in z on the x=2 face."""
+    mval = [0.0] * 200
+    mval[0] = 1000.0    # E
+    mval[6] = 0.3       # nu
+    mval[36] = 1e-5     # alpha
+    mval[49] = 2.0      # rho
+    L = ["   -1", "   100", "<NULL>", "8.2,", "   -1"]
+    # 402: property 7 -> material 5
+    L += ["   -1", "   402", "7,110,5,25,1,", "prop", "   -1"]
+    # 601: material 5
+    L += ["   -1", "   601", "5,-601,55,0,0,1,0,", "mat5",
+          "10,", "0,0,0,0,0,0,0,0,0,0,", "25,"]
+    L += ["0,0,0,0,0,0,0,0,0,0,", "0,0,0,0,0,0,0,0,0,0,", "0,0,0,0,0,"]
+    L += ["200,"]
+    for r in range(20):
+        L.append(",".join(f"{v:g}." if float(v).is_integer()
+                          else f"{v:g}" for v in mval[r*10:r*10+10]) + ",")
+    L += ["   -1"]
+    # 403: nodes — 2x1x1 bricks: x in 0,1,2; y,z in 0,1
+    nodes = []
+    nid = 0
+    for x in (0.0, 1.0, 2.0):
+        for y in (0.0, 1.0):
+            for z in (0.0, 1.0):
+                nid += 1
+                nodes.append((nid, x, y, z))
+    L += ["   -1", "   403"]
+    for g, x, y, z in nodes:
+        L.append(f"{g},0,0,1,46,0,0,0,0,0,0,{x},{y},{z},")
+    L += ["   -1"]
+    # 404: two hex8 (topology 8), FEMAP brick order = corner nodes
+    def hexa(x0):
+        # node id at (ix, iy, iz): ix*4 + iy*2 + iz + 1
+        n = lambda ix, iy, iz: ix * 4 + iy * 2 + iz + 1
+        return [n(x0,0,0), n(x0+1,0,0), n(x0+1,1,0), n(x0,1,0),
+                n(x0,0,1), n(x0+1,0,1), n(x0+1,1,1), n(x0,1,1)]
+    L += ["   -1", "   404"]
+    for e, x0 in ((1, 0), (2, 1)):
+        conn = hexa(x0) + [0] * 12
+        L.append(f"{e},124,7,25,8,1,0,0,0,0,0,0,")
+        L.append(",".join(str(v) for v in conn[:10]) + ",")
+        L.append(",".join(str(v) for v in conn[10:]) + ",")
+        L += ["0,0,0,", "0.,0.,0.,", "0.,0.,0.,", "0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,"]
+    L += ["   -1"]
+    # 506: fix x=0 nodes (ids 1-4), all six dofs
+    L += ["   -1", "   506", "1,", "fix"]
+    for g in (1, 2, 3, 4):
+        L.append(f"{g},120,1,1,1,1,1,1,1,0,")
+    L += ["-1,0,0,0,0,0,0,0,0,0,"]      # end nodes
+    L += ["-1,0,0,0,0,0,0,0,0,0,"]      # points
+    L += ["-1,0,0,0,0,0,0,0,0,0,"]      # curves
+    L += ["-1,0,0,0,0,0,0,0,0,0,"]      # surfaces
+    L += ["-1,0,0,"]                     # equations
+    L += ["   -1"]
+    # 507: nodal force loadtype 1, fz=-1 on x=2 nodes (ids 9-12)
+    L += ["   -1", "   507", "1,", "loads", "0,0.,0,0,0,0,0.,"]
+    L += ["0.,0.,0.,", "0.,0.,0.,", "0.,0.,0.,", "0.,0.,0.,",
+          "0.,0.,0.,0,", "0.,0.,0.,0.,", "0.,0.,0.,0.,", "0,0,0,",
+          "0,0,0,", "0.,0.,0.,0.,", "0.,0.,0.,",
+          "0.,0.,0.,0.,0.,0.,", "0.,0.,0.,0.,0.,0.,0.,0.,0.,",
+          "0,0,0,0,0,0,0,0,0,", "0,0,0,0,0,0,0,0,",
+          "0,0,0,0,0,0,0,", "0,0,0,0,0,0,0,", "0,0,0,0,0,0,0,0,0,"]
+    for g in (9, 10, 11, 12):
+        L += [f"{g},1,10,1,0,0,0,", "0,0,1,", "0.,0.,-1.,0.,0.,",
+              "0,0,0,0,0,", "0,0,0,0,0,", "0,0,0,", "0.,0.,0.,"]
+    L += ["-1,-1,-1,-1,-1,-1,0,", "-1,-1,-1,-1,-1,-1,0,",
+          "-1,-1,-1,0.,0.,-1,1,", "-1,-1,-1,0.,0.,-1,1,"]
+    L += ["   -1"]
+    with open(path, "w") as f:
+        f.write("\n".join(L) + "\n")
+
+
+def test_neu_loads_materials_roundtrip_runs(tmp_path):
+    """A synthetic NEU with 506 constraints, 507 nodal forces, and a
+    601 material converts to .msh + .cnt and RUNS: fixed face pinned,
+    loaded face deflects downward, material E honored."""
+    from frontistr_tpu.io.neu import neu2fstr
+    from frontistr_tpu.io.meshio import read_mesh
+    from frontistr_tpu.io.ctrlio import read_cnt
+    from frontistr_tpu.assembly.model import build_struct_model
+    from frontistr_tpu.analysis.static import run_linear_static
+
+    neu = str(tmp_path / "beam.NEU")
+    _synth_neu(neu)
+    msh = str(tmp_path / "beam.msh")
+    cnt = str(tmp_path / "beam.cnt")
+    mesh = neu2fstr(neu, msh, cnt_path=cnt)
+    assert len(mesh.neu_bc["boundary"]) == 4 * 6
+    assert len(mesh.neu_bc["cload"]) == 4
+    assert mesh.materials["MAT5"].items[1][0][0] == 1000.0
+    assert mesh.materials["MAT5"].items[2][0][0] == 2.0
+
+    mesh2 = read_mesh(msh)
+    cfg = read_cnt(cnt)
+    res = run_linear_static(build_struct_model(mesh2, cfg))
+    u = res.u
+    i2 = mesh2.id2idx
+    for g in (1, 2, 3, 4):
+        np.testing.assert_allclose(u[i2[g]], 0.0, atol=1e-12)
+    tip = np.mean([u[i2[g], 2] for g in (9, 10, 11, 12)])
+    assert tip < -1e-4          # bends down under the -z forces
