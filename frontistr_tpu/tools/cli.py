@@ -52,6 +52,11 @@ def part_main(argv=None):
                     choices=["RCB", "BLOCK", "KMETIS"],
                     help="partitioning method (KMETIS = spectral graph "
                          "K-way, the METIS-quality option)")
+    ap.add_argument("--check-mesh", action="store_true",
+                    help="also write '<out>.check.inp': an AVS UCD dump "
+                         "of the whole mesh with per-element/per-node "
+                         "rank ids (the reference partitioner's UCD "
+                         "check-mesh output)")
     a = ap.parse_args(argv)
     from frontistr_tpu.parallel.partition import partition_to_files
     mesh = _read_any_mesh(a.mesh)
@@ -60,6 +65,29 @@ def part_main(argv=None):
     paths = partition_to_files(mesh, a.n_parts, a.out, method=a.method)
     for p in paths:
         print(f"  wrote {p}")
+    if a.check_mesh:
+        import numpy as np
+        from frontistr_tpu.io.ucd import write_ucd
+        from frontistr_tpu.io.distio import read_dist
+        nrank = np.zeros(mesh.n_node)
+        erank_map = {}
+        for r, p in enumerate(paths):
+            dm = read_dist(p)
+            own = np.asarray(dm.node_ID).reshape(-1, 2)[:, 1] == r
+            for g in np.asarray(dm.global_node_ID)[own]:
+                nrank[mesh.id2idx[int(g)]] = r
+            eint = np.asarray(dm.elem_internal_list) - 1 \
+                if dm.elem_internal_list is not None else \
+                np.arange(dm.n_elem_gross)
+            for ge in np.asarray(dm.global_elem_ID)[eint]:
+                erank_map.setdefault(int(ge), float(r))
+        erank = np.concatenate([
+            [erank_map.get(int(e), 0.0) for e in b.elem_ids]
+            for b in mesh.blocks])
+        cp = a.out + ".check.inp"
+        write_ucd(mesh, cp, node_data=[("NODE_RANK", nrank)],
+                  elem_data=[("ELEM_RANK", np.asarray(erank, float))])
+        print(f"  wrote {cp}")
     return 0
 
 

@@ -217,6 +217,15 @@ def visualize(mesh, model, result, workdir, cfg, basename="result"):
     comp = (vis.get("color_comp_name", "DISPLACEMENT") or "").upper()
     sub = int(float(vis.get("color_subcomp", 1)))
 
+    # AVS UCD output modes (hecmw_vis_surface_main.c output_type=
+    # AVS / COMPLETE_AVS / COMPLETE_REORDER_AVS / BIN_COMPLETE_AVS):
+    # dump the full model + results as a UCD .inp instead of rendering
+    otype = (vis.get("output_type", "") or "").upper()
+    if "AVS" in otype:
+        from frontistr_tpu.io.ucd import static_result_ucd
+        out = os.path.join(workdir, basename + ".inp")
+        return static_result_ucd(mesh, result, out)
+
     tris = extract_surface(mesh)
     u = np.asarray(result.u)
     coords = mesh.coords[:, :3].copy()
