@@ -402,31 +402,59 @@ def _run_implicit(model: StructModel, log_path, restart_path=None,
         # which triggers a refactorization (cache keyed by the kes
         # identity, entry holds the arrays so ids cannot be recycled)
         from frontistr_tpu.solver.direct import assemble_csr
+        import os as _os
         import scipy.sparse as sp
         import scipy.sparse.linalg as spla
         _fact: dict = {}
         free_np = np.asarray(free)
+        _band = _os.environ.get("FRONTISTR_TPU_DIRECT",
+                                "").lower() == "band"
 
         def solve_eff(kes, B, dirichlet_inc):
             key = tuple(id(k) for k in kes)
             ent = _fact.get("f")
             if ent is None or ent[0] != key:
-                A = assemble_csr([np.asarray(k) for k in kes],
-                                 [np.asarray(dd) for dd in dofs_j], n)
-                A = (c1 * A + c2 * sp.diags(np.asarray(mass))).tocsr()
-                P = sp.diags(free_np)
-                Acon = P @ A @ P + sp.diags(1.0 - free_np)
-                dz = Acon.diagonal() == 0.0
-                if dz.any():
-                    Acon = Acon + sp.diags(dz.astype(float))
-                _fact["f"] = (key, spla.splu(Acon.tocsc()), A,
-                              tuple(kes))
+                if _band:
+                    # in-house on-device blocked band Cholesky of
+                    # K_eff = c1 K + c2 M (solver/band.py)
+                    from frontistr_tpu.solver.band import BandCholesky
+                    fac = BandCholesky(
+                        [np.asarray(k) for k in kes],
+                        [np.asarray(dd) for dd in dofs_j], n,
+                        free_np,
+                        [np.asarray(b.conn) for b in model.blocks],
+                        model.n_node, scale=c1,
+                        diag_add=c2 * np.asarray(mass))
+                    A = None
+                else:
+                    A = assemble_csr([np.asarray(k) for k in kes],
+                                     [np.asarray(dd)
+                                      for dd in dofs_j], n)
+                    A = (c1 * A +
+                         c2 * sp.diags(np.asarray(mass))).tocsr()
+                    P = sp.diags(free_np)
+                    Acon = P @ A @ P + sp.diags(1.0 - free_np)
+                    dz = Acon.diagonal() == 0.0
+                    if dz.any():
+                        Acon = Acon + sp.diags(dz.astype(float))
+                    fac = spla.splu(Acon.tocsc())
+                _fact["f"] = (key, fac, A, tuple(kes))
                 ent = _fact["f"]
-            _, lu, A, _ = ent
+            _, fac, A, kes_held = ent
             b = np.asarray(B)
             uf = np.asarray(dirichlet_inc)
-            b = (b - A @ uf) * free_np + uf * (1.0 - free_np)
-            return jnp.asarray(lu.solve(b))
+            if A is not None:
+                Auf = A @ uf
+            else:                       # element-block matvec (host)
+                Auf = c2 * np.asarray(mass) * uf
+                for k, dd in zip(kes_held, dofs_j):
+                    kv = np.asarray(k)
+                    ddv = np.asarray(dd)
+                    fe = np.einsum("eij,ej->ei", kv, uf[ddv])
+                    np.add.at(Auf, ddv.reshape(-1),
+                              c1 * fe.reshape(-1))
+            b = (b - Auf) * free_np + uf * (1.0 - free_np)
+            return jnp.asarray(fac.solve(b))
     else:
         if cfg.solver.method.upper() in (
                 "DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG"):

@@ -121,27 +121,45 @@ def run_eigen(model: StructModel, log_path: Optional[str] = None,
     elif cfg.solver.method.upper() in (
             "DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG") \
             and mpc_a is None:
-        # METHOD=DIRECT: factor K once with host SuperLU and
-        # back-substitute every Lanczos apply — the reference's direct
-        # eigen path (set_arrays_DirectSolver + solve per iteration);
-        # far cheaper than a 1e-10 CG per apply
-        from frontistr_tpu.solver.direct import assemble_csr
-        import scipy.sparse as sp
-        import scipy.sparse.linalg as spla
-        A = assemble_csr([np.asarray(k) for k in kes],
-                         [np.asarray(b.dofs) for b in model.blocks], n)
-        fm = k_active.astype(float)
-        Acon = sp.diags(fm) @ A @ sp.diags(fm) + sp.diags(1.0 - fm)
-        dz = Acon.diagonal() == 0.0
-        if dz.any():
-            Acon = Acon + sp.diags(dz.astype(float))
-        _lu = spla.splu(Acon.tocsc())
+        # METHOD=DIRECT: factor K once and back-substitute every
+        # Lanczos apply — the reference's direct eigen path
+        # (set_arrays_DirectSolver + solve per iteration); far cheaper
+        # than a 1e-10 CG per apply.  FRONTISTR_TPU_DIRECT=band selects
+        # the in-house ON-DEVICE blocked band Cholesky (solver/band.py,
+        # hecmw_solver_direct.f90 counterpart); default is host SuperLU.
+        import os as _os
         mass_np = np.asarray(mass_j)
         kact_np = np.asarray(k_act)
+        if _os.environ.get("FRONTISTR_TPU_DIRECT", "").lower() == "band":
+            from frontistr_tpu.solver.band import BandCholesky
+            _bc = BandCholesky(
+                [np.asarray(k) for k in kes],
+                [np.asarray(b.dofs) for b in model.blocks], n,
+                k_active.astype(float),
+                [np.asarray(b.conn) for b in model.blocks],
+                model.n_node)
 
-        def shift_invert(q):
-            b = (mass_np * np.asarray(q)) * kact_np
-            return jnp.asarray(_lu.solve(b) * kact_np)
+            def shift_invert(q):
+                b = (mass_np * np.asarray(q)) * kact_np
+                return jnp.asarray(_bc.solve(b) * kact_np)
+        else:
+            from frontistr_tpu.solver.direct import assemble_csr
+            import scipy.sparse as sp
+            import scipy.sparse.linalg as spla
+            A = assemble_csr([np.asarray(k) for k in kes],
+                             [np.asarray(b.dofs)
+                              for b in model.blocks], n)
+            fm = k_active.astype(float)
+            Acon = sp.diags(fm) @ A @ sp.diags(fm) + \
+                sp.diags(1.0 - fm)
+            dz = Acon.diagonal() == 0.0
+            if dz.any():
+                Acon = Acon + sp.diags(dz.astype(float))
+            _lu = spla.splu(Acon.tocsc())
+
+            def shift_invert(q):
+                b = (mass_np * np.asarray(q)) * kact_np
+                return jnp.asarray(_lu.solve(b) * kact_np)
     else:
         if cfg.solver.method.upper() in (
                 "DIRECT", "DIRECTMKL", "MUMPS", "MKL", "DIRECTLAG"):
