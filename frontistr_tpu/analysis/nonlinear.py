@@ -1740,12 +1740,25 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
     import os as _os
     resume = None
     if restart_path and _os.path.exists(restart_path):
-        from frontistr_tpu.io.restart import load_restart
-        resume = load_restart(restart_path)
-        u = jnp.asarray(resume["u"])
-        states = [
-            {k: (jnp.asarray(v) if v is not None else None)
-             for k, v in s.items()} for s in resume["states"]]
+        with open(restart_path, "rb") as _fh:
+            _magic = _fh.read(2)
+        if _magic == b"PK":                      # native .npz checkpoint
+            from frontistr_tpu.io.restart import load_restart
+            resume = load_restart(restart_path)
+            u = jnp.asarray(resume["u"])
+            states = [
+                {k: (jnp.asarray(v) if v is not None else None)
+                 for k, v in s.items()} for s in resume["states"]]
+        else:
+            # reference blob stream (hecmw_restart.c): a checkpoint the
+            # REFERENCE binary wrote can resume this run
+            from frontistr_tpu.io.hecmw_restart import import_solid_state
+            u_r, t_r, sc_r, st_r = import_solid_state(
+                restart_path, states, model.blocks)
+            u = jnp.asarray(u_r)
+            states = [{k: (jnp.asarray(v) if v is not None else None)
+                       for k, v in s.items()} for s in st_r]
+            resume = dict(u=u_r, t=t_r, step_count=sc_r, states=st_r)
     mixed = _solve_policy() == "mixed"
     from frontistr_tpu.parallel import shard as shmod
     nshard = shmod.requested_shards()
@@ -1968,14 +1981,30 @@ def run_nonlinear_static(model: StructModel, log_path: Optional[str] = None,
             step_count += 1
             if restart_path and restart_freq > 0 and \
                     step_count % restart_freq == 0:
-                from frontistr_tpu.io.restart import save_restart
                 st_out = engine.unpad_states(states) \
                     if engine is not None else states
-                save_restart(restart_path, dict(
-                    u=np.asarray(u), t=np.asarray(t),
-                    step_count=np.asarray(step_count),
-                    states=[{k: np.asarray(v) for k, v in s.items()}
-                            for s in st_out]))
+                if _os.environ.get("FRONTISTR_TPU_RESTART_FORMAT",
+                                   "").lower() == "hecmw":
+                    # reference blob stream: resumable by the
+                    # reference binary (fstr_read_restart)
+                    from frontistr_tpu.io.hecmw_restart import \
+                        export_solid_state
+                    export_solid_state(
+                        restart_path, np.asarray(u),
+                        np.asarray(Q_last) if Q_last is not None
+                        else np.zeros_like(np.asarray(u)),
+                        [{k: np.asarray(v) for k, v in s.items()}
+                         for s in st_out], model.blocks,
+                        step_count=step_count, ctime=float(t),
+                        dtime=float(dt), steptime=float(t))
+                else:
+                    from frontistr_tpu.io.restart import save_restart
+                    save_restart(restart_path, dict(
+                        u=np.asarray(u), t=np.asarray(t),
+                        step_count=np.asarray(step_count),
+                        states=[{k: np.asarray(v)
+                                 for k, v in s.items()}
+                                for s in st_out]))
             if log_path is not None or result_writer is not None:
                 result = _postprocess(
                     model, programs,
