@@ -135,6 +135,11 @@ def _tet_arm(verbose=False, out=None):
     dx, kes = newton_step()
     sync(dx)
     out["tet_aot_ok"] = True
+    # free the warm-up tangent + solution BEFORE the timed step: holding
+    # them while the next tangent assembles doubles the HBM peak (the
+    # r05 ResourceExhausted at stage newton_timed — 1.13 GB of stale
+    # kes on a chip the solve program already fills)
+    del dx, kes
 
     out["tet_stage"] = "newton_timed"
     t0 = time.perf_counter()

@@ -1194,15 +1194,21 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
         def _solve(profile, cprofile, am, ctx, kes, B, dirichlet_inc,
                    pal_a, mass_v, gfac, cdofs, cke):
             dofs, inc, free_m, coords, mpc = ctx
-            op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
-                                  n_node, ndof, free_m)
+            # f64 TRUE operator as a SECOND cluster-ELL assembly (exact
+            # sums of the same f32 tangents): its matvec is a double-
+            # float-emulated contraction, ~8x the f32 matvec — the
+            # element-gather femop path it replaces paid the 8-plane
+            # X64 rewrite on MXU einsums, ~100x (the r05 tet arm spent
+            # ~75 of 87 s in three such residual applies)
+            cop64, _ = _cluster_op(cprofile, kes, free_m, jnp.float64,
+                                   None, mass_v)
 
             def mv64(x):
-                y = op.matvec(x)
-                if eff is not None:
-                    y = c1 * y + c2 * mass_v * x
+                y = cop64.matvec(x)
                 if cdofs is not None:
-                    fe = jnp.einsum("eij,ej->ei", cke, x[cdofs])
+                    fe = jnp.einsum("eij,ej->ei", cke.astype(x.dtype),
+                                    x[cdofs],
+                                    precision=jax.lax.Precision.HIGHEST)
                     y = y.at[cdofs.reshape(-1)].add(fe.reshape(-1))
                 return y
 
@@ -1215,7 +1221,7 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
             if cons is not None:
                 b_c = cons(b_c, "x")
             # cluster-ELL f32 operator for the CG hot loop (~7 ms/matvec
-            # at 1M-dof tet); f64 true residual via gather op
+            # at 1M-dof tet); f64 true residual via the cop64 op
             cop32, raw = _cluster_op(cprofile, kes, free_m, jnp.float32,
                                      pal_a, mass_v)
             A64_cg, A32_cg = A64, cop32.apply_constrained
@@ -1231,7 +1237,7 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                              _precond(cop32, cprofile, raw, profile, am,
                                       coords), b_c,
                              tol=sv.resid, inner_tol=1e-6,
-                             maxiter=sv.nier, max_passes=2)
+                             maxiter=sv.nier, max_passes=6)
             x = res.x
             if mpc is not None:
                 x = exmod.mpc_recover(mpc, x, gfac)
