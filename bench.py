@@ -149,6 +149,8 @@ def _tet_arm(verbose=False, out=None):
     iters = int(np.asarray(getattr(solver, "last_iters", -1)))
     out["newton_step_1mdof_tet_wall"] = round(t_newton, 4)
     out["tet_cg_iters"] = iters
+    out["tet_refine_passes"] = int(np.asarray(
+        getattr(solver, "last_passes", -1)))
 
     out["tet_stage"] = "residual64"
     # true f64 residual on free dofs

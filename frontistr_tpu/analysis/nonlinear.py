@@ -1243,7 +1243,7 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                 x = exmod.mpc_recover(mpc, x, gfac)
             if cons is not None:
                 x = cons(x)
-            return x, res.iters
+            return x, res.iters, res.passes
     else:
         @jax.jit
         def _solve(profile, cprofile, am, ctx, kes, B, dirichlet_inc,
@@ -1297,7 +1297,7 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                 x = exmod.mpc_recover(mpc, x, gfac)
             if cons is not None:
                 x = cons(x)
-            return x, res.iters
+            return x, res.iters, jnp.asarray(0)
 
     ctx = (list(dofs_j), inc_j, free, coords_j, mpc_a)
 
@@ -1327,11 +1327,12 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                 kes_s, Bp, dp = _pad_inputs(kes, B, dirichlet_inc)
                 cn_r = {k: jax.device_put(jnp.asarray(v), rep)
                         for k, v in cn.items()}
-                x, it = _solve(prof_d, cprof_d, amaps, ctx, kes_s, Bp,
+                x, it, ps = _solve(prof_d, cprof_d, amaps, ctx, kes_s, Bp,
                                dp, pal_args, mass_d,
                                jnp.asarray(float(gfac)), None, None,
                                cn_r)
                 solve.last_iters = it
+                solve.last_passes = ps
                 return jax.device_put(x[:n_real], dev0)
 
             solve.has_mpc = mpc_a is not None
@@ -1342,10 +1343,11 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
                 kes_s, Bp, dp = _pad_inputs(kes, B, dirichlet_inc)
                 cd = jax.device_put(jnp.asarray(cdofs), rep)
                 ck = jax.device_put(jnp.asarray(cke), rep)
-                x, it = _solve(prof_d, cprof_d, amaps, ctx, kes_s, Bp,
+                x, it, ps = _solve(prof_d, cprof_d, amaps, ctx, kes_s, Bp,
                                dp, pal_args, mass_d,
                                jnp.asarray(float(gfac)), cd, ck)
                 solve.last_iters = it
+                solve.last_passes = ps
                 return jax.device_put(x[:n_real], dev0)
 
             solve.has_mpc = mpc_a is not None
@@ -1353,10 +1355,11 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
 
         def solve(kes, B, dirichlet_inc, gfac=0.0):
             kes_s, Bp, dp = _pad_inputs(kes, B, dirichlet_inc)
-            x, it = _solve(prof_d, cprof_d, amaps, ctx, kes_s, Bp, dp,
+            x, it, ps = _solve(prof_d, cprof_d, amaps, ctx, kes_s, Bp, dp,
                            pal_args, mass_d, jnp.asarray(float(gfac)),
                            None, None)
             solve.last_iters = it         # device scalar, no host sync
+            solve.last_passes = ps
             # back to the driver's single default device (legacy path;
             # the fully-sharded Newton engine uses solve.sharded instead)
             return jax.device_put(x[:n_real], dev0)
@@ -1387,17 +1390,19 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
 
         if contact:
             def solve(kes, B, dirichlet_inc, cdofs, cke, gfac=0.0):
-                x, it = _solve(prof_d, cprof_d, amaps, ctx, kes, B,
+                x, it, ps = _solve(prof_d, cprof_d, amaps, ctx, kes, B,
                                dirichlet_inc, pal_args, mass_d,
                                jnp.asarray(float(gfac)), cdofs, cke)
                 solve.last_iters = it
+                solve.last_passes = ps
                 return x
         else:
             def solve(kes, B, dirichlet_inc, gfac=0.0):
-                x, it = _solve(prof_d, cprof_d, amaps, ctx, kes, B,
+                x, it, ps = _solve(prof_d, cprof_d, amaps, ctx, kes, B,
                                dirichlet_inc, pal_args, mass_d,
                                jnp.asarray(float(gfac)), None, None)
                 solve.last_iters = it     # device scalar, no host sync
+                solve.last_passes = ps
                 return x
 
     solve.has_mpc = mpc_a is not None
@@ -1563,8 +1568,9 @@ class ShardedNewton:
         kes.extend(aux["exkes"])
         B = gl - Q_cur
         prof_d, cprof_d, amaps, ctx, pal_args, mass_d = sargs
-        dx, _cg = self._sfn(prof_d, cprof_d, amaps, ctx, tuple(kes), B,
-                            dinc, pal_args, mass_d, gfac, None, None)
+        dx, _cg, _ps = self._sfn(prof_d, cprof_d, amaps, ctx,
+                                 tuple(kes), B, dinc, pal_args, mass_d,
+                                 gfac, None, None)
         du2 = du + dx
         new_states, Q = self._update_all(aux, u, du2, states, t, dt)
         Bres = gl - Q
