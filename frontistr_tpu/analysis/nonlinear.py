@@ -1194,17 +1194,19 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
         def _solve(profile, cprofile, am, ctx, kes, B, dirichlet_inc,
                    pal_a, mass_v, gfac, cdofs, cke):
             dofs, inc, free_m, coords, mpc = ctx
-            # f64 TRUE operator as a SECOND cluster-ELL assembly (exact
-            # sums of the same f32 tangents): its matvec is a double-
-            # float-emulated contraction, ~8x the f32 matvec — the
-            # element-gather femop path it replaces paid the 8-plane
-            # X64 rewrite on MXU einsums, ~100x (the r05 tet arm spent
-            # ~75 of 87 s in three such residual applies)
-            cop64, _ = _cluster_op(cprofile, kes, free_m, jnp.float64,
-                                   None, mass_v)
+            # f64 TRUE operator: the matrix-free element path, whose f64
+            # arithmetic is unrolled-elementwise (femop.element_forces_
+            # flat) — an assembled f64 cluster operator is NOT viable on
+            # TPU: its dot_general X64-rewrites into an 8-plane 11.8 GB
+            # expansion, and an exact f64 assembly would pay a second
+            # (slow) f64 segment-sum per Newton iteration
+            op = femop.FEOperator(list(kes), dofs, nns_t, inc, total_en,
+                                  n_node, ndof, free_m)
 
             def mv64(x):
-                y = cop64.matvec(x)
+                y = op.matvec(x)
+                if eff is not None:
+                    y = c1 * y + c2 * mass_v * x
                 if cdofs is not None:
                     fe = jnp.einsum("eij,ej->ei", cke.astype(x.dtype),
                                     x[cdofs],
@@ -1221,7 +1223,7 @@ def make_constrained_solver(model, dofs_j, nns, inc_j, total_en, free,
             if cons is not None:
                 b_c = cons(b_c, "x")
             # cluster-ELL f32 operator for the CG hot loop (~7 ms/matvec
-            # at 1M-dof tet); f64 true residual via the cop64 op
+            # at 1M-dof tet); f64 true residual via the femop op
             cop32, raw = _cluster_op(cprofile, kes, free_m, jnp.float32,
                                      pal_a, mass_v)
             A64_cg, A32_cg = A64, cop32.apply_constrained

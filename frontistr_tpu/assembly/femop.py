@@ -79,52 +79,35 @@ class FEOperator:
     def element_forces_flat(self, x: jnp.ndarray) -> jnp.ndarray:
         """f_e = k_e x_e for all blocks, flattened to (total_en*ndof + ndof,)
         with a trailing zero pad slot."""
-        import os
-        # f64 on the TPU AOT path is emulated: the X64-rewrite pass
-        # expands each f64 einsum operand to an 8-plane f32 form — an
-        # (8, E, m, m) intermediate, 9 GB at the 1M-dof tet mesh, that
-        # XLA keeps live (remat-compressed, 19.7 GB with its copy)
-        # across the inner Krylov while_loop.  Chunking the element axis
-        # with lax.scan bounds the expansion to one chunk at a time.
-        chunk = int(os.environ.get("FRONTISTR_TPU_F64_CHUNK_ELEMS",
-                                   "65536"))
-        do_chunk = x.dtype == jnp.float64 and chunk > 0
         fes = []
         for ke, dofs in zip(self.kes, self.dofs):
             E, m, _ = ke.shape
-
-            def fe_of(kec, dc):
-                # HIGHEST: the TPU default is bf16-pass matmul
-                # (eps ~ 4e-3), which caps the inner CG of the mixed-
-                # precision refinement at ~3 digits/pass.  These tiny
-                # batched matmuls are HBM-bound (reading ke dominates),
-                # so full-f32 accumulation is free.
-                return jnp.einsum("eij,ej->ei", kec, x[dc],
-                                  precision=jax.lax.Precision.HIGHEST)
-
-            if do_chunk and E > 2 * chunk:
-                # fori_loop + dynamic_slice, NOT a reshape-to-(n,chunk,..)
-                # scan: the reshape materializes a full copy of the f64
-                # ke/dofs (2.24 GB + 0.96 GB in the r05 tet OOM dump);
-                # aligned dynamic slices read the original buffers
-                nfull = E // chunk
-                out = jnp.zeros(nfull * chunk * m, x.dtype)
-
-                def body(i, acc):
-                    kec = jax.lax.dynamic_slice_in_dim(ke, i * chunk,
-                                                       chunk)
-                    dc = jax.lax.dynamic_slice_in_dim(dofs, i * chunk,
-                                                      chunk)
-                    return jax.lax.dynamic_update_slice(
-                        acc, fe_of(kec, dc).reshape(-1), (i * chunk * m,))
-
-                parts = [jax.lax.fori_loop(0, nfull, body, out)]
-                if nfull * chunk < E:
-                    parts.append(fe_of(ke[nfull * chunk:],
-                                       dofs[nfull * chunk:]).reshape(-1))
-                fes.extend(parts)
-            else:
-                fes.append(fe_of(ke, dofs).reshape(-1))
+            if x.dtype == jnp.float64:
+                # f64 on TPU is emulated: a f64 dot_general X64-rewrites
+                # into an 8-plane f32 expansion (11.8 GB at the 1M-dof
+                # tet mesh — the r05 HBM OOM); unrolled ELEMENTWISE
+                # products stay double-float pairs.  ke goes plane-major
+                # ((m, m, E), minor E) once so each (i, j) plane is a
+                # contiguous stream, and x gathers are 1-D per local
+                # column — no (E, m) minor-tile padding on the inputs.
+                kep = jnp.transpose(ke, (1, 2, 0)).astype(x.dtype)
+                xj = [x[dofs[:, j]] for j in range(m)]
+                cols = []
+                for i in range(m):
+                    acc = kep[i, 0] * xj[0]
+                    for j in range(1, m):
+                        acc = acc + kep[i, j] * xj[j]
+                    cols.append(acc)
+                fes.append(jnp.stack(cols, axis=1).reshape(-1))
+                continue
+            # HIGHEST: the TPU default is bf16-pass matmul (eps ~ 4e-3),
+            # which caps the inner CG of the mixed-precision refinement
+            # at ~3 digits/pass.  These tiny batched matmuls are
+            # HBM-bound (reading ke dominates), so full-f32 accumulation
+            # is free.
+            fe = jnp.einsum("eij,ej->ei", ke, x[dofs],
+                            precision=jax.lax.Precision.HIGHEST)
+            fes.append(fe.reshape(-1))
         fes.append(jnp.zeros(self.ndof, x.dtype))
         return jnp.concatenate(fes)
 
